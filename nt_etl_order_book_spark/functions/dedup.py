@@ -1,0 +1,255 @@
+"""Deduplication family — SURVEY §2.10 [X]: exact, MinHash-LSH,
+SimHash, and n-gram Jaccard near-dup detection over `documents`.
+
+Scale design (this is the 100 TB workhorse of an LLM data pipeline):
+
+- exact dedup: one hash-groupBy on a 32-byte digest — the shuffle moves
+  digests + doc ids only, never document text.
+- MinHash/LSH: per-doc signatures are computed in a single narrow pass
+  (explode shingles → murmur hash → min per permutation via groupBy);
+  candidate generation shuffles *band keys*, so only near-identical
+  docs ever meet. No O(n²) stage anywhere.
+- SimHash: 64-bit signature per doc, banded the same way.
+- verification (exact Jaccard on candidates) touches candidate pairs
+  only — at web scale that's a tiny fraction of the corpus.
+
+Exact-arithmetic hashing (xxhash64 / murmur3) keeps results
+deterministic; no seeded randomness outside the fixed HASH_SEEDS table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.tables import load_table
+
+# Fixed (a, b) affine-permutation constants for MinHash over a prime
+# field; deterministic across runs (no RNG at plan time). The base hash
+# is folded to 32 bits and a < 2^20 so a*h + b stays < 2^53 — no int64
+# overflow under ANSI mode.
+PRIME = (1 << 61) - 1
+HASH_BITS = 1 << 32
+N_PERM = 32
+N_BANDS = 8  # 8 bands × 4 rows ≈ catches jaccard ≳ 0.5
+ROWS_PER_BAND = N_PERM // N_BANDS
+_A = [(1_000_003 * (i + 1) + 17) % 1_048_573 + 1 for i in range(N_PERM)]
+_B = [(7_919 * (i + 7) + 3) % 1_048_573 for i in range(N_PERM)]
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc, as one row per shingle.
+
+    Built with higher-order functions (transform over a token-index
+    sequence) — stays JVM-side, no Python.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
+    """(doc, shingle) rows → one row per (doc, perm) with the min hash.
+
+    xxhash64 gives a stable 64-bit base hash; each permutation is
+    (a*h + b) mod p. The min per permutation is a plain hash aggregate
+    (partial+final), so the shuffle carries 32 longs per doc.
+    """
+    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(HASH_BITS))
+    perms = F.array(*[((F.lit(a) * h + F.lit(b)) % F.lit(PRIME)) for a, b in zip(_A, _B)])
+    exploded = sh.select(id_col, F.posexplode(perms).alias("perm", "hval"))
+    return exploded.groupBy(id_col, "perm").agg(F.min("hval").alias("minhash"))
+
+
+def lsh_candidates(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Band the signatures and self-join buckets → candidate pairs (a < b)."""
+    banded = (
+        sigs.withColumn("band", F.col("perm") % N_BANDS)
+        .groupBy(id_col, "band")
+        .agg(F.sort_array(F.collect_list(F.struct("perm", "minhash"))).alias("sig"))
+        .select(id_col, "band", F.xxhash64(F.to_json(F.col("sig"))).alias("bucket"))
+    )
+    a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(cands: DataFrame, sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs via shingle-set join sizes."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        cands.join(sa, "a").join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT sha256(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    doc="Exact content dedup: group by sha256(text), keep canonical min doc_id (first stage of any dedup pipeline).",
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2(F.col("text"), 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+@register(
+    "minhash_dedup",
+    None,  # hash-function-specific; not SQL-portable → rows-only check.
+    doc=(
+        "MinHash+LSH near-dup pairs: shingle(3-gram) → 32-perm minhash → "
+        "8-band LSH buckets → exact-Jaccard verify ≥ 0.5. Deterministic "
+        "(fixed permutation constants, xxhash64 base)."
+    ),
+)
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, "doc_id")
+    cands = lsh_candidates(sigs, "doc_id")
+    return jaccard_verify(cands, sh, "doc_id", threshold=0.5)
+
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash from whitespace tokens, pure expressions.
+
+    For each bit position, sum ±1 over token hashes' bit values and
+    keep the sign — expressed as a fold over 64 bit positions with
+    higher-order aggregate on the token array.
+    """
+    toks = F.array_distinct(F.filter(F.split(text_col, " "), lambda t: t != ""))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_sign(i: int) -> Column:
+        mask = F.shiftleft(F.lit(1).cast("long"), i)  # shiftleft, not a python literal: 1<<63 overflows lit()
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, mask).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out.bitwiseOR(bit_sign(i))
+    return out
+
+
+@register(
+    "simhash_dedup",
+    None,  # hash-function-specific → rows-only check.
+    doc=(
+        "SimHash near-dup: 64-bit signature per doc; pairs within hamming "
+        "distance ≤ 8 found by banding the signature into 4×16-bit keys "
+        "(pigeonhole: any pair with ≤3 differing bands shares one)."
+    ),
+)
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", simhash64(F.col("text")).alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col("sig"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+        ).alias("band", "bkey"),
+    )
+    a = bands.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bkey")
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("a", "b", hamming.alias("hamming")).filter(F.col("hamming") <= 8)
+
+
+@register(
+    "ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id, UNNEST(list_distinct(g)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)] AS g
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS inter
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      GROUP BY s1.doc_id, s2.doc_id
+    )
+    SELECT i.a, i.b,
+           CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON i.a = za.doc_id
+    JOIN sizes zb ON i.b = zb.doc_id
+    WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.8
+    """,
+    doc=(
+        "Exact n-gram (3-token) Jaccard similarity ≥ 0.8 via shingle "
+        "inverted-index join — the ground-truth near-dup measure the LSH "
+        "variants approximate. Shuffle key is the shingle, so only docs "
+        "sharing a shingle ever meet."
+    ),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("a"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.8)

@@ -1,0 +1,160 @@
+"""Similarity search over embeddings — SURVEY §2.10 [X].
+
+`embeddings.embedding` is array<float> (64-dim). Dot products and norms
+are higher-order-function expressions (zip_with + aggregate) — fully
+JVM-side, no Python in the scoring loop.
+
+Scale design: brute-force top-k broadcasts the (small) query set and
+scans the corpus once — the right baseline. The LSH variant buckets by
+signed random-projection signature so each query only meets its bucket;
+at 100 TB you shard the corpus by bucket and the scan is pruned to
+matching buckets (the classic IVF/LSH trade: recall vs pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.tables import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 play the role of query vectors
+
+# Fixed pseudo-random hyperplanes for the LSH variant: element j of
+# plane i is a deterministic hash-derived value in [-1, 1).
+N_PLANES = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential left-to-right fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS evec
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.qvec, e.evec), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(q.qvec, x -> x * x)))
+                  * sqrt(list_sum(list_transform(e.evec, x -> x * x)))),
+               6
+             ) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT qid, vec_id, cos_sim, rn FROM ranked WHERE rn <= {TOP_K}
+    """,
+    doc=(
+        "Brute-force cosine top-k: query set broadcast against the corpus, "
+        "score via zip_with/aggregate HOFs, rank per query. cos rounded to "
+        "6dp (both engines) so accumulation order can't flip the hash."
+    ),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+
+
+def _plane(i: int) -> Column:
+    """Deterministic hyperplane i: component j = hash-derived value in [-1, 1)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (F.pmod(F.xxhash64(F.lit(i) * 1000 + j), F.lit(2_000_001)) / 1_000_000.0) - 1.0,
+    )
+
+
+def rp_signature(vec: Column) -> Column:
+    """Signed random-projection bit signature (int key, N_PLANES bits)."""
+    sig = F.lit(0)
+    for i in range(N_PLANES):
+        sig = sig + F.when(dot(vec, _plane(i)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # bucketing is hash-specific → rows-only check; recall vs cosine_topk is asserted in tests.
+    doc=(
+        "ANN via signed-random-projection LSH: corpus bucketed by "
+        f"{N_PLANES}-bit signature; each query scores only its bucket, then "
+        "top-k. The pruned-scan scale path for similarity search."
+    ),
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding", rp_signature(F.col("embedding")).alias("sig"))
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"), F.col("sig").alias("qsig")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), (F.col("sig") == F.col("qsig")) & (F.col("vec_id") != F.col("qid")))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+
+
+@register(
+    "embed_norm_stats",
+    """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(MIN(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))), 6) AS min_norm,
+           ROUND(MAX(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))), 6) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="Vector-column hygiene stats: L2 norm range per label (HOF expressions over array<float>).",
+)
+def q_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.min(nrm), 6).alias("min_norm"),
+        F.round(F.max(nrm), 6).alias("max_norm"),
+    )

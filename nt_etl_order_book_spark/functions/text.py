@@ -1,0 +1,239 @@
+"""Text analysis — SURVEY §2.10 [X] extension ops (LLM-data-pipeline).
+
+Everything here is built-in-expression only (whole-stage codegen, no
+Python UDFs): at 100 TB the text path must stay JVM-side. The one
+deliberately regex-light design: token counts via split, language ID
+via marker-word occurrence counting (portable to the DuckDB oracle via
+length/replace arithmetic), fingerprints via sha2/md5 built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.operators.aggregates import davg, sql_davg
+from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.tables import load_table
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of `needle` via length arithmetic.
+
+    (length(s) - length(replace(s, needle, ''))) / length(needle) — exact
+    integer math, identical in any engine; cheaper than regex at scale.
+    """
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def sql_occurrences(expr: str, needle: str) -> str:
+    escaped = needle.replace("'", "''")
+    return (
+        f"CAST((LENGTH({expr}) - LENGTH(REPLACE({expr}, '{escaped}', ''))) / {len(needle)} AS BIGINT)"
+    )
+
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic
+# language ID. Deterministic and SQL-portable; a real deployment would
+# swap in fastText etc. behind the same column contract.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " que "],
+    "fr": [" le ", " la ", " et "],
+    "de": [" der ", " die ", " und "],
+    "zh": [" de ", " shi ", " le "],
+}
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH pertext AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           SUM(n_words) AS total_words,
+           {sql_davg('n_chars')} AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM pertext
+    GROUP BY lang
+    """,
+    doc="Per-language corpus statistics: doc/char/word counts (char-level profile of the documents table).",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pertext = docs.select(
+        "doc_id", "lang", "n_chars", F.size(F.split("text", " ")).alias("n_words")
+    )
+    return pertext.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_words").alias("total_words"),
+        davg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "tokenize_tf",
+    """
+    WITH toks AS (
+      SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY token
+    )
+    SELECT token, tf FROM tf
+    ORDER BY tf DESC, token ASC
+    LIMIT 100
+    """,
+    doc="Tokenize + global term frequencies, top-100 (explode → hash agg → TakeOrdered; partial agg keeps the shuffle to distinct terms).",
+)
+def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(100)
+    )
+
+
+def _lang_scores(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            c = occurrences(padded, m)
+            score = c if score is None else (score + c)
+        out[lang] = score
+    return out
+
+
+def _sql_lang_scores(expr: str) -> dict[str, str]:
+    padded = f"(' ' || {expr} || ' ')"
+    return {
+        lang: " + ".join(sql_occurrences(padded, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS true_lang,
+             GREATEST({', '.join('(' + s + ')' for s in _sql_lang_scores('text').values())}) AS _best,
+             {', '.join(f'({s}) AS score_{lang}' for lang, s in _sql_lang_scores('text').items())}
+      FROM documents
+    )
+    SELECT doc_id, true_lang,
+           CASE WHEN _best = 0 THEN 'unknown'
+                {' '.join(f"WHEN score_{lang} = _best THEN '{lang}'" for lang in LANG_MARKERS)}
+           END AS pred_lang
+    FROM scored
+    """,
+    doc="Heuristic language ID: marker-word occurrence scoring with first-match argmax (stopword n-gram heuristic).",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = _lang_scores(F.col("text"))
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, "unknown")
+    for lang in LANG_MARKERS:  # insertion order = tie-break priority, mirrors CASE order
+        pred = pred.when(scores[lang] == best, lang)
+    return docs.select("doc_id", F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             LENGTH(text) AS n_chars_m,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_words,
+             {sql_occurrences("(' ' || text || ' ')", ' the ')}
+               + {sql_occurrences("(' ' || text || ' ')", ' a ')} AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_words,
+           CAST(n_chars_m AS DOUBLE) / n_words AS avg_word_len,
+           CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+           CASE WHEN n_words BETWEEN 5 AND 100000
+                 AND CAST(n_chars_m AS DOUBLE) / n_words BETWEEN 2 AND 12
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM feats
+    """,
+    doc="Document quality scoring: length / avg-word-length / stopword-ratio gates (C4-style heuristics, pure expressions).",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_m"),
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n_words"),
+        (occurrences(padded, " the ") + occurrences(padded, " a ")).alias("n_stop"),
+    )
+    awl = F.col("n_chars_m").cast("double") / F.col("n_words")
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        awl.alias("avg_word_len"),
+        (F.col("n_stop").cast("double") / F.col("n_words")).alias("stopword_ratio"),
+        F.when(F.col("n_words").between(5, 100000) & awl.between(2, 12), 1)
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+@register(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + chars/4 BPE-budget approximation (the standard LLM budgeting heuristic).",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("ws_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           sha256(text) AS sha_fp,
+           md5(LOWER(REPLACE(text, ' ', ''))) AS normalized_fp
+    FROM documents
+    """,
+    doc="Document fingerprinting: content hash + whitespace/case-normalized hash (exact-dedup keys).",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha_fp"),
+        F.md5(F.lower(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias("normalized_fp"),
+    )

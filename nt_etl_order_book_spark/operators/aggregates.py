@@ -1,0 +1,236 @@
+"""Aggregations — SURVEY §2.5, plus the flagship `book_reconstruct`.
+
+Spark's hash aggregate already does partial (map-side) + final
+aggregation, so a groupBy here is one shuffle of partial states, not
+rows — the right plan at 100 TB. Nothing to hand-schedule.
+
+Determinism: every SUM/AVG over a double column accumulates in exact
+DECIMAL and converts to double at the end, so the result is identical
+under any partitioning (and identical to the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.tables import load_table
+
+# Exact accumulator for doubles: wide enough that sf-scale sums never
+# overflow (38-6 = 32 integer digits), fine enough that the decimal
+# quantization error is far below double ULP at these magnitudes.
+DEC = "decimal(30,6)"
+
+
+def dsum(col: str | Column) -> Column:
+    """Order-independent sum of a double column (exact decimal accumulate)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(col: str | Column) -> Column:
+    """Order-independent mean of a double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).cast("double")
+
+
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) / COUNT({expr}) AS DOUBLE)"
+
+
+@register(
+    "agg_groupby_sum",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Hash aggregate with partial+final combine: total contracts per (ticker, side) analog.",
+)
+def q_agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "agg_multi",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_davg('l_quantity')} AS avg_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style multi-aggregate in one pass (ladder stats per market analog).",
+)
+def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="COUNT(DISTINCT) — expand+two-phase agg under the hood.",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("distinct_parts"))
+
+
+@register(
+    "agg_approx_distinct",
+    None,  # approximate → no value-level oracle; driver records rows-only.
+    doc="HLL++ cardinality sketch (approx_count_distinct, rsd=0.01). Exact twin is agg_distinct.",
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP subtotals by (flag, status), (flag), and grand total.",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_having",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    """,
+    doc="Post-aggregation filter (HAVING).",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@register(
+    "book_reconstruct",
+    f"""
+    WITH snaps AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'signup'
+    ),
+    latest AS (
+      SELECT user_id, ts AS snap_ts, value AS base FROM snaps WHERE rn = 1
+    ),
+    deltas AS (
+      SELECT e.user_id, {sql_dsum('e.value')} AS delta_sum, COUNT(*) AS n_deltas
+      FROM events e LEFT JOIN latest l ON e.user_id = l.user_id
+      WHERE e.event_type = 'click' AND (l.snap_ts IS NULL OR e.ts > l.snap_ts)
+      GROUP BY e.user_id
+    )
+    SELECT
+      COALESCE(l.user_id, d.user_id) AS user_id,
+      CAST(COALESCE(l.base, 0) + COALESCE(d.delta_sum, 0) AS DOUBLE) AS book_value,
+      COALESCE(d.n_deltas, 0) AS n_deltas
+    FROM latest l FULL OUTER JOIN deltas d ON l.user_id = d.user_id
+    """,
+    doc=(
+        "FLAGSHIP: order-book reconstruction — book(T) = latest snapshot ≤ T + "
+        "sum of deltas after it, per key (the reason the reference's two output "
+        "tables exist, postgres_client.py:27-50). signup≈snapshot, click≈delta."
+    ),
+)
+def q_book_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return book_reconstruct(
+        snapshots=events.filter(F.col("event_type") == "signup").select("user_id", "ts", "event_id", "value"),
+        deltas=events.filter(F.col("event_type") == "click").select("user_id", "ts", "value"),
+        key="user_id",
+    )
+
+
+def book_reconstruct(snapshots: DataFrame, deltas: DataFrame, key: str) -> DataFrame:
+    """Library form of the flagship reconstruction.
+
+    snapshots: (key, ts, event_id, value) — absolute levels;
+    deltas:    (key, ts, value)           — increments.
+    Returns (key, book_value, n_deltas): latest snapshot value plus the
+    sum of strictly-later deltas; keys with no snapshot start at 0.
+
+    Plan shape: one window shuffle on `key` for latest-snapshot, one
+    hash-agg shuffle on `key` for the delta sum, then a key-equi join of
+    two already-aggregated (small) sides — AQE will broadcast the
+    smaller. No row-level join of the raw tables.
+    """
+    w = Window.partitionBy(key).orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        snapshots.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key, F.col("ts").alias("snap_ts"), F.col("value").alias("base"))
+    )
+    d = (
+        deltas.join(latest.select(key, "snap_ts"), on=key, how="left")
+        .filter(F.col("snap_ts").isNull() | (F.col("ts") > F.col("snap_ts")))
+        .groupBy(key)
+        .agg(dsum("value").alias("delta_sum"), F.count(F.lit(1)).alias("n_deltas"))
+    )
+    return (
+        latest.join(d, on=key, how="full")
+        .select(
+            key,
+            (F.coalesce(F.col("base"), F.lit(0.0)) + F.coalesce(F.col("delta_sum"), F.lit(0.0)))
+            .cast("double")
+            .alias("book_value"),
+            F.coalesce(F.col("n_deltas"), F.lit(0)).alias("n_deltas"),
+        )
+    )

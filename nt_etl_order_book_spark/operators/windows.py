@@ -1,0 +1,185 @@
+"""Window functions — SURVEY §2.6.
+
+Depth-of-book ranking, lag/lead change detection, cumulative depth,
+moving averages, latest-snapshot-per-key, and best-bid/ask — the
+analytics the reference's output tables exist to answer.
+
+Every window ordering carries a unique tiebreak (event_id / linenumber)
+so results are total-ordered and replay-stable. Running sums over
+doubles are deterministic once the order is total (sequential frame
+evaluation), but framed AVGs still accumulate in DECIMAL for exactness.
+
+Scale: each query is exactly one shuffle (the window partitionBy); no
+query here materializes a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.operators.aggregates import DEC
+from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.tables import load_table
+
+
+@register(
+    "win_rank_topk_depth",
+    """
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber ASC) AS rn,
+             RANK()       OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber ASC) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber ASC) AS drnk
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_quantity, rn, rnk, drnk
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="Top-k price levels per (ticker, side): depth-of-book ranking.",
+)
+def q_win_rank_topk_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_quantity"), F.asc("l_linenumber"))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_lag_lead",
+    """
+    SELECT user_id, event_id, ts, value,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+    doc="Price change vs previous observation (lag/lead over the time-ordered key window).",
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "win_running_sum",
+    """
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events
+    """,
+    doc="Cumulative depth: running sum over the full history per key.",
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    """
+    SELECT user_id, event_id, ts,
+           CAST(
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w
+           AS DOUBLE) AS moving_avg5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Moving average over the last 5 observations per key (frame-spec window).",
+)
+def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count("value").over(w))
+        .cast("double")
+        .alias("moving_avg5"),
+    )
+
+
+@register(
+    "win_first_last",
+    """
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, value AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Latest observation per key (latest snapshot per ticker analog).",
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("ts").alias("last_ts"), F.col("value").alias("last_value"))
+    )
+
+
+@register(
+    "best_bid_ask",
+    """
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click' THEN value END) AS best_bid,
+           MIN(CASE WHEN event_type = 'view'  THEN value END) AS best_ask,
+           MIN(CASE WHEN event_type = 'view'  THEN value END)
+             - MAX(CASE WHEN event_type = 'click' THEN value END) AS spread
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY user_id
+    """,
+    doc=(
+        "Best bid/ask + spread per market: conditional MAX/MIN over sides "
+        "(bid = highest yes with contracts>0 in the order-book domain)."
+    ),
+)
+def q_best_bid_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bid = F.max(F.when(F.col("event_type") == "click", F.col("value")))
+    ask = F.min(F.when(F.col("event_type") == "view", F.col("value")))
+    return (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(
+            bid.alias("best_bid"),
+            ask.alias("best_ask"),
+            (ask - bid).alias("spread"),
+        )
+    )

@@ -1,0 +1,115 @@
+"""Per-operator unit tests on tiny in-memory frames — SURVEY §5.2 edge
+semantics: empty ladder sides, negative deltas, duplicate
+redis_stream_id replays, seq gaps, decimal boundaries, as-of ties.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+from pyspark.sql import Row
+
+from nt_etl_order_book_spark.operators.aggregates import book_reconstruct, dsum
+from nt_etl_order_book_spark.operators.joins import asof_join
+from nt_etl_order_book_spark.operators.setops import dedup_keep_first
+from nt_etl_order_book_spark.operators.transforms import (
+    cast_to,
+    explode_pairs,
+    route_by_type,
+    unpivot_sides,
+)
+
+
+def test_explode_ladder_with_empty_side(spark):
+    df = spark.createDataFrame(
+        [
+            ("M1", [[0.45, 100.0], [0.46, 50.0]]),
+            ("M2", []),  # empty ladder side is legal (redis_client .get default)
+        ],
+        schema="ticker string, yes_dollars array<array<double>>",
+    )
+    out = explode_pairs(df, "yes_dollars", keep=["ticker"]).collect()
+    assert [(r.ticker, r.price_dollars, r.contracts) for r in out] == [
+        ("M1", 0.45, 100.0),
+        ("M1", 0.46, 50.0),
+    ]
+
+
+def test_unpivot_sides_emits_literal_side(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0)], "id int, yes double, no double")
+    out = unpivot_sides(df, keep=["id"], side_cols={"yes": "yes", "no": "no"}).collect()
+    assert {(r.side, r.ladder) for r in out} == {("yes", 10.0), ("no", 20.0)}
+
+
+def test_cast_to_decimal_boundaries(spark):
+    df = spark.createDataFrame([("0.0001",), ("0.9999",)], "p string")
+    out = cast_to(df, {"p": "decimal(5,4)"}).collect()
+    assert [r.p for r in out] == [Decimal("0.0001"), Decimal("0.9999")]
+
+
+def test_route_by_type(spark):
+    df = spark.createDataFrame(
+        [("orderbook_snapshot", 1), ("orderbook_delta", 2), ("other", 3)], "type string, v int"
+    )
+    assert route_by_type(df, "type", "orderbook_delta").collect()[0].v == 2
+
+
+def test_dedup_keep_first_is_deterministic_on_replay(spark):
+    # Same redis_stream_id appearing twice (at-least-once replay):
+    # survivor must be the earliest by (ts, payload) regardless of input order.
+    rows = [("1-1", 5, "b"), ("1-1", 5, "a"), ("1-1", 3, "z"), ("2-1", 9, "q")]
+    df = spark.createDataFrame(rows, "redis_stream_id string, ts int, payload string")
+    out = dedup_keep_first(df, ["redis_stream_id"], [F.asc("ts"), F.asc("payload")]).collect()
+    got = {(r.redis_stream_id, r.ts, r.payload) for r in out}
+    assert got == {("1-1", 3, "z"), ("2-1", 9, "q")}
+
+
+def test_asof_join_tie_and_no_match(spark):
+    left = spark.createDataFrame(
+        [("A", 10, "l1"), ("A", 5, "l2"), ("B", 1, "l3")], "k string, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [("A", 5, 50.0), ("A", 8, 80.0)], "k string, ts int, snap double"
+    )
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="ts", value_cols=["snap"])
+    got = {(r.k, r.ts, r.asof_snap) for r in out.collect()}
+    # ts=10 → snapshot at 8; ts=5 → tie matches (<= semantics); B → no match.
+    assert got == {("A", 10, 80.0), ("A", 5, 50.0), ("B", 1, None)}
+
+
+def test_book_reconstruct_negative_deltas_to_zero(spark):
+    snaps = spark.createDataFrame(
+        [("M", 100, 1, 10.0), ("M", 50, 0, 99.0)], "k string, ts int, event_id int, value double"
+    )
+    deltas = spark.createDataFrame(
+        [("M", 150, -4.0), ("M", 160, -6.0), ("M", 90, 123.0),  # before latest snap: ignored
+         ("N", 10, 7.0)],  # no snapshot: base 0
+        "k string, ts int, value double",
+    )
+    out = {r.k: (r.book_value, r.n_deltas) for r in book_reconstruct(snaps, deltas, "k").collect()}
+    assert out["M"] == (0.0, 2)  # 10 - 4 - 6 → exactly zero (negative deltas legal)
+    assert out["N"] == (7.0, 1)
+
+
+def test_dsum_is_order_independent(spark):
+    vals = [(0.1,), (0.2,), (0.3,)] * 100
+    df = spark.createDataFrame(vals, "v double")
+    a = df.repartition(1).agg(dsum("v").alias("s")).collect()[0].s
+    b = df.repartition(13).agg(dsum("v").alias("s")).collect()[0].s
+    assert a == b == 60.0
+
+
+def test_seq_gap_detection(spark):
+    df = spark.createDataFrame(
+        [Row(user_id=1, event_id=i) for i in [1, 2, 3, 7, 8]]
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gaps = (
+        df.select("user_id", "event_id", F.lag("event_id").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("event_id") - F.col("prev") > 1))
+        .collect()
+    )
+    assert [(g.event_id, g.prev) for g in gaps] == [(7, 3)]
