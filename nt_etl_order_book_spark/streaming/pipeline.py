@@ -1,0 +1,159 @@
+"""Structured Streaming ingest — the reference's producer/consumer
+re-expressed as streaming queries (SURVEY §2.9, EP2/EP3).
+
+Reference → Spark mapping:
+- WS source + Redis buffer + poll loop (kalshi_ws_client.py:108-148,
+  redis_client.py, consumer.py:38-49)   → `readStream` + trigger;
+  in dev/tests a file source replays fixture JSON (availableNow drains
+  the backlog exactly like the reference's start-at-"-" cursor,
+  consumer.py:34,114).
+- cursor + ack-after-write bookkeeping (consumer.py:84,104-107)
+  → checkpointing; `dropDuplicatesWithinWatermark` on redis_stream_id
+  upgrades the reference's at-least-once to effectively-once.
+- two independent pipelines (consumer.py:24-27) → two streaming
+  queries sharing one session.
+- fire-and-forget writes with swallowed errors (producer.py:14-20) →
+  NOT replicated: sinks are synchronous per micro-batch by design.
+
+Scale: the ingest path is narrow-transform-only (no shuffle); windowed
+aggregates shuffle once on (window, ticker). Partition the buffer topic
+by market_ticker for parallel consumption.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from nt_etl_order_book_spark.sources.orderbook import (
+    flatten_deltas,
+    flatten_snapshots,
+    parse_messages,
+)
+
+
+def read_json_stream(spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source replay of the message stream (one JSON doc per line).
+
+    The count-bounded poll batching of consumer.py:9,42-49 maps to
+    maxFilesPerTrigger (Kafka: maxOffsetsPerTrigger).
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(path)
+    return parse_messages(raw, value_col="value")
+
+
+def snapshots_query(
+    msgs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Snapshot pipeline: route → explode/unpivot/cast → append parquet sink."""
+    flat = flatten_snapshots(msgs)
+    writer = (
+        flat.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def deltas_query(
+    msgs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+    dedup_within: str | None = "10 minutes",
+) -> StreamingQuery:
+    """Delta pipeline with replay dedup on redis_stream_id.
+
+    The reference is at-least-once (ack-after-write, consumer.py:104-107)
+    and carries redis_stream_id precisely so downstream can dedup
+    (consumer.py:145,161); dropDuplicatesWithinWatermark does that here.
+    """
+    flat = flatten_deltas(msgs)
+    if dedup_within and "redis_stream_id" in flat.columns:
+        flat = (
+            flat.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+            .withWatermark("event_time", dedup_within)
+            .dropDuplicatesWithinWatermark(["redis_stream_id"])
+            .drop("event_time")
+        )
+    writer = (
+        flat.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_book_stats(
+    deltas: DataFrame,
+    *,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling/sliding per-market stats over the delta stream.
+
+    Event-time = exchange ts (redis_client.py:83); late rows beyond the
+    watermark are dropped (the reference instead hard-fails on disorder,
+    kalshi_ws_client.py:141-144 — quarantine-by-watermark is the
+    cluster-safe version).
+    """
+    with_time = deltas.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+    win = (
+        F.window("event_time", window, slide) if slide else F.window("event_time", window)
+    )
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(win.alias("w"), F.col("ticker"))
+        .agg(
+            F.count(F.lit(1)).alias("n_deltas"),
+            F.sum("delta").alias("net_contracts"),
+            F.min("price_dollars").alias("min_price"),
+            F.max("price_dollars").alias("max_price"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "ticker",
+            "n_deltas",
+            "net_contracts",
+            "min_price",
+            "max_price",
+        )
+    )
+
+
+def session_bursts(
+    deltas: DataFrame,
+    *,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Trading-burst session windows per market (session_window + gap)."""
+    with_time = deltas.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("w"), F.col("ticker"))
+        .agg(F.count(F.lit(1)).alias("n_deltas"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "ticker",
+            "n_deltas",
+        )
+    )

@@ -1,0 +1,145 @@
+"""Streaming layer tests (SURVEY §5.2): fixture JSON replay through
+availableNow triggers, edge cases from FIXTURES.md §A6, and
+stream/batch parity on the same transforms.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.sources.orderbook import (
+    flatten_deltas,
+    flatten_snapshots,
+    parse_messages,
+)
+from nt_etl_order_book_spark.streaming.pipeline import (
+    deltas_query,
+    read_json_stream,
+    snapshots_query,
+    windowed_book_stats,
+)
+
+SNAP = {
+    "type": "orderbook_snapshot",
+    "sid": 1,
+    "seq": 1,
+    "market_ticker": "KXM-A",
+    "market_id": "m1",
+    "yes_dollars": [[0.45, 100], [0.46, 50]],
+    "no_dollars": [[0.54, 75]],
+    "ingestion_ts": 1_700_000_000_000,
+    "redis_stream_id": "1700000000000-0",
+}
+SNAP_EMPTY_SIDE = {
+    "type": "orderbook_snapshot",
+    "sid": 1,
+    "seq": 2,
+    "market_ticker": "KXM-B",
+    "market_id": "m2",
+    "yes_dollars": [[0.0001, 10], [0.9999, 5]],  # DECIMAL(5,4) boundaries
+    "no_dollars": [],  # empty ladder side is legal
+    "ingestion_ts": 1_700_000_001_000,
+    "redis_stream_id": "1700000001000-0",
+}
+DELTA = {
+    "type": "orderbook_delta",
+    "sid": 1,
+    "seq": 3,
+    "market_ticker": "KXM-A",
+    "market_id": "m1",
+    "price": 45,
+    "price_dollars": 0.45,
+    "delta": -25,  # negative deltas are legal
+    "side": "yes",
+    "ts": 1_700_000_002_000,
+    "ingestion_ts": 1_700_000_002_100,
+    "redis_stream_id": "1700000002000-0",
+}
+DELTA_REPLAY = dict(DELTA)  # duplicate redis_stream_id (at-least-once replay)
+
+
+@pytest.fixture()
+def msg_dir(tmp_path):
+    p = tmp_path / "msgs"
+    p.mkdir()
+    lines = [SNAP, SNAP_EMPTY_SIDE, DELTA, DELTA_REPLAY]
+    (p / "batch0.json").write_text("\n".join(json.dumps(m) for m in lines))
+    return str(p)
+
+
+def _read_batch(spark, msg_dir):
+    raw = spark.read.text(msg_dir)
+    return parse_messages(raw, value_col="value")
+
+
+def test_batch_flatten_snapshots_edge_cases(spark, msg_dir):
+    msgs = _read_batch(spark, msg_dir)
+    flat = flatten_snapshots(msgs)
+    rows = {(r.ticker, r.side, str(r.price_dollars), r.contracts) for r in flat.collect()}
+    assert ("KXM-A", "yes", "0.4500", 100) in rows
+    assert ("KXM-A", "no", "0.5400", 75) in rows
+    assert ("KXM-B", "yes", "0.0001", 10) in rows
+    assert ("KXM-B", "yes", "0.9999", 5) in rows
+    # empty no-side still yields a null-level row via explode_outer
+    assert any(t == "KXM-B" and s == "no" for t, s, _, _ in rows)
+
+
+def test_stream_batch_parity_and_checkpointed_sinks(spark, msg_dir, tmp_path):
+    msgs = read_json_stream(spark, msg_dir)
+    out_s, cp_s = str(tmp_path / "snaps"), str(tmp_path / "cp_s")
+    out_d, cp_d = str(tmp_path / "deltas"), str(tmp_path / "cp_d")
+    q1 = snapshots_query(msgs, out_s, cp_s)
+    q2 = deltas_query(msgs, out_d, cp_d, dedup_within="10 minutes")
+    q1.awaitTermination(60)
+    q2.awaitTermination(60)
+
+    stream_snaps = spark.read.parquet(out_s)
+    batch_snaps = flatten_snapshots(_read_batch(spark, msg_dir))
+    assert sorted(map(tuple, stream_snaps.collect())) == sorted(map(tuple, batch_snaps.collect()))
+
+    # replayed delta deduped by redis_stream_id on the stream path
+    stream_deltas = spark.read.parquet(out_d)
+    assert stream_deltas.count() == 1
+    r = stream_deltas.collect()[0]
+    assert (r.ticker, r.side, r.delta, str(r.price_dollars)) == ("KXM-A", "yes", -25, "0.4500")
+    assert r.redis_stream_id == "1700000002000-0"  # dedup key must survive the pipeline
+
+
+def test_windowed_book_stats_batch_semantics(spark, msg_dir):
+    # windowed agg is testable on the batch frame (same code path pre-sink)
+    deltas = flatten_deltas(_read_batch(spark, msg_dir))
+    stats = windowed_book_stats(deltas, window="1 minute").collect()
+    assert len(stats) == 1  # both delta rows share (window, ticker)
+    row = stats[0]
+    assert row.ticker == "KXM-A" and row.n_deltas == 2 and row.net_contracts == -50
+
+
+def test_stateful_seq_gap_stream(spark, tmp_path):
+    from nt_etl_order_book_spark.streaming.stateful import detect_seq_gaps
+
+    p = tmp_path / "seqmsgs"
+    p.mkdir()
+    msgs = []
+    for seq in [1, 2, 3, 7, 8]:  # gap 3→7
+        m = dict(DELTA)
+        m["seq"] = seq
+        m["redis_stream_id"] = f"17000-{seq}"
+        msgs.append(json.dumps(m))
+    (p / "b0.json").write_text("\n".join(msgs))
+
+    stream = read_json_stream(spark, str(p))
+    gaps = detect_seq_gaps(stream, key_col="market_ticker", seq_col="seq")
+    q = (
+        gaps.writeStream.format("memory")
+        .queryName("gaps_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("select * from gaps_tbl").collect()
+    assert [(g.key, g.seq, g.prev_seq, g.gap) for g in got] == [("KXM-A", 7, 3, 4)]
