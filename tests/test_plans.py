@@ -1,0 +1,62 @@
+"""Physical-plan regression gates: the scale claims, asserted.
+
+These run against sf0.001 (plan shape is scale-independent) and fail if
+a change silently de-optimizes a plan: a filter stops reaching the
+scan, a dim join stops broadcasting, an aggregate loses its map-side
+combine, or a metadata query starts reading payload columns.
+"""
+
+from __future__ import annotations
+
+from nt_etl_order_book_spark import registry
+from nt_etl_order_book_spark.plans.explain import (
+    count_shuffles,
+    plan_has_partial_aggregate,
+    plan_has_pushed_filter,
+    plan_uses_broadcast_join,
+    scan_read_schema,
+)
+
+
+def test_filter_pushes_to_parquet_scan(spark, sf_dir):
+    df = registry.queries()["filter_msg_type"](spark, sf_dir)
+    assert plan_has_pushed_filter(df, "event_type")
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    df = registry.queries()["filter_msg_type"](spark, sf_dir)
+    cols = scan_read_schema(df)
+    assert "props" not in cols and "ts" not in cols  # unused columns never read
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    df = registry.queries()["join_broadcast"](spark, sf_dir)
+    assert plan_uses_broadcast_join(df)
+    # the fact side must not shuffle for a broadcast star join
+    assert count_shuffles(df) == 0
+
+
+def test_aggregate_has_map_side_combine(spark, sf_dir):
+    df = registry.queries()["agg_groupby_sum"](spark, sf_dir)
+    assert plan_has_partial_aggregate(df)
+    assert count_shuffles(df) == 1  # partial states shuffle once
+
+
+def test_multimodal_meta_never_reads_payload(spark, sf_dir):
+    # payload bytes dominate storage at 100 TB; metadata queries must
+    # prune them at the scan. `text` is the payload stand-in here and IS
+    # needed (hash is computed from it), but unrelated columns are not.
+    df = registry.queries()["multimodal_meta"](spark, sf_dir)
+    cols = scan_read_schema(df)
+    assert "lang" not in cols and "source" not in cols
+
+
+def test_asof_join_is_single_key_shuffle_per_input(spark, sf_dir):
+    # union + window implementation: one agg shuffle for the snapshot
+    # dedup + one window shuffle — NOT a quadratic range join.
+    df = registry.queries()["join_asof"](spark, sf_dir)
+    plan = count_shuffles(df)
+    assert plan <= 3
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    assert "NestedLoop" not in formatted_plan(df)
