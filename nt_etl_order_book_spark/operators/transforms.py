@@ -74,6 +74,19 @@ def add_ingest_ts(df: DataFrame, col: str = "ingestion_ts") -> DataFrame:
 # --- oracle-checked queries on the driver testdata ---
 
 @register(
+    "scan_parquet",
+    """
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem
+    """,
+    doc="Typed table scan (SURVEY §2.1): parquet is self-describing, no inferSchema; columnar batched read.",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem")
+
+
+@register(
     "filter_msg_type",
     """
     SELECT event_id, user_id, value

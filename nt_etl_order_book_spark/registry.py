@@ -68,6 +68,7 @@ def all_specs() -> dict[str, QuerySpec]:
         scalar,
         similarity,
         text,
+        udfs,
     )
 
     return dict(_REGISTRY)

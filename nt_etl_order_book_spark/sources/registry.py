@@ -1,0 +1,69 @@
+"""Sources & sinks — SURVEY §2.1.
+
+Reference → Spark:
+- Postgres ADBC bulk append (postgres_client.py:53-67) →
+  `write_table_append` (parquet/Delta-style path append; JDBC variant
+  gated on driver availability — no database in this container).
+- golden-CSV append with header-on-create (kalshi_ws_client.py:32-75) →
+  `write_csv_append`.
+- CREATE TABLE IF NOT EXISTS DDL (postgres_client.py:24-51) →
+  `init_schema` managed tables.
+- REST market-discovery dimension (kalshi_rest_client.py:60-74) →
+  `market_dim` small DataFrame, meant to be broadcast into joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nt_etl_order_book_spark.schemas import DELTAS_TABLE, SNAPSHOTS_TABLE
+
+
+def write_table_append(df: DataFrame, path: str) -> None:
+    """Relational append sink: columnar, atomic per job (the Arrow bulk
+    insert analog). Append mode == the reference's if_table_exists='append'."""
+    df.write.mode("append").parquet(path)
+
+
+def write_jdbc_append(df: DataFrame, url: str, table: str, **options: str) -> None:
+    """JDBC append (the literal Postgres sink). Gated: no JDBC driver or
+    database exists in this container, so this raises with a clear
+    message rather than failing obscurely mid-job."""
+    try:
+        (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .options(**options)
+            .mode("append")
+            .save()
+        )
+    except Exception as exc:  # pragma: no cover - no JDBC driver in container
+        raise RuntimeError(
+            "JDBC sink requires a database + driver jar on the classpath "
+            "(none in this environment); use write_table_append for files"
+        ) from exc
+
+
+def write_csv_append(df: DataFrame, path: str, *, header: bool = True) -> None:
+    """CSV append with header (golden-file helper analog,
+    kalshi_ws_client.py:32-56)."""
+    df.write.mode("append").option("header", str(header).lower()).csv(path)
+
+
+def init_schema(spark: SparkSession, *, location: str | None = None) -> None:
+    """CREATE TABLE IF NOT EXISTS for the two sink tables — idempotent,
+    exactly like postgres_client.initialize_schema (postgres_client.py:24-51)."""
+    for name, schema in (("orderbook_snapshots", SNAPSHOTS_TABLE), ("orderbook_deltas", DELTAS_TABLE)):
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        loc = f" LOCATION '{location}/{name}'" if location else ""
+        spark.sql(f"CREATE TABLE IF NOT EXISTS {name} ({ddl}) USING parquet{loc}")
+
+
+def market_dim(spark: SparkSession, tickers: list[str], series_ticker: str) -> DataFrame:
+    """Market-discovery dimension (REST get_tickers analog): a small
+    DataFrame of open markets, sized to broadcast (limit=1000/page in the
+    reference, kalshi_rest_client.py:62)."""
+    return spark.createDataFrame(
+        [(t, series_ticker) for t in tickers], schema="ticker string, series_ticker string"
+    )

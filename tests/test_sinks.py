@@ -1,0 +1,47 @@
+"""Sink/DDL tests — SURVEY §2.1 surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.sources.registry import (
+    init_schema,
+    market_dim,
+    write_csv_append,
+    write_table_append,
+)
+
+
+def test_parquet_append_accumulates(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(5).select(F.col("id"))
+    write_table_append(df, path)
+    write_table_append(df, path)  # append, not overwrite
+    assert spark.read.parquet(path).count() == 10
+
+
+def test_csv_append_with_header(spark, tmp_path):
+    path = str(tmp_path / "c")
+    df = spark.createDataFrame([(1700000000000, "KXM-A", "yes", 0.45, 100)],
+                               "timestamp long, ticker string, side string, dollar double, contracts int")
+    write_csv_append(df, path)
+    back = spark.read.option("header", True).csv(path)
+    assert back.columns == ["timestamp", "ticker", "side", "dollar", "contracts"]
+    assert back.count() == 1
+
+
+def test_init_schema_idempotent(spark):
+    init_schema(spark)
+    init_schema(spark)  # CREATE TABLE IF NOT EXISTS: second call is a no-op
+    cols = [f.name for f in spark.table("orderbook_snapshots").schema.fields]
+    assert cols == ["timestamp", "ticker", "side", "price_dollars", "contracts", "redis_stream_id"]
+    dcols = [f.name for f in spark.table("orderbook_deltas").schema.fields]
+    assert "delta" in dcols
+    spark.sql("DROP TABLE IF EXISTS orderbook_snapshots")
+    spark.sql("DROP TABLE IF EXISTS orderbook_deltas")
+
+
+def test_market_dim_broadcastable(spark):
+    dim = market_dim(spark, ["KXM-A", "KXM-B"], "KXNCAAFGAME")
+    rows = {(r.ticker, r.series_ticker) for r in dim.collect()}
+    assert rows == {("KXM-A", "KXNCAAFGAME"), ("KXM-B", "KXNCAAFGAME")}
