@@ -43,8 +43,64 @@ HEADLINE = [
 ]
 
 
+def stream_throughput(spark, n_msgs: int = 20000) -> float:
+    """Replay n_msgs delta messages through the streaming flatten+sink
+    pipeline (availableNow) and return messages/second — the BASELINE.md
+    streaming parity metric (reference ceiling ≈1,000 msg/s)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from nt_etl_order_book_spark.streaming.pipeline import deltas_query, read_json_stream
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    msg_dir = os.path.join(root, "msgs")
+    os.makedirs(msg_dir)
+    per_file = n_msgs // 4
+    for f in range(4):
+        lines = []
+        for i in range(f * per_file, (f + 1) * per_file):
+            lines.append(
+                _json.dumps(
+                    {
+                        "type": "orderbook_delta",
+                        "sid": 1,
+                        "seq": i,
+                        "market_ticker": f"KXB-{i % 50}",
+                        "market_id": f"m{i % 50}",
+                        "price": 40 + i % 20,
+                        "price_dollars": (40 + i % 20) / 100.0,
+                        "delta": (i % 41) - 20,
+                        "side": "yes" if i % 2 else "no",
+                        "ts": 1_700_000_000_000 + i,
+                        "ingestion_ts": 1_700_000_000_000 + i,
+                        "redis_stream_id": f"170-{i}",
+                    }
+                )
+            )
+        with open(os.path.join(msg_dir, f"part{f}.json"), "w") as fh:
+            fh.write("\n".join(lines))
+    t0 = time.time()
+    msgs = read_json_stream(spark, msg_dir)
+    q = deltas_query(msgs, os.path.join(root, "out"), os.path.join(root, "cp"), dedup_within=None)
+    q.awaitTermination(300)
+    wrote = spark.read.parquet(os.path.join(root, "out")).count()
+    elapsed = time.time() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    assert wrote == 4 * per_file, f"stream sink wrote {wrote}, expected {4 * per_file}"
+    return round(wrote / elapsed, 1)
+
+
 def main() -> None:
     spark = get_spark("bench")
+    # Warm the JVM/codegen paths and parquet footers so the first headline
+    # query isn't charged for session startup or first-touch file metadata.
+    from nt_etl_order_book_spark.tables import TABLES, load_table
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
+
     qs = registry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -54,6 +110,7 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    msgs_per_sec = stream_throughput(spark)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_wall",
@@ -61,6 +118,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        "stream_msgs_per_sec": msgs_per_sec,
     }
     print(json.dumps(out))
 

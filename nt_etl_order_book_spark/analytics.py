@@ -1,0 +1,95 @@
+"""Order-book analytics over the flattened sink tables — the queries the
+reference's output tables exist to answer (SURVEY §0: "its output tables
+exist to be queried").
+
+Operates on the A3/A4 shapes (schemas.py): `snapshots(timestamp, ticker,
+side, price_dollars, contracts, redis_stream_id)` and `deltas(...,
+delta, ...)`.
+
+Reconstruction invariant (SURVEY §1.4): book state at time T =
+last snapshot ≤ T, plus the sum of deltas in (snapshot_ts, T], per
+(ticker, side, price). Levels at or below zero contracts are gone.
+
+Scale: every step is a keyed shuffle on `ticker` (or a prefix of it) —
+co-partitioned, linear, no range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def current_book(snapshots: DataFrame, deltas: DataFrame, *, as_of_ms: int | None = None) -> DataFrame:
+    """Reconstruct the live book per (ticker, side, price_dollars).
+
+    One row per surviving level with its contract count. Deltas may
+    create levels the snapshot never had; negative deltas may kill
+    levels (contracts ≤ 0 are dropped, matching an order book's
+    semantics of an empty level).
+    """
+    if as_of_ms is not None:
+        snapshots = snapshots.filter(F.col("timestamp") <= as_of_ms)
+        deltas = deltas.filter(F.col("timestamp") <= as_of_ms)
+
+    # Latest snapshot time per ticker (a snapshot message is atomic: all
+    # its levels share one timestamp — consumer.py:58-81 carries msg ts).
+    w = Window.partitionBy("ticker")
+    snap_latest = (
+        snapshots.withColumn("_max_ts", F.max("timestamp").over(w))
+        .filter(F.col("timestamp") == F.col("_max_ts"))
+        .select("ticker", "side", "price_dollars", "contracts", F.col("timestamp").alias("snap_ts"))
+    )
+    snap_ts_per_ticker = snap_latest.groupBy("ticker").agg(F.max("snap_ts").alias("snap_ts"))
+
+    # Deltas strictly after the ticker's snapshot (tickers with no
+    # snapshot start from an empty book: left join keeps their deltas).
+    d = (
+        deltas.join(snap_ts_per_ticker, on="ticker", how="left")
+        .filter(F.col("snap_ts").isNull() | (F.col("timestamp") > F.col("snap_ts")))
+        .groupBy("ticker", "side", "price_dollars")
+        .agg(F.sum("delta").alias("net_delta"))
+    )
+
+    base = snap_latest.select("ticker", "side", "price_dollars", "contracts")
+    merged = (
+        base.join(d, on=["ticker", "side", "price_dollars"], how="full")
+        .select(
+            "ticker",
+            "side",
+            "price_dollars",
+            (F.coalesce(F.col("contracts"), F.lit(0)) + F.coalesce(F.col("net_delta"), F.lit(0)))
+            .cast("int")
+            .alias("contracts"),
+        )
+        .filter(F.col("contracts") > 0)
+    )
+    return merged
+
+
+def book_top(book: DataFrame, k: int = 5) -> DataFrame:
+    """Depth-of-book: top-k levels per (ticker, side) by price desc."""
+    w = Window.partitionBy("ticker", "side").orderBy(F.desc("price_dollars"))
+    return (
+        book.withColumn("depth_rank", F.row_number().over(w))
+        .filter(F.col("depth_rank") <= k)
+    )
+
+
+def quotes(book: DataFrame) -> DataFrame:
+    """Best bid/ask + spread + mid per ticker, prediction-market style.
+
+    In a binary market the two ladders are bids on each side: buying YES
+    at p is selling NO at 1-p, so best_bid = max yes price with
+    contracts > 0 and best_ask = 1 - max no price. All arithmetic stays
+    DECIMAL (the reference's DECIMAL(5,4) discipline,
+    postgres_client.py:33).
+    """
+    best_yes = F.max(F.when(F.col("side") == "yes", F.col("price_dollars")))
+    best_no = F.max(F.when(F.col("side") == "no", F.col("price_dollars")))
+    return book.groupBy("ticker").agg(
+        best_yes.alias("best_bid"),
+        (F.lit(1) - best_no).cast("decimal(6,4)").alias("best_ask"),
+        ((F.lit(1) - best_no) - best_yes).cast("decimal(6,4)").alias("spread"),
+        (((F.lit(1) - best_no) + best_yes) / 2).cast("decimal(7,5)").alias("mid"),
+    )

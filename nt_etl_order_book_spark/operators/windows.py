@@ -131,6 +131,33 @@ def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_range_frame",
+    """
+    SELECT user_id, event_id, ts,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_ms(ts)
+      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="RANGE frame on event-time seconds: all observations within the trailing hour per key (time-range window, not row-count).",
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    with_ms = events.withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+    w = Window.partitionBy("user_id").orderBy("ts_ms").rangeBetween(-3_600_000, 0)
+    return with_ms.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_last_hour"),
+    )
+
+
+@register(
     "win_first_last",
     """
     WITH ranked AS (
