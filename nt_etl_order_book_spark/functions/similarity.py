@@ -23,8 +23,12 @@ TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 play the role of query vectors
 
 # Fixed pseudo-random hyperplanes for the LSH variant: element j of
-# plane i is a deterministic hash-derived value in [-1, 1).
-N_PLANES = 8
+# plane (t, i) is a deterministic hash-derived value in [-1, 1).
+# Multiple small tables instead of one selective one: two similar
+# vectors need to agree on all N_PLANES signs in ANY of the N_TABLES
+# tables, which is what gives LSH its recall.
+N_PLANES = 5
+N_TABLES = 8  # 8 tables × 32 buckets: ~0.6 recall@5 on the fixture corpus
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -95,47 +99,121 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
 
 
-def _plane(i: int) -> Column:
-    """Deterministic hyperplane i: component j = hash-derived value in [-1, 1)."""
+def _plane(table: int, i: int) -> Column:
+    """Deterministic hyperplane (table, i): component j derived from a hash, in [-1, 1)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(63)),
-        lambda j: (F.pmod(F.xxhash64(F.lit(i) * 1000 + j), F.lit(2_000_001)) / 1_000_000.0) - 1.0,
+        lambda j: (
+            F.pmod(F.xxhash64(F.lit(table) * 1_000_000 + F.lit(i) * 1000 + j), F.lit(2_000_001))
+            / 1_000_000.0
+        )
+        - 1.0,
     )
 
 
-def rp_signature(vec: Column) -> Column:
-    """Signed random-projection bit signature (int key, N_PLANES bits)."""
-    sig = F.lit(0)
-    for i in range(N_PLANES):
-        sig = sig + F.when(dot(vec, _plane(i)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return sig
+def rp_signatures(vec: Column) -> Column:
+    """Array of N_TABLES signed-projection signatures (N_PLANES bits each)."""
+    sigs = []
+    for t in range(N_TABLES):
+        sig = F.lit(0)
+        for i in range(N_PLANES):
+            sig = sig + F.when(dot(vec, _plane(t, i)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sigs.append(sig)
+    return F.array(*sigs)
 
 
 @register(
     "ann_lsh_topk",
     None,  # bucketing is hash-specific → rows-only check; recall vs cosine_topk is asserted in tests.
     doc=(
-        "ANN via signed-random-projection LSH: corpus bucketed by "
-        f"{N_PLANES}-bit signature; each query scores only its bucket, then "
-        "top-k. The pruned-scan scale path for similarity search."
+        "ANN via signed-random-projection LSH: corpus bucketed in "
+        f"{N_TABLES} hash tables of {N_PLANES}-bit signatures; candidates = "
+        "union of per-table bucket matches, then exact rescoring + top-k. "
+        "The pruned-scan scale path for similarity search."
     ),
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding", rp_signature(F.col("embedding")).alias("sig"))
-    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"), F.col("sig").alias("qsig")
+    corpus = emb.select("vec_id", "embedding", rp_signatures(F.col("embedding")).alias("sigs"))
+    banded = corpus.select(
+        "vec_id", "embedding", F.posexplode("sigs").alias("table", "sig")
     )
-    scored = (
-        corpus.join(F.broadcast(q), (F.col("sig") == F.col("qsig")) & (F.col("vec_id") != F.col("qid")))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+    q = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("table").alias("qtable"),
+        F.col("sig").alias("qsig"),
+    )
+    cands = (
+        banded.join(
+            F.broadcast(q),
+            (F.col("table") == F.col("qtable"))
+            & (F.col("sig") == F.col("qsig"))
+            & (F.col("vec_id") != F.col("qid")),
         )
+        .select("qid", "qvec", "vec_id", "embedding")
+        .dropDuplicates(["qid", "vec_id"])  # a pair can collide in several tables: score once
+    )
+    scored = cands.select(
+        "qid", "vec_id", F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+
+
+N_CELLS = 16  # IVF partitions (coarse quantizer size)
+N_PROBE = 2  # cells probed per query
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # centroid assignment is implementation-specific → rows-only.
+    doc=(
+        f"ANN via IVF (inverted file): corpus assigned to the nearest of "
+        f"{N_CELLS} coarse centroids; each query scores only its {N_PROBE} "
+        "nearest cells. The centroid table broadcasts; the corpus shuffles "
+        "once on cell id — at 100 TB you persist the corpus bucketed by "
+        "cell and probing prunes the scan to ~N_PROBE/N_CELLS of the data."
+    ),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Deterministic coarse centroids: the first N_CELLS vectors (a real
+    # deployment k-means these; the plan shape is identical).
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+        )
+    )
+    # Assign every corpus vector to its nearest centroid (1 broadcast join
+    # + window; no shuffle of the corpus until the final cell grouping).
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    assigned = (
+        emb.join(cents)
+        .select("vec_id", "embedding", "cell", cosine(F.col("embedding"), F.col("cvec")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    # Each query probes its N_PROBE nearest cells.
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("cell"))
+    probes = (
+        q.join(cents)
+        .select("qid", "qvec", "cell", cosine(F.col("qvec"), F.col("cvec")).alias("qsim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("qid", "qvec", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w_rank)).filter(F.col("rn") <= TOP_K)
 
 
 @register(

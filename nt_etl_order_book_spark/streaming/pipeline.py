@@ -99,6 +99,44 @@ def deltas_query(
     return writer.start()
 
 
+def enrich_with_market_dim(deltas: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the delta stream with the (small,
+    broadcast) market-discovery dimension (kalshi_rest_client.py:60-74).
+    No watermark needed — the static side is bounded."""
+    return deltas.join(F.broadcast(dim), on="ticker", how="left")
+
+
+def foreach_batch_idempotent_sink(flat: DataFrame, out_path: str, checkpoint: str):
+    """foreachBatch sink with MERGE-style idempotency on redis_stream_id:
+    replays (at-least-once upstream, or checkpoint loss) anti-join against
+    the keys already in the sink before appending — the exactly-once
+    upgrade of the reference's ack-after-write (consumer.py:104-107).
+
+    At 100 TB, bound the anti-join to the watermark horizon (partition the
+    sink by date and read only recent partitions) or use a transactional
+    table format's MERGE; re-reading the whole sink is the local-dev shape.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # Within-batch replays first (both copies of a replayed message can
+        # land in one micro-batch), then anti-join against the sink.
+        out = batch_df.dropDuplicates(["redis_stream_id"])
+        try:
+            existing = spark.read.parquet(out_path).select("redis_stream_id")
+            out = out.join(F.broadcast(existing), on="redis_stream_id", how="left_anti")
+        except Exception:  # first batch: sink doesn't exist yet
+            pass
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        flat.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_book_stats(
     deltas: DataFrame,
     *,

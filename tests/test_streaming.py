@@ -118,6 +118,55 @@ def test_windowed_book_stats_batch_semantics(spark, msg_dir):
     assert row.ticker == "KXM-A" and row.n_deltas == 2 and row.net_contracts == -50
 
 
+def test_stream_static_join_enrichment(spark, msg_dir):
+    from nt_etl_order_book_spark.sources.registry import market_dim
+    from nt_etl_order_book_spark.streaming.pipeline import enrich_with_market_dim
+
+    msgs = read_json_stream(spark, msg_dir)
+    dim = market_dim(spark, ["KXM-A"], "KXNCAAFGAME")
+    enriched = enrich_with_market_dim(flatten_deltas(msgs), dim)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select ticker, series_ticker from enriched_tbl").collect()
+    assert all(r.series_ticker == "KXNCAAFGAME" for r in rows if r.ticker == "KXM-A")
+    assert len(rows) == 2
+
+
+def test_update_mode_windowed_agg(spark, msg_dir):
+    msgs = read_json_stream(spark, msg_dir)
+    stats = windowed_book_stats(flatten_deltas(msgs), window="1 minute")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("stats_tbl")
+        .outputMode("update")  # running book state per window
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from stats_tbl").collect()
+    assert rows and rows[0].ticker == "KXM-A"
+
+
+def test_foreach_batch_idempotent_sink(spark, msg_dir, tmp_path):
+    from nt_etl_order_book_spark.streaming.pipeline import foreach_batch_idempotent_sink
+
+    out = str(tmp_path / "idem")
+    # First run writes; second run with a FRESH checkpoint (simulating
+    # checkpoint loss → full replay) must not duplicate any key.
+    for cp in ("cp1", "cp2"):
+        msgs = read_json_stream(spark, msg_dir)
+        q = foreach_batch_idempotent_sink(flatten_deltas(msgs), out, str(tmp_path / cp))
+        q.awaitTermination(60)
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == sunk.select("redis_stream_id").distinct().count() == 1
+
+
 def test_stateful_seq_gap_stream(spark, tmp_path):
     from nt_etl_order_book_spark.streaming.stateful import detect_seq_gaps
 
