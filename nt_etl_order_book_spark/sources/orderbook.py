@@ -74,12 +74,14 @@ def flatten_snapshots(msgs: DataFrame, *, stream_id_col: str = "redis_stream_id"
         sid,
         F.expr("stack(2, 'yes', yes_dollars, 'no', no_dollars) as (side, ladder)"),
     )
+    # Inner explode: an empty ladder side yields NO rows, exactly like the
+    # reference's `for level in yes_dollars:` loops (consumer.py:58-81).
     lvl = sided.select(
         "timestamp",
         "ticker",
         "side",
         stream_id_col,
-        F.explode_outer("ladder").alias("level"),
+        F.explode("ladder").alias("level"),
     )
     flat = lvl.select(
         "timestamp",

@@ -60,6 +60,21 @@ def init_schema(spark: SparkSession, *, location: str | None = None) -> None:
         spark.sql(f"CREATE TABLE IF NOT EXISTS {name} ({ddl}) USING parquet{loc}")
 
 
+def golden_csv_frame(flat: DataFrame, value_col: str) -> DataFrame:
+    """Project a flattened table into the reference's golden-CSV shape:
+    header `timestamp,ticker,side,dollar,<contracts|delta>`
+    (kalshi_ws_client.py:47,73)."""
+    from pyspark.sql import functions as F
+
+    return flat.select(
+        "timestamp",
+        "ticker",
+        "side",
+        F.col("price_dollars").alias("dollar"),
+        value_col,
+    )
+
+
 def market_dim(spark: SparkSession, tickers: list[str], series_ticker: str) -> DataFrame:
     """Market-discovery dimension (REST get_tickers analog): a small
     DataFrame of open markets, sized to broadcast (limit=1000/page in the

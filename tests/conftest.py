@@ -21,3 +21,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_prop():
+    # Property tests run many tiny jobs: minimal parallelism is faster.
+    s = get_spark("tests", shuffle_partitions=2)
+    yield s

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): the custom operators against
+brute-force python oracles on arbitrary small inputs.
+
+These cover the space the example-based tests can't: random tie
+patterns, interleavings, empty sides, all-negative books.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from nt_etl_order_book_spark.operators.aggregates import book_reconstruct  # noqa: E402
+from nt_etl_order_book_spark.operators.joins import asof_join  # noqa: E402
+
+KEYS = ["A", "B"]
+TS = st.integers(min_value=0, max_value=20)
+VAL = st.integers(min_value=-5, max_value=10)  # ints: no float-compare noise
+
+left_rows = st.lists(st.tuples(st.sampled_from(KEYS), TS), min_size=0, max_size=12)
+right_rows = st.lists(st.tuples(st.sampled_from(KEYS), TS, VAL), min_size=0, max_size=12)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=left_rows, right=right_rows)
+def test_asof_join_matches_bruteforce(spark_prop, left, right):
+    spark = spark_prop
+    # dedupe right per (key, ts): keep max value (the query contract)
+    rd: dict[tuple, int] = {}
+    for k, ts, v in right:
+        rd[(k, ts)] = max(v, rd.get((k, ts), v))
+    left_ids = [(k, ts, i) for i, (k, ts) in enumerate(left)]
+
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for k, ts, i in left_ids] or [("Z", -1, -1)],
+        "k string, ts int, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts, v) for (k, ts), v in rd.items()] or [("Z", -1, 0)],
+        "k string, ts int, snap int",
+    )
+    out = asof_join(ldf, rdf, key="k", left_ts="ts", right_ts="ts", value_cols=["snap"])
+    got = {r.lid: r.asof_snap for r in out.collect()}
+
+    for k, ts, i in left_ids or [("Z", -1, -1)]:
+        cands = [(rts, v) for (rk, rts), v in rd.items() if rk == k and rts <= ts]
+        expected = max(cands)[1] if cands else None
+        if (k, ts, i) == ("Z", -1, -1):
+            continue
+        assert got[i] == expected, f"lid={i} key={k} ts={ts}: {got[i]} != {expected}"
+
+
+snap_rows = st.lists(st.tuples(st.sampled_from(KEYS), TS, VAL), min_size=0, max_size=8)
+delta_rows = st.lists(st.tuples(st.sampled_from(KEYS), TS, VAL), min_size=0, max_size=12)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(snaps=snap_rows, deltas=delta_rows)
+def test_book_reconstruct_matches_bruteforce(spark_prop, snaps, deltas):
+    spark = spark_prop
+    sdf = spark.createDataFrame(
+        [(k, ts, i, float(v)) for i, (k, ts, v) in enumerate(snaps)] or [("Z", -1, -1, 0.0)],
+        "k string, ts int, event_id int, value double",
+    )
+    ddf = spark.createDataFrame(
+        [(k, ts, float(v)) for k, ts, v in deltas] or [("Z", -1, 0.0)],
+        "k string, ts int, value double",
+    )
+    out = {r.k: (r.book_value, r.n_deltas) for r in book_reconstruct(sdf, ddf, "k").collect()}
+
+    # brute force
+    latest: dict[str, tuple] = {}
+    for i, (k, ts, v) in enumerate(snaps):
+        cur = latest.get(k)
+        if cur is None or (ts, i) > (cur[0], cur[1]):
+            latest[k] = (ts, i, v)
+    dsum: dict[str, float] = defaultdict(float)
+    dcnt: dict[str, int] = defaultdict(int)
+    for k, ts, v in deltas:
+        snap_ts = latest.get(k, (None,))[0]
+        if snap_ts is None or ts > snap_ts:
+            dsum[k] += v
+            dcnt[k] += 1
+    keys = set(latest) | set(dcnt)
+    for k in keys:
+        if k == "Z":
+            continue
+        base = latest.get(k, (0, 0, 0.0))[2] if k in latest else 0.0
+        assert out[k] == (base + dsum.get(k, 0.0), dcnt.get(k, 0)), k

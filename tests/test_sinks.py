@@ -41,6 +41,22 @@ def test_init_schema_idempotent(spark):
     spark.sql("DROP TABLE IF EXISTS orderbook_deltas")
 
 
+def test_golden_csv_shape_matches_reference(spark, tmp_path):
+    # reference golden headers: timestamp,ticker,side,dollar,contracts|delta
+    # (kalshi_ws_client.py:47,73)
+    from nt_etl_order_book_spark.sources.registry import golden_csv_frame
+
+    flat = spark.createDataFrame(
+        [(1000, "KXM-A", "yes", 0.45, 100, "1-0")],
+        "timestamp long, ticker string, side string, price_dollars double, contracts int, redis_stream_id string",
+    )
+    g = golden_csv_frame(flat, "contracts")
+    assert g.columns == ["timestamp", "ticker", "side", "dollar", "contracts"]
+    path = str(tmp_path / "golden")
+    write_csv_append(g, path)
+    assert spark.read.option("header", True).csv(path).columns == g.columns
+
+
 def test_market_dim_broadcastable(spark):
     dim = market_dim(spark, ["KXM-A", "KXM-B"], "KXNCAAFGAME")
     rows = {(r.ticker, r.series_ticker) for r in dim.collect()}

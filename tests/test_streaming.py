@@ -84,8 +84,8 @@ def test_batch_flatten_snapshots_edge_cases(spark, msg_dir):
     assert ("KXM-A", "no", "0.5400", 75) in rows
     assert ("KXM-B", "yes", "0.0001", 10) in rows
     assert ("KXM-B", "yes", "0.9999", 5) in rows
-    # empty no-side still yields a null-level row via explode_outer
-    assert any(t == "KXM-B" and s == "no" for t, s, _, _ in rows)
+    # empty no-side yields NO rows (reference loop semantics, consumer.py:71-81)
+    assert not any(t == "KXM-B" and s == "no" for t, s, _, _ in rows)
 
 
 def test_stream_batch_parity_and_checkpointed_sinks(spark, msg_dir, tmp_path):
