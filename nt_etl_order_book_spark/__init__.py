@@ -15,7 +15,19 @@ Everything is a DataFrame; built-ins before UDFs; Catalyst does the
 optimizing; Structured Streaming does the plumbing.
 """
 
-from nt_etl_order_book_spark.session import get_spark  # noqa: F401
-from nt_etl_order_book_spark.tables import load_table, register_views  # noqa: F401
+import os as _os
+
+# Python workers (pandas UDFs, applyInPandas[WithState], mapInPandas) are
+# separate processes that import this package by name; make sure they can
+# find it regardless of the driver process's cwd.
+_pkg_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_existing = _os.environ.get("PYTHONPATH", "")
+if _pkg_root not in _existing.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        f"{_pkg_root}{_os.pathsep}{_existing}" if _existing else _pkg_root
+    )
+
+from nt_etl_order_book_spark.session import get_spark  # noqa: F401,E402
+from nt_etl_order_book_spark.tables import load_table, register_views  # noqa: F401,E402
 
 __version__ = "0.1.0"

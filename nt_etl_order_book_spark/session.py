@@ -40,10 +40,45 @@ def tune_session(spark: SparkSession) -> SparkSession:
 
     The driver hands ``entry(spark)``/``queries()`` a session we did not
     build; align the semantics-affecting knobs (timezone, AQE) without
-    restarting the JVM.
+    restarting the JVM, and ship the package to Python workers so
+    pandas-UDF / applyInPandas queries import it regardless of the
+    driver's cwd or env.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """addPyFile a zip of this package (idempotent, mtime-versioned) so
+    executor-side Python workers can import it even when the session was
+    created before the package was on any path."""
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "nt_etl_order_book_spark")
+    latest = 0
+    py_files = []
+    for dirpath, _, files in os.walk(pkg):
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(dirpath, f)
+                py_files.append(full)
+                latest = max(latest, int(os.path.getmtime(full)))
+    import tempfile
+
+    zpath = os.path.join(tempfile.gettempdir(), f"nt_etl_order_book_spark_{latest}.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full in py_files:
+                z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zpath)
+    try:
+        if zpath not in (spark.sparkContext._python_includes or []):
+            spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # connect-mode or restricted contexts: workers rely on PYTHONPATH

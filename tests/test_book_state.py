@@ -1,0 +1,119 @@
+"""Streaming book state: live quotes via stateful operator, with
+batch/stream parity against analytics.current_book + quotes.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.analytics import current_book, quotes
+from nt_etl_order_book_spark.sources.orderbook import (
+    flatten_deltas,
+    flatten_snapshots,
+    parse_messages,
+)
+from nt_etl_order_book_spark.streaming.book_state import streaming_quotes
+from nt_etl_order_book_spark.streaming.pipeline import read_json_stream
+
+
+def _replay() -> list[dict]:
+    msgs = []
+    for m, ticker in enumerate(["KXS-A", "KXS-B"]):
+        msgs.append(
+            {
+                "type": "orderbook_snapshot", "sid": 1, "seq": m * 100,
+                "market_ticker": ticker, "market_id": str(m),
+                "yes_dollars": [[0.40, 100], [0.45, 60]],
+                "no_dollars": [[0.50, 70]],
+                "ingestion_ts": 1000 + m, "redis_stream_id": f"s{m}",
+            }
+        )
+    # deltas: move best bid up on A, kill a level on B
+    msgs.append(
+        {
+            "type": "orderbook_delta", "sid": 1, "seq": 1,
+            "market_ticker": "KXS-A", "market_id": "0",
+            "price": 47, "price_dollars": 0.47, "delta": 25, "side": "yes",
+            "ts": 2000, "ingestion_ts": 2001, "redis_stream_id": "d1",
+        }
+    )
+    msgs.append(
+        {
+            "type": "orderbook_delta", "sid": 1, "seq": 101,
+            "market_ticker": "KXS-B", "market_id": "1",
+            "price": 45, "price_dollars": 0.45, "delta": -60, "side": "yes",
+            "ts": 2100, "ingestion_ts": 2101, "redis_stream_id": "d2",
+        }
+    )
+    return msgs
+
+
+def test_streaming_quotes_match_batch_reconstruction(spark, tmp_path):
+    p = tmp_path / "msgs"
+    p.mkdir()
+    (p / "m.json").write_text("\n".join(json.dumps(m) for m in _replay()))
+
+    # Stream path: stateful live quotes, last update per ticker wins.
+    stream = read_json_stream(spark, str(p))
+    q = (
+        streaming_quotes(stream)
+        .writeStream.format("memory")
+        .queryName("live_quotes")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = {
+        r.ticker: r
+        for r in spark.sql(
+            "select * from (select *, row_number() over (partition by ticker order by as_of_ts desc) rn "
+            "from live_quotes) where rn = 1"
+        ).collect()
+    }
+
+    # Batch path: flatten → current_book → quotes.
+    batch_msgs = parse_messages(spark.read.text(str(p)))
+    book = current_book(flatten_snapshots(batch_msgs), flatten_deltas(batch_msgs))
+    batch = {r.ticker: r for r in quotes(book).collect()}
+
+    for t in ("KXS-A", "KXS-B"):
+        assert abs(live[t].best_bid - float(batch[t].best_bid)) < 1e-9, t
+        assert abs(live[t].best_ask - float(batch[t].best_ask)) < 1e-9, t
+
+    # semantics: A's new 0.47 level is the bid; B's 0.45 was killed → 0.40
+    assert live["KXS-A"].best_bid == 0.47
+    assert live["KXS-B"].best_bid == 0.40
+    assert live["KXS-A"].best_ask == 0.50  # 1 - 0.50 no bid
+
+
+def test_streaming_quotes_stateful_across_batches(spark, tmp_path):
+    # snapshot in batch 1, delta in batch 2: state must carry the ladder.
+    p = tmp_path / "msgs2"
+    p.mkdir()
+    msgs = _replay()
+    (p / "a.json").write_text(json.dumps(msgs[0]))  # snapshot A only
+
+    stream = read_json_stream(spark, str(p))
+    q = (
+        streaming_quotes(stream)
+        .writeStream.format("memory")
+        .queryName("carry_quotes")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # micro-batch 1: snapshot only
+        first = spark.sql("select best_bid from carry_quotes").collect()
+        assert first and first[0].best_bid == 0.45
+
+        (p / "b.json").write_text(json.dumps(msgs[2]))  # delta A: +25 @ 0.47
+        q.processAllAvailable()  # micro-batch 2: delta applies to carried ladder
+        last = spark.sql(
+            "select best_bid from carry_quotes order by as_of_ts desc limit 1"
+        ).collect()
+        assert last[0].best_bid == 0.47  # ladder carried in state across batches
+    finally:
+        q.stop()

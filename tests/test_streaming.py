@@ -192,3 +192,38 @@ def test_stateful_seq_gap_stream(spark, tmp_path):
     q.awaitTermination(60)
     got = spark.sql("select * from gaps_tbl").collect()
     assert [(g.key, g.seq, g.prev_seq, g.gap) for g in got] == [("KXM-A", 7, 3, 4)]
+
+
+def test_stateful_seq_gap_tws_variant(spark, tmp_path):
+    # Same detector on transformWithStateInPandas (Spark 4.x API);
+    # skipped automatically on runtimes without it.
+    try:
+        from nt_etl_order_book_spark.streaming.stateful import detect_seq_gaps_tws
+    except ImportError:
+        pytest.skip("TWS API unavailable")
+
+    p = tmp_path / "seqmsgs2"
+    p.mkdir()
+    msgs = []
+    for seq in [10, 11, 15]:  # gap 11→15
+        m = dict(DELTA)
+        m["seq"] = seq
+        m["redis_stream_id"] = f"18000-{seq}"
+        msgs.append(json.dumps(m))
+    (p / "b0.json").write_text("\n".join(msgs))
+
+    stream = read_json_stream(spark, str(p))
+    try:
+        gaps = detect_seq_gaps_tws(stream, key_col="market_ticker", seq_col="seq")
+    except NotImplementedError:
+        pytest.skip("TWS API unavailable")
+    q = (
+        gaps.writeStream.format("memory")
+        .queryName("gaps_tws_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("select * from gaps_tws_tbl").collect()
+    assert [(g.key, g.seq, g.prev_seq, g.gap) for g in got] == [("KXM-A", 15, 11, 4)]
