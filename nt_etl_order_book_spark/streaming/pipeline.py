@@ -137,6 +137,48 @@ def foreach_batch_idempotent_sink(flat: DataFrame, out_path: str, checkpoint: st
     )
 
 
+def stream_stream_snapshot_delta_join(
+    snaps: DataFrame,
+    deltas: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    max_lag: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream join: each streaming delta joined to the streaming
+    snapshot of the same ticker that arrived within [delta - max_lag,
+    delta]. Both sides watermarked (required for state cleanup: the
+    join buffer drops rows older than watermark + lag).
+
+    The reference never joins its two streams — downstream SQL was meant
+    to — but stream-stream with time bounds is the §2.4 streaming row.
+    """
+    s = (
+        snaps.withColumn("snap_time", F.timestamp_millis(F.col("timestamp")))
+        .withWatermark("snap_time", watermark)
+        .select(
+            F.col("ticker").alias("s_ticker"),
+            "snap_time",
+            F.col("side").alias("s_side"),
+            F.col("price_dollars").alias("s_price"),
+            F.col("contracts").alias("s_contracts"),
+        )
+    )
+    d = (
+        deltas.withColumn("delta_time", F.timestamp_millis(F.col("timestamp")))
+        .withWatermark("delta_time", watermark)
+    )
+    cond = (
+        (F.col("ticker") == F.col("s_ticker"))
+        & (F.col("side") == F.col("s_side"))
+        & (F.col("price_dollars") == F.col("s_price"))
+        & (F.col("snap_time") <= F.col("delta_time"))
+        & (F.col("snap_time") >= F.col("delta_time") - F.expr(f"INTERVAL {max_lag}"))
+    )
+    return d.join(s, cond, "inner").select(
+        "ticker", "side", "price_dollars", "delta", "s_contracts", "delta_time", "snap_time"
+    )
+
+
 def windowed_book_stats(
     deltas: DataFrame,
     *,

@@ -118,6 +118,33 @@ def test_windowed_book_stats_batch_semantics(spark, msg_dir):
     assert row.ticker == "KXM-A" and row.n_deltas == 2 and row.net_contracts == -50
 
 
+def test_stream_stream_join_with_watermarks(spark, msg_dir):
+    from nt_etl_order_book_spark.streaming.pipeline import (
+        stream_stream_snapshot_delta_join,
+    )
+
+    msgs = read_json_stream(spark, msg_dir)
+    joined = stream_stream_snapshot_delta_join(
+        flatten_snapshots(msgs), flatten_deltas(msgs), max_lag="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ss_join_tbl").collect()
+    # both copies of the replayed delta match the 0.45 yes snapshot level
+    assert len(rows) == 2
+    assert all(
+        (r.ticker, r.side, str(r.price_dollars), r.delta, r.s_contracts)
+        == ("KXM-A", "yes", "0.4500", -25, 100)
+        for r in rows
+    )
+
+
 def test_stream_static_join_enrichment(spark, msg_dir):
     from nt_etl_order_book_spark.sources.registry import market_dim
     from nt_etl_order_book_spark.streaming.pipeline import enrich_with_market_dim
