@@ -66,6 +66,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from nt_etl_order_book_spark.functions import (  # noqa: F401
         dedup,
         multimodal,
+        sampling,
         scalar,
         similarity,
         text,
