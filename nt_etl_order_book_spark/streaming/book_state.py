@@ -76,12 +76,17 @@ STATE_SCHEMA = StructType(
 
 
 def _quote(ticker: str, ladder: dict, as_of: int) -> tuple:
-    yes = [p for (s, p) in ladder if s == "yes"]
-    no = [p for (s, p) in ladder if s == "no"]
+    # Only levels with positive contracts exist for quoting; levels at ≤0
+    # stay in state (a later positive delta adds to the true net sum —
+    # identical semantics to the batch current_book, which sums all
+    # deltas then filters contracts > 0).
+    live = {k for k, c in ladder.items() if c > 0}
+    yes = [p for (s, p) in live if s == "yes"]
+    no = [p for (s, p) in live if s == "no"]
     bid = max(yes) / 100.0 if yes else None
     ask = 1 - max(no) / 100.0 if no else None
     spread = (ask - bid) if (bid is not None and ask is not None) else None
-    return (ticker, as_of, bid, ask, spread, len(ladder))
+    return (ticker, as_of, bid, ask, spread, len(live))
 
 
 def streaming_quotes(msgs: DataFrame) -> DataFrame:
@@ -121,9 +126,10 @@ def streaming_quotes(msgs: DataFrame) -> DataFrame:
                         continue  # pre-snapshot delta: superseded
                     last_ts = max(last_ts or 0, ts)
                     k = (r.side, int(r.price))
+                    # Net sum may go ≤0 (kill) and back up: keep the net in
+                    # state so batch/stream reconstructions agree. State per
+                    # level is bounded by the cents price grid (<200 keys).
                     ladder[k] = ladder.get(k, 0) + int(r.delta)
-                    if ladder[k] <= 0:
-                        del ladder[k]
         if ladder or snap_ts is not None:
             sides = [s for (s, _p) in ladder]
             prices = [p for (_s, p) in ladder]

@@ -47,6 +47,25 @@ def _replay() -> list[dict]:
             "ts": 2100, "ingestion_ts": 2101, "redis_stream_id": "d2",
         }
     )
+    # kill-then-recreate on the same level: net sum semantics — the case
+    # that diverges if the streaming state floors/deletes at zero
+    # (batch sums all deltas; stream must too).
+    msgs.append(
+        {
+            "type": "orderbook_delta", "sid": 1, "seq": 102,
+            "market_ticker": "KXS-B", "market_id": "1",
+            "price": 48, "price_dollars": 0.48, "delta": -999, "side": "yes",
+            "ts": 2200, "ingestion_ts": 2201, "redis_stream_id": "d3",
+        }
+    )
+    msgs.append(
+        {
+            "type": "orderbook_delta", "sid": 1, "seq": 103,
+            "market_ticker": "KXS-B", "market_id": "1",
+            "price": 48, "price_dollars": 0.48, "delta": 500, "side": "yes",
+            "ts": 2300, "ingestion_ts": 2301, "redis_stream_id": "d4",
+        }
+    )
     return msgs
 
 
