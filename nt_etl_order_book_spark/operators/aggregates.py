@@ -124,6 +124,87 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_stats",
+    f"""
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             {sql_dsum('l_quantity')} AS s1,
+             {sql_dsum('l_quantity * l_quantity')} AS s2,
+             {sql_dsum('l_extendedprice')} AS p1,
+             {sql_dsum('l_quantity * l_extendedprice')} AS xp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           s1 / n AS mean_qty,
+           (s2 - s1 * s1 / n) / n AS var_pop_qty,
+           sqrt((s2 - s1 * s1 / n) / n) AS stddev_pop_qty,
+           (xp - s1 * p1 / n) / n AS covar_pop
+    FROM sums
+    """,
+    doc=(
+        "Statistical aggregates (variance/stddev/covariance) from exact "
+        "decimal component sums — order-independent, unlike the built-in "
+        "one-pass estimators whose float accumulation varies by partitioning."
+    ),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("s1"),
+        dsum(F.col("l_quantity") * F.col("l_quantity")).alias("s2"),
+        dsum("l_extendedprice").alias("p1"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("xp"),
+    )
+    n = F.col("n")
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1") / n).alias("mean_qty"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / n) / n).alias("var_pop_qty"),
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / n) / n).alias("stddev_pop_qty"),
+        ((F.col("xp") - F.col("s1") * F.col("p1") / n) / n).alias("covar_pop"),
+    )
+
+
+@register(
+    "agg_median",
+    """
+    SELECT l_returnflag,
+           median(l_quantity) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact median / continuous quantile (sort-based; both engines linear-interpolate).",
+)
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+    )
+
+
+@register(
+    "agg_string_concat",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    doc="Ordered string aggregation (collect → sort → join: deterministic under any partitioning).",
+)
+def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
     "agg_grouping_sets",
     f"""
     SELECT l_returnflag, l_linestatus,

@@ -54,6 +54,29 @@ def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sort_nulls",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o LEFT JOIN customer c
+      ON o.o_custkey = c.c_custkey AND c.c_acctbal > 9000
+    ORDER BY c.c_name ASC NULLS FIRST, o.o_orderkey ASC
+    LIMIT 50
+    """,
+    doc="Explicit null ordering (NULLS FIRST) in a global sort — engines default differently, so it must be spelled out.",
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cond = (orders.o_custkey == cust.c_custkey) & (cust.c_acctbal > 9000)
+    return (
+        orders.join(cust, cond, "left")
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy(F.col("c_name").asc_nulls_first(), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
     "set_union_all",
     """
     SELECT user_id, 'click' AS src, value FROM events WHERE event_type = 'click'

@@ -181,6 +181,23 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_ntile",
+    """
+    SELECT o_orderkey, o_totalprice,
+           NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_quartile
+    FROM orders
+    """,
+    doc="NTILE bucketing over a total order (price quartiles; unique tiebreak keeps assignment stable).",
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("price_quartile")
+    )
+
+
+@register(
     "best_bid_ask",
     """
     SELECT user_id,
