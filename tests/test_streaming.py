@@ -194,6 +194,26 @@ def test_foreach_batch_idempotent_sink(spark, msg_dir, tmp_path):
     assert sunk.count() == sunk.select("redis_stream_id").distinct().count() == 1
 
 
+def test_streaming_metrics_listener(spark, msg_dir, tmp_path):
+    from nt_etl_order_book_spark.streaming.metrics import BookPipelineListener
+
+    listener = BookPipelineListener()
+    spark.streams.addListener(listener)
+    try:
+        msgs = read_json_stream(spark, msg_dir)
+        q = deltas_query(msgs, str(tmp_path / "m_out"), str(tmp_path / "m_cp"))
+        q.awaitTermination(60)
+        # give the async listener bus a moment to drain
+        deadline = time.time() + 15
+        while time.time() < deadline and listener.collector.total_rows() == 0:
+            time.sleep(0.2)
+        assert listener.collector.total_rows() >= 4  # all 4 fixture messages observed
+        # the dedup operator holds state: at least one batch reports state rows
+        assert any((b.state_rows or 0) > 0 for b in listener.collector.batches)
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_stateful_seq_gap_stream(spark, tmp_path):
     from nt_etl_order_book_spark.streaming.stateful import detect_seq_gaps
 
