@@ -26,6 +26,50 @@ def test_salted_agg_equals_plain_agg(spark):
     assert salted == plain
 
 
+def test_minhash_identical_docs_always_pair(spark):
+    from nt_etl_order_book_spark.functions.dedup import lsh_candidates, minhash_signature_col
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (3, "completely different text about order books and spark engines today"),
+        (4, "the quick brown fox jumps over the lazy dog again and AGAIN"),  # near dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signature_col(df, "doc_id", "text")
+    cands = {(r.a, r.b) for r in lsh_candidates(sigs.select("doc_id", "sig"), "doc_id").collect()}
+    assert (1, 2) in cands  # identical docs MUST collide in every band
+    assert not any(3 in p for p in cands)  # unrelated doc never pairs
+
+
+def test_foreign_driver_session_runs_python_udf_queries(tmp_path):
+    # Regression guard for the addPyFile shipping: a driver that builds
+    # its own SparkSession from a foreign cwd BEFORE importing the entry
+    # module must still run Python-worker-backed queries.
+    import subprocess
+    import sys as _sys
+
+    script = (
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.master('local[2]')"
+        ".config('spark.ui.enabled','false').getOrCreate()\n"
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import __spark_entry__ as e\n"
+        "n = e.queries()['multimodal_features'](spark, '/root/testdata/sf0.001').count()\n"
+        "assert n == 500, n\n"
+        "print('OK', n)\n"
+    )
+    proc = subprocess.run(
+        [_sys.executable, "-c", script],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={k: v for k, v in __import__("os").environ.items() if k != "PYTHONPATH"},
+    )
+    assert "OK 500" in proc.stdout, proc.stderr[-2000:]
+
+
 def test_ann_variants_recall_against_brute_force(spark):
     sf = "/root/testdata/sf0.01"
     qs = registry.queries()
