@@ -38,14 +38,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read nanos as long and re-derive a microsecond
-        # timestamp (NTZ so semantics match the timezone-naive oracle).
+        # The driver's events.parquet carries TIMESTAMP(NANOS) which
+        # Spark's parquet reader rejects; read nanos as long and re-derive
+        # a microsecond timestamp (NTZ so semantics match the
+        # timezone-naive oracle). Other writers produce µs timestamps —
+        # detect from the actual read schema rather than assuming.
+        from pyspark.sql.types import LongType, TimestampNTZType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):  # nanos-as-long path
+            return df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        if not isinstance(ts_type, TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
