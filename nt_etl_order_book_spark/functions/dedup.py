@@ -19,7 +19,7 @@ deterministic; no seeded randomness outside the fixed HASH_SEEDS table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F
 
 from nt_etl_order_book_spark.registry import register
@@ -104,10 +104,17 @@ def minhash_signature_col(df: DataFrame, id_col: str, text_col: str, n: int = 3)
     return hashed.select(F.col(id_col), "hashes", sig.alias("sig"))
 
 
-def lsh_candidates(sigs: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidates(sigs: DataFrame, id_col: str, *, max_bucket: int = 200) -> DataFrame:
     """Band each signature into N_BANDS bucket keys and self-join buckets
     → candidate pairs (a < b). The shuffle key is (band, bucket), so only
-    near-identical docs ever meet — never an O(n²) stage."""
+    near-identical docs ever meet — never an O(n²) stage.
+
+    `max_bucket` caps per-bucket membership before pairing: a bucket with
+    hundreds of docs is a boilerplate/common-pattern collision whose
+    pair count grows quadratically while carrying almost no dedup signal
+    — the standard web-dedup mitigation. Each skipped bucket costs one
+    of a pair's N_BANDS chances, not the pair itself.
+    """
     band_keys = F.array(
         *[
             F.xxhash64(
@@ -117,6 +124,13 @@ def lsh_candidates(sigs: DataFrame, id_col: str) -> DataFrame:
         ]
     )
     banded = sigs.select(F.col(id_col), F.posexplode(band_keys).alias("band", "bucket"))
+    if max_bucket:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
     return (
