@@ -24,7 +24,12 @@ from nt_etl_order_book_spark.tables import load_table
            SUBSTRING(p_name, 1, 8) AS name_prefix,
            p_brand || '#' || p_type AS brand_type,
            LENGTH(p_name) AS name_len,
-           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           TRIM('  ' || p_brand || ' ') AS brand_trim,
+           LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+           REPLACE(p_name, ' ', '_') AS name_snake,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_lower_vowels,
+           REVERSE(p_brand) AS brand_rev
     FROM part
     WHERE p_type LIKE '%ECO%' OR p_name LIKE 's%'
     """,
@@ -42,6 +47,11 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
             F.length("p_name").alias("name_len"),
             F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+            F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+            F.translate("p_type", "AEIOU", "aeiou").alias("type_lower_vowels"),
+            F.reverse("p_brand").alias("brand_rev"),
         )
     )
 

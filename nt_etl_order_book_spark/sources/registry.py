@@ -51,6 +51,30 @@ def write_csv_append(df: DataFrame, path: str, *, header: bool = True) -> None:
     df.write.mode("append").option("header", str(header).lower()).csv(path)
 
 
+def write_partitioned(df: DataFrame, path: str, *, ts_col: str = "timestamp",
+                      fmt: str = "parquet") -> None:
+    """Append sink partitioned by event date (derived from the epoch-ms
+    column): the layout that makes time-ranged analytics prune at the
+    directory level at 100 TB. Also accepts orc/csv/json formats."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("event_date", F.to_date(F.timestamp_millis(F.col(ts_col))))
+        .write.mode("append")
+        .partitionBy("event_date")
+        .format(fmt)
+        .save(path)
+    )
+
+
+def read_json_messages(spark: SparkSession, path: str) -> DataFrame:
+    """Batch JSON source with the explicit message schema (never
+    inferSchema on the ingest path — SURVEY §1.2)."""
+    from nt_etl_order_book_spark.sources.orderbook import StructTypeUnion
+
+    return spark.read.schema(StructTypeUnion().schema).json(path)
+
+
 def init_schema(spark: SparkSession, *, location: str | None = None) -> None:
     """CREATE TABLE IF NOT EXISTS for the two sink tables — idempotent,
     exactly like postgres_client.initialize_schema (postgres_client.py:24-51)."""

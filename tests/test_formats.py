@@ -1,0 +1,58 @@
+"""Source/sink format coverage: ORC, JSON-with-schema, partitioned layout."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.plans.explain import formatted_plan
+from nt_etl_order_book_spark.sources.orderbook import flatten_deltas
+from nt_etl_order_book_spark.sources.registry import (
+    read_json_messages,
+    write_partitioned,
+)
+
+MSGS = [
+    {
+        "type": "orderbook_delta", "sid": 1, "seq": i,
+        "market_ticker": "KXF-A", "market_id": "m",
+        "price": 40, "price_dollars": 0.40, "delta": 1, "side": "yes",
+        # two distinct days of data for partition pruning
+        "ts": 1_700_000_000_000 + i * 86_400_000, "ingestion_ts": 1_700_000_000_000,
+        "redis_stream_id": f"f-{i}",
+    }
+    for i in range(4)
+]
+
+
+def test_json_source_with_explicit_schema(spark, tmp_path):
+    p = tmp_path / "j"
+    p.mkdir()
+    (p / "m.json").write_text("\n".join(json.dumps(m) for m in MSGS))
+    df = read_json_messages(spark, str(p))
+    assert df.schema["seq"].dataType.simpleString() == "bigint"  # declared, not inferred
+    assert df.count() == 4
+    assert flatten_deltas(df).count() == 4
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "orc")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df.write.mode("append").orc(out)
+    back = spark.read.orc(out)
+    assert sorted((r.k, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_partitioned_sink_by_event_date(spark, tmp_path):
+    p = tmp_path / "j2"
+    p.mkdir()
+    (p / "m.json").write_text("\n".join(json.dumps(m) for m in MSGS))
+    flat = flatten_deltas(read_json_messages(spark, str(p)))
+    out = str(tmp_path / "bydate")
+    write_partitioned(flat, out)
+    back = spark.read.parquet(out)
+    assert back.select("event_date").distinct().count() == 4  # one partition per day
+    one_day = back.filter(F.col("event_date") == "2023-11-15")
+    assert "PartitionFilters" in formatted_plan(one_day)
+    assert one_day.count() == 1
