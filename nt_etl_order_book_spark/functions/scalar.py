@@ -171,6 +171,28 @@ def q_fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_map_ops",
+    """
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           len(json_keys(props)) AS n_keys
+    FROM events
+    """,
+    doc="Map-typed JSON envelope: keys/values/cardinality of the parsed props map (from_json → MapType, the keep-raw-props idiom).",
+)
+def q_fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return events.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
+        F.element_at(m, "k").cast("bigint").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
     "fn_conditional",
     """
     SELECT o_orderkey,

@@ -181,6 +181,57 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_islands",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 3600000
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           epoch_ms(MIN(ts)) AS session_start_ms,
+           epoch_ms(MAX(ts)) AS session_end_ms
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Sessionization (gaps-and-islands): a >1h silence starts a new "
+        "session per key — the batch, oracle-checkable twin of the "
+        "streaming session_window aggregation (session_bursts)."
+    ),
+)
+def q_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.unix_millis(F.lag(F.col("ts")).over(w).cast("timestamp"))
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(prev_ms.isNull() | ((ms - prev_ms) > 3_600_000), 1).otherwise(0).alias("new_session"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = marked.select(
+        "user_id", "ts", "event_id", F.sum("new_session").over(wrun).alias("session_id")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_millis(F.min("ts").cast("timestamp")).alias("session_start_ms"),
+        F.unix_millis(F.max("ts").cast("timestamp")).alias("session_end_ms"),
+    )
+
+
+@register(
     "win_ntile",
     """
     SELECT o_orderkey, o_totalprice,
