@@ -77,14 +77,22 @@ def minhash_signature_col(df: DataFrame, id_col: str, text_col: str, n: int = 3)
             acc = F.pmod(acc * 131 + F.element_at(th, i + 1 + j), F.lit(HASH_BITS))
         return acc
 
+    # Short documents: fewer than n tokens can't form an n-gram — fall
+    # back to unigram shingles rather than indexing past the array end
+    # (ANSI mode makes that a hard INVALID_ARRAY_INDEX error). Empty
+    # documents yield an empty hash set and are excluded from the LSH
+    # pipeline by callers (exact dedup owns the empty-text case).
+    th = F.col("_th")
+    grams = F.when(
+        F.size(th) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(th) - n),
+            lambda i: gram_at(th, i),
+        ),
+    ).otherwise(th)
     hashed = tok_hashed.select(
         F.col(id_col),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(F.col("_th")) - n, F.lit(0))),
-                lambda i: gram_at(F.col("_th"), i),
-            )
-        ).alias("hashes"),
+        F.array_distinct(grams).alias("hashes"),
     )
     # All 32 permutation minima in ONE traversal of the hash array: fold
     # with a 32-wide accumulator, zip_with(least) per element — ~2× faster
@@ -141,28 +149,6 @@ def lsh_candidates(sigs: DataFrame, id_col: str, *, max_bucket: int = 200) -> Da
     )
 
 
-def jaccard_verify(cands: DataFrame, sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
-    """Exact Jaccard on candidate pairs via shingle-set join sizes."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh.select(F.col(id_col).alias("a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (
-        cands.join(sa, "a").join(sb, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
-        .select(
-            "a",
-            "b",
-            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-
-
 @register(
     "dedup_exact_docs",
     """
@@ -201,9 +187,15 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     # The signature frame feeds three consumers (banding + both verify
-    # sides); it is tiny (id + 32 longs + hash set per doc) and expensive
-    # to recompute, so cache it — textbook reused-input caching.
-    sigs = minhash_signature_col(docs, "doc_id", "text", n=3).cache()
+    # sides); it is small (id + 32 longs + hash set per doc) and expensive
+    # to recompute, so cache it — textbook reused-input caching. (Session
+    # storage memory evicts LRU if repeated invocations accumulate.)
+    # Docs with no tokens carry no shingle signal: exact dedup owns them.
+    sigs = (
+        minhash_signature_col(docs, "doc_id", "text", n=3)
+        .filter(F.size("hashes") > 0)
+        .cache()
+    )
     cands = lsh_candidates(sigs.select("doc_id", "sig"), "doc_id")
     # Exact-Jaccard verify on the candidate pairs only, via per-doc
     # shingle-hash SETS and array_intersect — no shuffle of the full

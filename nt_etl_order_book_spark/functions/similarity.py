@@ -45,7 +45,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # nullif: a zero-norm vector (null-padded / failed encoder) scores
+    # null rather than raising DIVIDE_BY_ZERO under ANSI mode.
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 @register(
@@ -63,8 +65,8 @@ def cosine(a: Column, b: Column) -> Column:
       SELECT q.qid, e.vec_id,
              ROUND(
                list_sum(list_transform(list_zip(q.qvec, e.evec), p -> p[1] * p[2]))
-               / (sqrt(list_sum(list_transform(q.qvec, x -> x * x)))
-                  * sqrt(list_sum(list_transform(e.evec, x -> x * x)))),
+               / nullif(sqrt(list_sum(list_transform(q.qvec, x -> x * x)))
+                        * sqrt(list_sum(list_transform(e.evec, x -> x * x))), 0),
                6
              ) AS cos_sim
       FROM q JOIN e ON e.vec_id <> q.qid

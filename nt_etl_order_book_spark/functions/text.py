@@ -169,10 +169,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, lang, n_words,
-           CAST(n_chars_m AS DOUBLE) / n_words AS avg_word_len,
-           CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+           CAST(n_chars_m AS DOUBLE) / nullif(n_words, 0) AS avg_word_len,
+           CAST(n_stop AS DOUBLE) / nullif(n_words, 0) AS stopword_ratio,
            CASE WHEN n_words BETWEEN 5 AND 100000
-                 AND CAST(n_chars_m AS DOUBLE) / n_words BETWEEN 2 AND 12
+                 AND CAST(n_chars_m AS DOUBLE) / nullif(n_words, 0) BETWEEN 2 AND 12
                 THEN 1 ELSE 0 END AS quality_pass
     FROM feats
     """,
@@ -188,13 +188,16 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n_words"),
         (occurrences(padded, " the ") + occurrences(padded, " a ")).alias("n_stop"),
     )
-    awl = F.col("n_chars_m").cast("double") / F.col("n_words")
+    # nullif keeps empty/whitespace-only docs from crashing the junk
+    # filter under ANSI division (they score quality_pass = 0 instead).
+    n_words_nz = F.nullif(F.col("n_words"), F.lit(0))
+    awl = F.col("n_chars_m").cast("double") / n_words_nz
     return feats.select(
         "doc_id",
         "lang",
         "n_words",
         awl.alias("avg_word_len"),
-        (F.col("n_stop").cast("double") / F.col("n_words")).alias("stopword_ratio"),
+        (F.col("n_stop").cast("double") / n_words_nz).alias("stopword_ratio"),
         F.when(F.col("n_words").between(5, 100000) & awl.between(2, 12), 1)
         .otherwise(0)
         .alias("quality_pass"),

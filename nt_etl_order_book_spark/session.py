@@ -44,11 +44,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
     pandas-UDF / applyInPandas queries import it regardless of the
     driver's cwd or env.
     """
+    if getattr(spark, "_ntspark_tuned", False):
+        return spark  # per-session memo: the harness calls this per query
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     _ship_package(spark)
+    spark._ntspark_tuned = True
     return spark
 
 

@@ -108,8 +108,10 @@ def streaming_quotes(msgs: DataFrame) -> DataFrame:
         rows = []
         for pdf in pdfs:
             for r in pdf.sort_values(["ets", "seq"], kind="stable").itertuples():
+                if pd.isna(r.ets):
+                    continue  # malformed message (null ts): skip, don't kill the query
                 if r.type == "orderbook_snapshot":
-                    if snap_ts is not None and r.ets is not None and r.ets <= snap_ts:
+                    if snap_ts is not None and r.ets <= snap_ts:
                         continue  # stale snapshot replay
                     snap_ts = int(r.ets)
                     last_ts = max(last_ts or 0, snap_ts)

@@ -118,6 +118,8 @@ def foreach_batch_idempotent_sink(flat: DataFrame, out_path: str, checkpoint: st
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         # Within-batch replays first (both copies of a replayed message can
         # land in one micro-batch), then anti-join against the sink.
@@ -125,8 +127,13 @@ def foreach_batch_idempotent_sink(flat: DataFrame, out_path: str, checkpoint: st
         try:
             existing = spark.read.parquet(out_path).select("redis_stream_id")
             out = out.join(F.broadcast(existing), on="redis_stream_id", how="left_anti")
-        except Exception:  # first batch: sink doesn't exist yet
-            pass
+        except AnalysisException as exc:
+            # Only sink-not-yet-created is a legitimate first-batch state;
+            # any other read failure must fail the batch (checkpoint retry)
+            # or replays would append silently without the anti-join.
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
         out.write.mode("append").parquet(out_path)
 
     return (

@@ -42,6 +42,42 @@ def test_minhash_identical_docs_always_pair(spark):
     assert not any(3 in p for p in cands)  # unrelated doc never pairs
 
 
+def test_degenerate_inputs_do_not_crash_ansi(spark):
+    # Review findings: short/empty docs and zero-norm vectors crashed
+    # under ANSI mode (array index / divide-by-zero). Pin the guards.
+    from pyspark.sql import functions as F
+
+    from nt_etl_order_book_spark.functions.dedup import lsh_candidates, minhash_signature_col
+    from nt_etl_order_book_spark.functions.similarity import cosine
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "a b c d e f g"), (5, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signature_col(docs, "doc_id", "text").filter(F.size("hashes") > 0)
+    got = {r.doc_id for r in sigs.collect()}
+    assert got == {2, 3, 4, 5}  # empty doc excluded, short docs survive via unigram fallback
+    cands = {(r.a, r.b) for r in lsh_candidates(sigs.select("doc_id", "sig"), "doc_id").collect()}
+    assert (4, 5) in cands
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [1.0, 0.0, 0.0, 0.0])], "id long, v array<double>"
+    )
+    out = vecs.crossJoin(vecs.select(F.col("v").alias("w"))).select(
+        cosine(F.col("v"), F.col("w")).alias("c")
+    )
+    vals = [r.c for r in out.collect()]  # must not raise; zero-norm rows → null
+    assert any(v is None for v in vals) and any(v == 1.0 for v in vals)
+
+    # quality gate arithmetic on a zero-word doc: null ratio, no crash
+    empty = spark.createDataFrame([(" ",)], "text string")
+    n_words = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    row = empty.select(
+        (F.length("text").cast("double") / F.nullif(n_words, F.lit(0))).alias("awl")
+    ).collect()[0]
+    assert row.awl is None
+
+
 def test_foreign_driver_session_runs_python_udf_queries(tmp_path):
     # Regression guard for the addPyFile shipping: a driver that builds
     # its own SparkSession from a foreign cwd BEFORE importing the entry
