@@ -50,6 +50,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
+def topk_per_query(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Rank (qid, vec_id, cos_sim) rows per query and keep the top k —
+    shared tail of every similarity variant (exact, LSH, IVF)."""
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 @register(
     "cosine_topk",
     f"""
@@ -97,20 +104,20 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+    return topk_per_query(scored)
 
 
 def _plane(table: int, i: int) -> Column:
-    """Deterministic hyperplane (table, i): component j derived from a hash, in [-1, 1)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda j: (
-            F.pmod(F.xxhash64(F.lit(table) * 1_000_000 + F.lit(i) * 1000 + j), F.lit(2_000_001))
-            / 1_000_000.0
-        )
-        - 1.0,
-    )
+    """Deterministic hyperplane (table, i) as a LITERAL array: components
+    derived from md5 in Python at plan-build time, so signature evaluation
+    does no per-row plane construction."""
+    import hashlib
+
+    vals = []
+    for j in range(64):
+        digest = hashlib.md5(f"ntspark-plane:{table}:{i}:{j}".encode()).digest()
+        vals.append((int.from_bytes(digest[:8], "big") % 2_000_001) / 1_000_000.0 - 1.0)
+    return F.array(*[F.lit(v) for v in vals])
 
 
 def rp_signatures(vec: Column) -> Column:
@@ -159,8 +166,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cands.select(
         "qid", "vec_id", F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+    return topk_per_query(scored)
 
 
 N_CELLS = 16  # IVF partitions (coarse quantizer size)
@@ -214,8 +220,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"))
     )
-    w_rank = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return scored.withColumn("rn", F.row_number().over(w_rank)).filter(F.col("rn") <= TOP_K)
+    return topk_per_query(scored)
 
 
 @register(

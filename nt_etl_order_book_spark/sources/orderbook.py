@@ -27,6 +27,13 @@ SNAPSHOT_TYPE = "orderbook_snapshot"  # producer.py:34
 DELTA_TYPE = "orderbook_delta"  # producer.py:41
 
 
+def _stream_id(msgs: DataFrame, stream_id_col: str):
+    """The buffer id column if present, else a typed null (sources other
+    than the durable buffer don't carry one)."""
+    col = F.col(stream_id_col) if stream_id_col in msgs.columns else F.lit(None).cast("string")
+    return col.alias(stream_id_col)
+
+
 def parse_messages(raw: DataFrame, *, value_col: str = "value") -> DataFrame:
     """JSON text → typed envelope columns, routed by message type.
 
@@ -65,9 +72,7 @@ def flatten_snapshots(msgs: DataFrame, *, stream_id_col: str = "redis_stream_id"
     (consumer.py:87-96) becomes cast_to(SNAPSHOTS_CAST).
     """
     snaps = msgs.filter(F.col("type") == SNAPSHOT_TYPE)
-    sid = (
-        F.col(stream_id_col) if stream_id_col in msgs.columns else F.lit(None).cast("string")
-    ).alias(stream_id_col)
+    sid = _stream_id(msgs, stream_id_col)
     sided = snaps.select(
         F.col("ingestion_ts").alias("timestamp"),
         F.col("market_ticker").alias("ticker"),
@@ -97,9 +102,7 @@ def flatten_snapshots(msgs: DataFrame, *, stream_id_col: str = "redis_stream_id"
 def flatten_deltas(msgs: DataFrame, *, stream_id_col: str = "redis_stream_id") -> DataFrame:
     """Delta messages → 1:1 typed projection (consumer.py:131-150)."""
     deltas = msgs.filter(F.col("type") == DELTA_TYPE)
-    sid = (
-        F.col(stream_id_col) if stream_id_col in msgs.columns else F.lit(None).cast("string")
-    ).alias(stream_id_col)
+    sid = _stream_id(msgs, stream_id_col)
     flat = deltas.select(
         F.col("ts").alias("timestamp"),
         F.col("market_ticker").alias("ticker"),
