@@ -38,8 +38,13 @@ HEADLINE = [
     "dedup_exact_docs",
     "minhash_dedup",
     "cosine_topk",
+    "ann_ivf_topk",
     "tokenize_tf",
     "lang_id",
+    "session_islands",
+    "composite_regional_revenue",
+    "pivot_event_types",
+    "sample_split",
 ]
 
 

@@ -76,6 +76,28 @@ def book_top(book: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def compact_book(snapshots: DataFrame, deltas: DataFrame, *, as_of_ms: int) -> DataFrame:
+    """Compaction: fold history up to `as_of_ms` into a fresh snapshot.
+
+    The reference's tables grow append-only forever (postgres_client.py
+    append mode, no retention); at 100 TB the standard operational move
+    is periodic compaction — reconstruct the book as of T and write it
+    back as the new snapshot anchor, after which deltas ≤ T can be
+    retired. Returns rows in the snapshots-table shape (A3) stamped at
+    `as_of_ms`, so downstream reconstruction works unchanged:
+    current_book(compacted, deltas>T) ≡ current_book(raw, raw deltas).
+    """
+    book = current_book(snapshots, deltas, as_of_ms=as_of_ms)
+    return book.select(
+        F.lit(as_of_ms).alias("timestamp"),
+        "ticker",
+        "side",
+        "price_dollars",
+        "contracts",
+        F.lit(None).cast("string").alias("redis_stream_id"),
+    )
+
+
 def quotes(book: DataFrame) -> DataFrame:
     """Best bid/ask + spread + mid per ticker, prediction-market style.
 

@@ -70,6 +70,14 @@ def minhash_signature_col(df: DataFrame, id_col: str, text_col: str, n: int = 3)
         F.col(id_col),
         F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(HASH_BITS))).alias("_th"),
     )
+    # Shuffle barrier: materializes the token-hash stage through an
+    # exchange (downstream filters/projections can otherwise push below
+    # the projection and re-inline the tokenize+hash pipeline per gram —
+    # a measured 16× blowup) and spreads the CPU-bound signature work
+    # across the cluster regardless of input file splits.
+    tok_hashed = tok_hashed.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
 
     def gram_at(th: Column, i: Column) -> Column:
         acc = F.element_at(th, i + 1)
@@ -179,23 +187,18 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The corpus lands as few large parquet files; per-row signature work
-    # is CPU-bound, so spread it across the cluster before computing
-    # (on a real cluster the scan already yields many splits — this keeps
-    # local single-file runs honest too).
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    # Token-less docs carry no shingle signal (exact dedup owns them);
+    # filter on the RAW text before the signature stage — a filter on the
+    # derived `hashes` column would push below the staged projections and
+    # re-inline the pipeline.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")) > 0
     )
     # The signature frame feeds three consumers (banding + both verify
     # sides); it is small (id + 32 longs + hash set per doc) and expensive
     # to recompute, so cache it — textbook reused-input caching. (Session
     # storage memory evicts LRU if repeated invocations accumulate.)
-    # Docs with no tokens carry no shingle signal: exact dedup owns them.
-    sigs = (
-        minhash_signature_col(docs, "doc_id", "text", n=3)
-        .filter(F.size("hashes") > 0)
-        .cache()
-    )
+    sigs = minhash_signature_col(docs, "doc_id", "text", n=3).cache()
     cands = lsh_candidates(sigs.select("doc_id", "sig"), "doc_id")
     # Exact-Jaccard verify on the candidate pairs only, via per-doc
     # shingle-hash SETS and array_intersect — no shuffle of the full

@@ -93,15 +93,25 @@ def topk_per_query(scored: DataFrame, k: int = TOP_K) -> DataFrame:
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    # Norms are per-vector, not per-pair: compute each side's norm once in
+    # its own projection instead of re-deriving the corpus norm for every
+    # query it meets (×N_QUERIES waste), and the query norm per corpus row.
+    corpus = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("enorm"))
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("enorm").alias("qnorm"),
     )
     scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qvec"), F.col("embedding"))
+                / F.nullif(F.col("qnorm") * F.col("enorm"), F.lit(0.0)),
+                6,
+            ).alias("cos_sim"),
         )
     )
     return topk_per_query(scored)

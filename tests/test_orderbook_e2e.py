@@ -90,6 +90,26 @@ def test_full_pipeline_reconstruction_and_quotes(spark, tmp_path):
     assert best[("KXM-A", "yes")] == "0.4700"
 
 
+def test_compaction_preserves_reconstruction(spark, tmp_path):
+    from nt_etl_order_book_spark.analytics import compact_book
+
+    p = tmp_path / "msgsC"
+    p.mkdir()
+    (p / "m.json").write_text("\n".join(json.dumps(m) for m in _messages()))
+    msgs = parse_messages(spark.read.text(str(p)))
+    snaps, deltas = flatten_snapshots(msgs), flatten_deltas(msgs)
+
+    # Compact at t=2500 (after the 0.45 kill, before the 0.47 create),
+    # keep only later deltas, reconstruct — must equal raw reconstruction.
+    compacted = compact_book(snaps, deltas, as_of_ms=2500)
+    later = deltas.filter("timestamp > 2500")
+    from_compacted = current_book(compacted, later)
+    from_raw = current_book(snaps, deltas)
+    a = {(r.ticker, r.side, str(r.price_dollars)): r.contracts for r in from_compacted.collect()}
+    b = {(r.ticker, r.side, str(r.price_dollars)): r.contracts for r in from_raw.collect()}
+    assert a == b
+
+
 def test_book_as_of_time_travel(spark, tmp_path):
     p = tmp_path / "msgs2"
     p.mkdir()
