@@ -98,6 +98,33 @@ def compact_book(snapshots: DataFrame, deltas: DataFrame, *, as_of_ms: int) -> D
     )
 
 
+def book_imbalance(book: DataFrame) -> DataFrame:
+    """Order-book imbalance per ticker: (yes_depth − no_depth) /
+    (yes_depth + no_depth) over contract counts — the standard
+    microstructure pressure signal, in [-1, 1]."""
+    yes_depth = F.sum(F.when(F.col("side") == "yes", F.col("contracts")).otherwise(0))
+    no_depth = F.sum(F.when(F.col("side") == "no", F.col("contracts")).otherwise(0))
+    total = yes_depth + no_depth
+    return book.groupBy("ticker").agg(
+        yes_depth.alias("yes_depth"),
+        no_depth.alias("no_depth"),
+        ((yes_depth - no_depth) / F.nullif(total, F.lit(0))).alias("imbalance"),
+    )
+
+
+def vwap(deltas: DataFrame) -> DataFrame:
+    """Volume-weighted average price per (ticker, side) over positive
+    delta flow (the executed-volume analog in the delta stream). DECIMAL
+    accumulation end to end."""
+    adds = deltas.filter(F.col("delta") > 0)
+    notional = F.sum(F.col("price_dollars") * F.col("delta"))
+    volume = F.sum(F.col("delta"))
+    return adds.groupBy("ticker", "side").agg(
+        (notional / F.nullif(volume, F.lit(0))).cast("decimal(9,6)").alias("vwap"),
+        volume.alias("volume"),
+    )
+
+
 def quotes(book: DataFrame) -> DataFrame:
     """Best bid/ask + spread + mid per ticker, prediction-market style.
 

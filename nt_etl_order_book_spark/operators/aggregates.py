@@ -224,6 +224,28 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_weighted_avg",
+    f"""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS weighted_avg_price,
+           {sql_dsum('l_quantity')} AS total_volume
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Weighted average (the VWAP shape: Σprice·size / Σsize) with exact decimal accumulation on both sums.",
+)
+def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    notional = F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC)).cast("double")
+    volume = F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        (notional / volume).alias("weighted_avg_price"),
+        dsum("l_quantity").alias("total_volume"),
+    )
+
+
+@register(
     "agg_cube",
     f"""
     SELECT l_returnflag, l_linestatus,

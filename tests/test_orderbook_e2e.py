@@ -110,6 +110,30 @@ def test_compaction_preserves_reconstruction(spark, tmp_path):
     assert a == b
 
 
+def test_imbalance_and_vwap(spark, tmp_path):
+    from nt_etl_order_book_spark.analytics import book_imbalance, vwap
+
+    p = tmp_path / "msgsV"
+    p.mkdir()
+    (p / "m.json").write_text("\n".join(json.dumps(m) for m in _messages()))
+    msgs = parse_messages(spark.read.text(str(p)))
+    snaps, deltas = flatten_snapshots(msgs), flatten_deltas(msgs)
+
+    book = current_book(snaps, deltas)
+    imb = {r.ticker: r for r in book_imbalance(book).collect()}
+    a = imb["KXM-A"]
+    # KXM-A book: yes 50@0.40 + 30@0.47 = 80; no 80@0.52 → balanced
+    assert (a.yes_depth, a.no_depth) == (80, 80)
+    assert a.imbalance == 0.0
+    # KXM-B: only a yes level → imbalance exactly 1
+    assert imb["KXM-B"].imbalance == 1.0
+
+    v = {(r.ticker, r.side): r for r in vwap(deltas).collect()}
+    # positive delta flow: KXM-A yes +30@0.47, KXM-B yes +10@0.30
+    assert str(v[("KXM-A", "yes")].vwap) == "0.470000"
+    assert v[("KXM-B", "yes")].volume == 10
+
+
 def test_book_as_of_time_travel(spark, tmp_path):
     p = tmp_path / "msgs2"
     p.mkdir()
