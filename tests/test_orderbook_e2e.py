@@ -129,8 +129,12 @@ def test_imbalance_and_vwap(spark, tmp_path):
     assert imb["KXM-B"].imbalance == 1.0
 
     v = {(r.ticker, r.side): r for r in vwap(deltas).collect()}
-    # positive delta flow: KXM-A yes +30@0.47, KXM-B yes +10@0.30
-    assert str(v[("KXM-A", "yes")].vwap) == "0.470000"
+    # positive delta FLOW (vwap is over raw flow, stale or not):
+    # KXM-A yes: +9999@0.45 (the stale replay) and +30@0.47
+    # → (9999·0.45 + 30·0.47) / 10029 ≈ 0.450060
+    assert str(v[("KXM-A", "yes")].vwap) == "0.450060"
+    assert v[("KXM-A", "yes")].volume == 10029
+    assert str(v[("KXM-B", "yes")].vwap) == "0.300000"
     assert v[("KXM-B", "yes")].volume == 10
 
 
