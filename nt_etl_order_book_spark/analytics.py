@@ -20,13 +20,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def current_book(snapshots: DataFrame, deltas: DataFrame, *, as_of_ms: int | None = None) -> DataFrame:
+def current_book(
+    snapshots: DataFrame,
+    deltas: DataFrame,
+    *,
+    as_of_ms: int | None = None,
+    clamp: bool = True,
+) -> DataFrame:
     """Reconstruct the live book per (ticker, side, price_dollars).
 
     One row per surviving level with its contract count. Deltas may
     create levels the snapshot never had; negative deltas may kill
     levels (contracts ≤ 0 are dropped, matching an order book's
     semantics of an empty level).
+
+    ``clamp=False`` keeps non-positive NET levels — required when the
+    result re-enters the pipeline (compaction): clamping is a display
+    rule applied at the END of history, not a state reduction; dropping
+    a negative net at time T loses information later deltas may revive.
     """
     if as_of_ms is not None:
         snapshots = snapshots.filter(F.col("timestamp") <= as_of_ms)
@@ -52,19 +63,15 @@ def current_book(snapshots: DataFrame, deltas: DataFrame, *, as_of_ms: int | Non
     )
 
     base = snap_latest.select("ticker", "side", "price_dollars", "contracts")
-    merged = (
-        base.join(d, on=["ticker", "side", "price_dollars"], how="full")
-        .select(
-            "ticker",
-            "side",
-            "price_dollars",
-            (F.coalesce(F.col("contracts"), F.lit(0)) + F.coalesce(F.col("net_delta"), F.lit(0)))
-            .cast("int")
-            .alias("contracts"),
-        )
-        .filter(F.col("contracts") > 0)
+    merged = base.join(d, on=["ticker", "side", "price_dollars"], how="full").select(
+        "ticker",
+        "side",
+        "price_dollars",
+        (F.coalesce(F.col("contracts"), F.lit(0)) + F.coalesce(F.col("net_delta"), F.lit(0)))
+        .cast("int")
+        .alias("contracts"),
     )
-    return merged
+    return merged.filter(F.col("contracts") > 0) if clamp else merged
 
 
 def book_top(book: DataFrame, k: int = 5) -> DataFrame:
@@ -87,15 +94,24 @@ def compact_book(snapshots: DataFrame, deltas: DataFrame, *, as_of_ms: int) -> D
     `as_of_ms`, so downstream reconstruction works unchanged:
     current_book(compacted, deltas>T) ≡ current_book(raw, raw deltas).
     """
-    book = current_book(snapshots, deltas, as_of_ms=as_of_ms)
-    return book.select(
-        F.lit(as_of_ms).alias("timestamp"),
+    from nt_etl_order_book_spark.operators.transforms import cast_to
+    from nt_etl_order_book_spark.schemas import SNAPSHOTS_CAST
+
+    # clamp=False: a level whose NET is ≤0 at T must stay in the anchor
+    # (later deltas may revive it); clamping is an end-of-history display
+    # rule, and applying it mid-history breaks replay equivalence.
+    book = current_book(snapshots, deltas, as_of_ms=as_of_ms, clamp=False).filter(
+        F.col("contracts") != 0  # zero nets carry no information forward
+    )
+    out = book.select(
+        F.lit(as_of_ms).cast("bigint").alias("timestamp"),
         "ticker",
         "side",
         "price_dollars",
         "contracts",
         F.lit(None).cast("string").alias("redis_stream_id"),
     )
+    return cast_to(out, SNAPSHOTS_CAST)  # exact A3 sink-table shape
 
 
 def book_imbalance(book: DataFrame) -> DataFrame:
@@ -112,11 +128,24 @@ def book_imbalance(book: DataFrame) -> DataFrame:
     )
 
 
-def vwap(deltas: DataFrame) -> DataFrame:
+def vwap(deltas: DataFrame, snapshots: DataFrame | None = None) -> DataFrame:
     """Volume-weighted average price per (ticker, side) over positive
     delta flow (the executed-volume analog in the delta stream). DECIMAL
-    accumulation end to end."""
+    accumulation end to end.
+
+    Flow hygiene mirrors reconstruction: at-least-once replays are
+    deduped on redis_stream_id, and — when `snapshots` is given — deltas
+    at or before the ticker's latest snapshot are excluded (that flow is
+    already baked into the snapshot; counting it double-counts volume).
+    """
     adds = deltas.filter(F.col("delta") > 0)
+    if "redis_stream_id" in adds.columns:
+        adds = adds.dropDuplicates(["redis_stream_id"])
+    if snapshots is not None:
+        snap_ts = snapshots.groupBy("ticker").agg(F.max("timestamp").alias("snap_ts"))
+        adds = adds.join(snap_ts, on="ticker", how="left").filter(
+            F.col("snap_ts").isNull() | (F.col("timestamp") > F.col("snap_ts"))
+        )
     notional = F.sum(F.col("price_dollars") * F.col("delta"))
     volume = F.sum(F.col("delta"))
     return adds.groupBy("ticker", "side").agg(

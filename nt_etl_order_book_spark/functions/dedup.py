@@ -53,12 +53,16 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 
 
 def minhash_signature_col(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """One row per doc with its 32-long minhash signature — fully NARROW.
+    """One row per doc with its 32-long minhash signature.
 
-    No explode, no shuffle: shingles, base hashes, and all 32
-    permutation minima are higher-order-function expressions evaluated
-    per row. At 100 TB this pipelines inside the scan stage; only the
-    (doc_id, 32 longs) signatures ever move.
+    Shingles, base hashes, and all 32 permutation minima are
+    higher-order-function expressions evaluated per row (no explode).
+    One deliberate exchange sits after the token-hash stage: it shuffles
+    (doc_id, one long per token) — a small fraction of the text — to
+    (a) materialize the stage so downstream filters/projections can't
+    re-inline the tokenize pipeline per gram (measured 16× blowup), and
+    (b) spread the CPU-bound signature work independently of input
+    splits. Everything after the exchange stays narrow.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     # Hash tokens ONCE, then shingle arithmetically (rolling combine of n

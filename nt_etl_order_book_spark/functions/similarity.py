@@ -28,7 +28,7 @@ N_QUERIES = 10  # vec_id < 10 play the role of query vectors
 # vectors need to agree on all N_PLANES signs in ANY of the N_TABLES
 # tables, which is what gives LSH its recall.
 N_PLANES = 5
-N_TABLES = 8  # 8 tables × 32 buckets: ~0.6 recall@5 on the fixture corpus
+N_TABLES = 8  # 8 tables × 32 buckets: recall@5 ≈ 0.5 on the fixture corpus (md5-literal planes)
 
 
 def dot(a: Column, b: Column) -> Column:

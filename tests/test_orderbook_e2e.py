@@ -128,14 +128,42 @@ def test_imbalance_and_vwap(spark, tmp_path):
     # KXM-B: only a yes level → imbalance exactly 1
     assert imb["KXM-B"].imbalance == 1.0
 
-    v = {(r.ticker, r.side): r for r in vwap(deltas).collect()}
-    # positive delta FLOW (vwap is over raw flow, stale or not):
-    # KXM-A yes: +9999@0.45 (the stale replay) and +30@0.47
-    # → (9999·0.45 + 30·0.47) / 10029 ≈ 0.450060
-    assert str(v[("KXM-A", "yes")].vwap) == "0.450060"
-    assert v[("KXM-A", "yes")].volume == 10029
+    # With snapshots given, pre-snapshot flow (the stale +9999 replay,
+    # already baked into the snapshot) is excluded: only genuine
+    # post-snapshot executions count.
+    v = {(r.ticker, r.side): r for r in vwap(deltas, snaps).collect()}
+    assert str(v[("KXM-A", "yes")].vwap) == "0.470000"
+    assert v[("KXM-A", "yes")].volume == 30
     assert str(v[("KXM-B", "yes")].vwap) == "0.300000"
     assert v[("KXM-B", "yes")].volume == 10
+    # Raw-flow mode still counts everything (deduped on stream id).
+    raw = {(r.ticker, r.side): r.volume for r in vwap(deltas).collect()}
+    assert raw[("KXM-A", "yes")] == 10029
+
+
+def test_compaction_preserves_negative_net_levels(spark):
+    # Review scenario: a level whose net is NEGATIVE at compaction time
+    # but revived by later deltas must reconstruct identically. Clamping
+    # at T would lose the -10 and report 15 instead of 5.
+    from decimal import Decimal as D
+
+    from nt_etl_order_book_spark.analytics import compact_book, current_book
+
+    snaps = spark.createDataFrame(
+        [], "timestamp long, ticker string, side string, price_dollars decimal(5,4), contracts int, redis_stream_id string"
+    )
+    deltas = spark.createDataFrame(
+        [(1000, "T", "yes", D("0.5000"), -10, "d1"), (3000, "T", "yes", D("0.5000"), 15, "d2")],
+        "timestamp long, ticker string, side string, price_dollars decimal(5,4), delta int, redis_stream_id string",
+    )
+    compacted = compact_book(snaps, deltas, as_of_ms=2500)
+    later = deltas.filter("timestamp > 2500")
+    a = {(r.side, str(r.price_dollars)): r.contracts for r in current_book(compacted, later).collect()}
+    b = {(r.side, str(r.price_dollars)): r.contracts for r in current_book(snaps, deltas).collect()}
+    assert a == b == {("yes", "0.5000"): 5}
+    # the anchor row itself carries the negative net
+    anchor = compacted.collect()
+    assert [(r.contracts) for r in anchor] == [-10]
 
 
 def test_book_as_of_time_travel(spark, tmp_path):
