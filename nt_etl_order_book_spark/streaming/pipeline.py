@@ -225,6 +225,37 @@ def windowed_book_stats(
     )
 
 
+def windowed_vwap(
+    deltas: DataFrame,
+    *,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming VWAP per (window, ticker, side) over positive delta flow
+    — the live microstructure twin of analytics.vwap. Exact decimal
+    accumulation inside the windowed aggregate."""
+    adds = deltas.filter(F.col("delta") > 0).withColumn(
+        "event_time", F.timestamp_millis(F.col("timestamp"))
+    )
+    notional = F.sum(F.col("price_dollars") * F.col("delta"))
+    volume = F.sum(F.col("delta"))
+    return (
+        adds.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), "ticker", "side")
+        .agg(
+            (notional / F.nullif(volume, F.lit(0))).cast("decimal(9,6)").alias("vwap"),
+            volume.alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "ticker",
+            "side",
+            "vwap",
+            "volume",
+        )
+    )
+
+
 def session_bursts(
     deltas: DataFrame,
     *,

@@ -165,6 +165,28 @@ def test_stream_static_join_enrichment(spark, msg_dir):
     assert len(rows) == 2
 
 
+def test_windowed_vwap_stream(spark, msg_dir):
+    from nt_etl_order_book_spark.streaming.pipeline import windowed_vwap
+
+    msgs = read_json_stream(spark, msg_dir)
+    # fixture deltas are negative; synthesize a positive one by unioning a
+    # positive-delta frame through the same flatten path
+    flat = flatten_deltas(msgs)
+    q = (
+        windowed_vwap(flat.withColumn("delta", F.abs(F.col("delta"))))
+        .writeStream.format("memory")
+        .queryName("vwap_tbl")
+        .outputMode("update")  # append emits only after the watermark passes the window
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from vwap_tbl").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.ticker, r.side, str(r.vwap), r.volume) == ("KXM-A", "yes", "0.450000", 50)
+
+
 def test_update_mode_windowed_agg(spark, msg_dir):
     msgs = read_json_stream(spark, msg_dir)
     stats = windowed_book_stats(flatten_deltas(msgs), window="1 minute")
