@@ -20,6 +20,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dedup_by_id(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Drop duplicate rows by id columns, but ONLY among rows where the
+    ids are present: dropDuplicates treats NULLs as equal, so an all-null
+    id column (sources without a buffer id) would collapse the whole
+    table to one arbitrary row."""
+    present = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        present = c if present is None else (present | c)
+    return df.filter(present).dropDuplicates(keys).unionByName(df.filter(~present))
+
+
 def current_book(
     snapshots: DataFrame,
     deltas: DataFrame,
@@ -38,7 +50,21 @@ def current_book(
     result re-enters the pipeline (compaction): clamping is a display
     rule applied at the END of history, not a state reduction; dropping
     a negative net at time T loses information later deltas may revive.
+
+    At-least-once hygiene: replayed messages (duplicate redis_stream_id)
+    are deduped here — snapshot rows per (stream id, side, price) level
+    (one message explodes to many level rows sharing the id), delta rows
+    per stream id — among rows that carry an id.
     """
+    if "redis_stream_id" in snapshots.columns:
+        sid = F.col("redis_stream_id")
+        snapshots = (
+            snapshots.filter(sid.isNotNull())
+            .dropDuplicates(["redis_stream_id", "side", "price_dollars"])
+            .unionByName(snapshots.filter(sid.isNull()))
+        )
+    if "redis_stream_id" in deltas.columns:
+        deltas = dedup_by_id(deltas, ["redis_stream_id"])
     if as_of_ms is not None:
         snapshots = snapshots.filter(F.col("timestamp") <= as_of_ms)
         deltas = deltas.filter(F.col("timestamp") <= as_of_ms)
@@ -140,7 +166,7 @@ def vwap(deltas: DataFrame, snapshots: DataFrame | None = None) -> DataFrame:
     """
     adds = deltas.filter(F.col("delta") > 0)
     if "redis_stream_id" in adds.columns:
-        adds = adds.dropDuplicates(["redis_stream_id"])
+        adds = dedup_by_id(adds, ["redis_stream_id"])
     if snapshots is not None:
         snap_ts = snapshots.groupBy("ticker").agg(F.max("timestamp").alias("snap_ts"))
         adds = adds.join(snap_ts, on="ticker", how="left").filter(

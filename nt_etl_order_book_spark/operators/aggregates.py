@@ -17,9 +17,10 @@ from pyspark.sql import functions as F
 from nt_etl_order_book_spark.registry import register
 from nt_etl_order_book_spark.tables import load_table
 
-# Exact accumulator for doubles: wide enough that sf-scale sums never
-# overflow (38-6 = 32 integer digits), fine enough that the decimal
-# quantization error is far below double ULP at these magnitudes.
+# Exact accumulator for doubles: 24 integer digits of headroom at the
+# cast-in type (Spark widens the partial-sum buffer to decimal(38,6) —
+# 32 digits — internally); fine enough that the decimal quantization
+# error is far below double ULP at these magnitudes.
 DEC = "decimal(30,6)"
 
 

@@ -185,6 +185,9 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.get_json_object("props", "$.k").cast("bigint").alias("k"),
                 F.col("event_type").alias("et"),
-            )
+            ),
+            # DuckDB's to_json emits null fields; Spark drops them by
+            # default — align or a props row without 'k' hash-mismatches.
+            {"ignoreNullFields": "false"},
         ).alias("packed"),
     )

@@ -38,7 +38,8 @@ def scan_read_schema(df: DataFrame) -> list[str]:
 
 
 def plan_uses_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+    plan = formatted_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def plan_has_partial_aggregate(df: DataFrame) -> bool:

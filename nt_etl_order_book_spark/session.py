@@ -70,7 +70,9 @@ def _ship_package(spark: SparkSession) -> None:
             if f.endswith(".py"):
                 full = os.path.join(dirpath, f)
                 py_files.append(full)
-                latest = max(latest, int(os.path.getmtime(full)))
+                # nanosecond mtime: second-granularity would reuse a stale
+                # zip when two edits land within the same wall-clock second
+                latest = max(latest, os.stat(full).st_mtime_ns)
     import tempfile
 
     zpath = os.path.join(tempfile.gettempdir(), f"nt_etl_order_book_spark_{latest}.zip")

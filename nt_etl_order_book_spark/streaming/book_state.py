@@ -105,9 +105,17 @@ def streaming_quotes(msgs: DataFrame) -> DataFrame:
         else:
             ladder, snap_ts, last_ts = {}, None, None
 
+        # Concatenate ALL Arrow chunks before sorting: a key's micro-batch
+        # arrives as multiple pandas chunks when it exceeds
+        # arrow.maxRecordsPerBatch, and per-chunk sorting would let a
+        # later-chunk snapshot wipe already-applied later-ts deltas.
+        chunks = list(pdfs)
+        batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+            chunks[0] if chunks else pd.DataFrame()
+        )
         rows = []
-        for pdf in pdfs:
-            for r in pdf.sort_values(["ets", "seq"], kind="stable").itertuples():
+        if len(batch):
+            for r in batch.sort_values(["ets", "seq"], kind="stable").itertuples():
                 if pd.isna(r.ets):
                     continue  # malformed message (null ts): skip, don't kill the query
                 if r.type == "orderbook_snapshot":
@@ -123,6 +131,8 @@ def streaming_quotes(msgs: DataFrame) -> DataFrame:
                             price_cents = int(round(float(level[0]) * 100))
                             ladder[(side_name, price_cents)] = int(level[1])
                 elif r.type == "orderbook_delta":
+                    if pd.isna(r.price) or pd.isna(r.delta) or r.side is None:
+                        continue  # malformed delta (missing field → null): skip
                     ts = int(r.ets)
                     if snap_ts is not None and ts <= snap_ts:
                         continue  # pre-snapshot delta: superseded

@@ -82,11 +82,17 @@ def deltas_query(
     """
     flat = flatten_deltas(msgs)
     if dedup_within and "redis_stream_id" in flat.columns:
-        flat = (
-            flat.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+        # NULL ids (sources without a buffer id) must bypass the dedup:
+        # dropDuplicates* treats NULLs as equal and would keep exactly one
+        # row of the entire stream. Split, dedup the keyed part, re-union.
+        timed = flat.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+        keyed = (
+            timed.filter(F.col("redis_stream_id").isNotNull())
             .withWatermark("event_time", dedup_within)
             .dropDuplicatesWithinWatermark(["redis_stream_id"])
-            .drop("event_time")
+        )
+        flat = keyed.unionByName(timed.filter(F.col("redis_stream_id").isNull())).drop(
+            "event_time"
         )
     writer = (
         flat.writeStream.format("parquet")

@@ -45,12 +45,17 @@ def detect_seq_gaps(keyed: DataFrame, *, key_col: str = "market_ticker", seq_col
     ) -> Iterator[pd.DataFrame]:
         last = state.get[0] if state.exists else None
         out: list[tuple[str, int, int, int]] = []
+        # Gather every Arrow chunk before sorting: a large per-key batch
+        # arrives as multiple chunks, and per-chunk sorting would report
+        # spurious gaps when a later chunk holds lower seqs.
+        seqs: list[int] = []
         for pdf in pdfs:
-            for seq in sorted(pdf[seq_col].dropna().astype("int64")):
-                if last is not None and seq - last > 1:
-                    out.append((key[0], int(seq), int(last), int(seq - last)))
-                if last is None or seq > last:
-                    last = int(seq)
+            seqs.extend(int(s) for s in pdf[seq_col].dropna().astype("int64"))
+        for seq in sorted(seqs):
+            if last is not None and seq - last > 1:
+                out.append((key[0], int(seq), int(last), int(seq - last)))
+            if last is None or seq > last:
+                last = int(seq)
         state.update((last,))
         yield pd.DataFrame(out, columns=["key", "seq", "prev_seq", "gap"])
 

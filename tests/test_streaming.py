@@ -263,6 +263,42 @@ def test_stateful_seq_gap_stream(spark, tmp_path):
     assert [(g.key, g.seq, g.prev_seq, g.gap) for g in got] == [("KXM-A", 7, 3, 4)]
 
 
+def test_stateful_ops_survive_multi_chunk_batches(spark, tmp_path):
+    # A key's micro-batch arrives as MULTIPLE pandas chunks when it
+    # exceeds arrow.maxRecordsPerBatch; per-chunk sorting would emit
+    # spurious gaps / wipe deltas. Force 2-row chunks and shuffle input.
+    from nt_etl_order_book_spark.streaming.stateful import detect_seq_gaps
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        p = tmp_path / "chunky"
+        p.mkdir()
+        seqs = [9, 1, 8, 2, 7, 3, 12, 4, 6, 5]  # shuffled 1..9 + 12 (gap 9→12)
+        msgs = []
+        for seq in seqs:
+            m = dict(DELTA)
+            m["seq"] = seq
+            m["redis_stream_id"] = f"ck-{seq}"
+            msgs.append(json.dumps(m))
+        (p / "b0.json").write_text("\n".join(msgs))
+        stream = read_json_stream(spark, str(p))
+        gaps = detect_seq_gaps(stream, key_col="market_ticker", seq_col="seq")
+        q = (
+            gaps.writeStream.format("memory")
+            .queryName("chunk_gaps")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = spark.sql("select * from chunk_gaps").collect()
+        # only the true 9→12 gap; per-chunk sorting would report extras
+        assert [(g.seq, g.prev_seq, g.gap) for g in got] == [(12, 9, 3)]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_stateful_seq_gap_tws_variant(spark, tmp_path):
     # Same detector on transformWithStateInPandas (Spark 4.x API);
     # skipped automatically on runtimes without it.
