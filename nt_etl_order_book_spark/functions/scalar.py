@@ -193,6 +193,71 @@ def q_fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_bitwise",
+    """
+    SELECT event_id,
+           user_id & 255 AS low_byte,
+           user_id | 4096 AS with_flag,
+           xor(user_id, event_id) AS mixed,
+           user_id << 2 AS shifted_up,
+           user_id >> 1 AS shifted_down
+    FROM events
+    """,
+    doc="Bitwise family: and/or/xor/shifts (hash partitioning, flag fields, bucket math all reduce to these).",
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_etl_order_book_spark.tables import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("user_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("user_id").bitwiseXOR(F.col("event_id")).alias("mixed"),
+        F.shiftleft(F.col("user_id"), 2).alias("shifted_up"),
+        F.shiftright(F.col("user_id"), 1).alias("shifted_down"),
+    )
+
+
+@register(
+    "fn_null_safe_eq",
+    """
+    WITH j AS (
+      SELECT o.o_orderkey, o.o_totalprice, c.c_name
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_acctbal > 9000
+      WHERE o.o_totalprice > 495000
+    )
+    SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+    FROM j a JOIN j b
+      ON a.c_name IS NOT DISTINCT FROM b.c_name AND a.o_orderkey < b.o_orderkey
+    WHERE a.c_name IS NULL
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match each other — the semantics ordinary equi-joins silently drop.",
+)
+def q_fn_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_etl_order_book_spark.tables import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders")
+    cust = _lt(spark, sf_dir, "customer")
+    j = (
+        orders.filter(F.col("o_totalprice") > 495000)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_acctbal > 9000), "left")
+        .select("o_orderkey", "o_totalprice", "c_name")
+    )
+    a = j.alias("a")
+    b = j.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.c_name").eqNullSafe(F.col("b.c_name"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(F.col("a.c_name").isNull())
+        .select(F.col("a.o_orderkey").alias("k1"), F.col("b.o_orderkey").alias("k2"))
+    )
+
+
+@register(
     "fn_conditional",
     """
     SELECT o_orderkey,
