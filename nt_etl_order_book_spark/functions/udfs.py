@@ -22,13 +22,21 @@ from nt_etl_order_book_spark.registry import register
 from nt_etl_order_book_spark.tables import load_table
 
 
-@pandas_udf("bigint")
-def dollars_to_cents(price: pd.Series) -> pd.Series:
-    """Vectorized dollars→cents (the yes/yes_dollars twin-column
-    conversion, redis_client.py:42-45). floor(x*100 + 0.5) instead of
-    round(): pandas rounds half-even, SQL rounds half-away — floor+0.5
-    is identical everywhere."""
-    return (price * 100 + 0.5).floordiv(1).astype("int64")
+def dollars_to_cents():
+    """Vectorized dollars→cents Pandas UDF (the yes/yes_dollars
+    twin-column conversion, redis_client.py:42-45). floor(x*100 + 0.5)
+    instead of round(): pandas rounds half-even, SQL rounds half-away —
+    floor+0.5 is identical everywhere.
+
+    Built lazily: `@pandas_udf("bigint")` parses its DDL return type
+    through the *active* SparkSession, so creating it at module import
+    would make `registry.all_specs()` un-enumerable without a session.
+    """
+    @pandas_udf("bigint")
+    def _dollars_to_cents(price: pd.Series) -> pd.Series:
+        return (price * 100 + 0.5).floordiv(1).astype("int64")
+
+    return _dollars_to_cents
 
 
 @register(
@@ -45,7 +53,7 @@ def q_udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        dollars_to_cents(F.col("l_extendedprice")).alias("price_cents"),
+        dollars_to_cents()(F.col("l_extendedprice")).alias("price_cents"),
     )
 
 
