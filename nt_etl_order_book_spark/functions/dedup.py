@@ -37,6 +37,14 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 _A = [(1_000_003 * (i + 1) + 17) % 1_048_573 + 1 for i in range(N_PERM)]
 _B = [(7_919 * (i + 7) + 3) % 1_048_573 for i in range(N_PERM)]
 
+# Document-frequency cap for the ngram_jaccard inverted index: a shingle
+# shared by k docs produces k² join rows, so one boilerplate shingle
+# (license header, nav bar) is a quadratic cliff at corpus scale. Shingles
+# above the cap are dropped from BOTH the index and the per-doc sizes, so
+# jaccard stays internally consistent (computed over the capped shingle
+# universe). Mirrors `max_bucket` in lsh_candidates.
+MAX_SHINGLE_DF = 200
+
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc, as one row per shingle.
@@ -293,13 +301,17 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard",
     """
-    WITH sh AS (
+    WITH sh_all AS (
       SELECT doc_id, UNNEST(list_distinct(g)) AS shingle
       FROM (
         SELECT doc_id,
                [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)] AS g
         FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
       )
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM sh_all
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 200
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
@@ -318,12 +330,24 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Exact n-gram (3-token) Jaccard similarity ≥ 0.8 via shingle "
         "inverted-index join — the ground-truth near-dup measure the LSH "
         "variants approximate. Shuffle key is the shingle, so only docs "
-        "sharing a shingle ever meet."
+        "sharing a shingle ever meet. Shingles with document frequency "
+        "above MAX_SHINGLE_DF are dropped from the index AND the sizes "
+        "(boilerplate carries no near-dup signal; keeps the join from "
+        "going quadratic on hot shingles)."
     ),
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles(docs, "doc_id", "text", n=3)
+    # Hot-shingle cap: same window-count-filter shape as lsh_candidates'
+    # max_bucket. The window reuses the shingle-hash partitioning the
+    # self-join needs anyway, so it adds no extra exchange on the index.
+    w = Window.partitionBy("shingle")
+    sh = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .drop("_df")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     s1 = sh.select(F.col("doc_id").alias("a"), "shingle")
     s2 = sh.select(F.col("doc_id").alias("b"), "shingle")

@@ -78,6 +78,41 @@ def test_degenerate_inputs_do_not_crash_ansi(spark):
     assert row.awl is None
 
 
+def test_ngram_jaccard_hot_shingle_capped(spark):
+    # One boilerplate shingle shared by 1,000 docs would produce ~500k
+    # join rows without the document-frequency cap. With the cap the hot
+    # shingle is dropped from the inverted index and each doc keeps only
+    # its unique shingle, so no pairs survive — and the query completes
+    # without a k² blowup.
+    from nt_etl_order_book_spark.functions.dedup import MAX_SHINGLE_DF, shingles
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [(i, f"common boiler plate unique{i}") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, "doc_id", "text", n=3)
+    w = Window.partitionBy("shingle")
+    capped = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .drop("_df")
+    )
+    s1 = capped.select(F.col("doc_id").alias("a"), "shingle")
+    s2 = capped.select(F.col("doc_id").alias("b"), "shingle")
+    n_pairs = s1.join(s2, "shingle").filter(F.col("a") < F.col("b")).count()
+    assert n_pairs == 0  # hot shingle gone; unique shingles never meet
+
+    # Sanity: without the cap the same corpus yields the quadratic count.
+    n_uncapped = (
+        sh.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .count()
+    )
+    assert n_uncapped == 1000 * 999 // 2
+
+
 def test_foreign_driver_session_runs_python_udf_queries(tmp_path):
     # Regression guard for the addPyFile shipping: a driver that builds
     # its own SparkSession from a foreign cwd BEFORE importing the entry
