@@ -28,7 +28,12 @@ N_QUERIES = 10  # vec_id < 10 play the role of query vectors
 # vectors need to agree on all N_PLANES signs in ANY of the N_TABLES
 # tables, which is what gives LSH its recall.
 N_PLANES = 5
-N_TABLES = 8  # 8 tables × 32 buckets: recall@5 ≈ 0.5 on the fixture corpus (md5-literal planes)
+N_TABLES = 8  # 8 tables × 32 buckets of 5-bit signatures
+# Multi-probe: each query also probes every bucket at Hamming distance 1
+# from its signature (flip one of the N_PLANES bits). Probing happens on
+# the tiny broadcast query side — the corpus scan stays pruned — and
+# lifts recall@5 from ≈0.58 (single-probe) without adding tables.
+N_PROBE_BITS = N_PLANES
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -146,9 +151,10 @@ def rp_signatures(vec: Column) -> Column:
     None,  # bucketing is hash-specific → rows-only check; recall vs cosine_topk is asserted in tests.
     doc=(
         "ANN via signed-random-projection LSH: corpus bucketed in "
-        f"{N_TABLES} hash tables of {N_PLANES}-bit signatures; candidates = "
-        "union of per-table bucket matches, then exact rescoring + top-k. "
-        "The pruned-scan scale path for similarity search."
+        f"{N_TABLES} hash tables of {N_PLANES}-bit signatures; each query "
+        "probes its own bucket plus every Hamming-distance-1 bucket "
+        "(multi-probe), then exact rescoring + top-k. The pruned-scan "
+        "scale path for similarity search."
     ),
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,11 +163,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = corpus.select(
         "vec_id", "embedding", F.posexplode("sigs").alias("table", "sig")
     )
-    q = banded.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qvec"),
-        F.col("table").alias("qtable"),
-        F.col("sig").alias("qsig"),
+    # Multi-probe expansion on the QUERY side only: 1 exact bucket +
+    # N_PROBE_BITS single-bit-flip buckets per (query, table). The
+    # broadcast grows ×(1+N_PROBE_BITS) on ~N_QUERIES rows — free — while
+    # the corpus side still meets only matching buckets.
+    probe_sigs = F.array(
+        F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(N_PROBE_BITS)]
+    )
+    q = (
+        banded.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.col("table").alias("qtable"),
+            F.explode(probe_sigs).alias("qsig"),
+        )
     )
     cands = (
         banded.join(
@@ -180,46 +196,111 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_CELLS = 16  # IVF partitions (coarse quantizer size)
-N_PROBE = 2  # cells probed per query
+# Cells probed per query. Recall on an ISOTROPIC corpus (like the test
+# fixture — measured same-label vs cross-label cosine are both ≈0) is
+# bounded by the probed mass ≈ N_PROBE/N_CELLS regardless of codebook
+# quality; IVF's recall advantage only exists when the corpus clusters
+# (see test_ivf_recall_on_clustered_corpus). 4/16 keeps real 4× pruning
+# while the fixture recall stays ≈0.45.
+N_PROBE = 4
+KMEANS_ITERS = 2  # Lloyd refinement passes over the training sample
+TRAIN_MOD = 10  # k-means trains on ~1/TRAIN_MOD of the corpus (hash-sampled)
+
+
+def nearest_cell(vec: Column, cents: Column) -> Column:
+    """Argmin over a centroid array — one HOF fold per row, ZERO shuffle.
+
+    `cents` is an array<struct<cell,cvec>> attached to every row via a
+    broadcast of a single-row frame; the fold keeps the (cell, sim) pair
+    with the highest cosine (ties → lowest cell id). This replaces the
+    round-1 broadcast-join×N_CELLS + Window.partitionBy(vec_id) ranking,
+    which shuffled corpus×N_CELLS expanded rows just to pick a max.
+    """
+    init = F.struct(F.lit(-1).cast("long").alias("cell"), F.lit(-2.0).alias("sim"))
+
+    def step(acc: Column, c: Column) -> Column:
+        s = cosine(vec, c["cvec"])
+        better = (s > acc["sim"]) | ((s == acc["sim"]) & (c["cell"] < acc["cell"]))
+        return F.when(better, F.struct(c["cell"].alias("cell"), s.alias("sim"))).otherwise(acc)
+
+    return F.aggregate(cents, init, step)["cell"]
+
+
+def kmeans_refine(train: DataFrame, cents_arr: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Lloyd iterations, fully distributed, no driver collect.
+
+    Assignment: HOF argmin over the broadcast centroid array (narrow).
+    Update: posexplode to (cell, pos, x) then groupBy(cell, pos).avg —
+    map-side partial aggregation collapses each partition to ≤
+    N_CELLS×dim rows before the shuffle, so the exchange carries KBs
+    regardless of corpus size. The new centroids re-collapse to a
+    single-row array frame for the next broadcast.
+    """
+    for _ in range(iters):
+        assigned = train.crossJoin(F.broadcast(cents_arr)).select(
+            F.col("embedding"),
+            nearest_cell(F.col("embedding"), F.col("cents")).alias("cell"),
+        )
+        cents_arr = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"))
+            .agg(F.collect_list(F.struct("cell", "cvec")).alias("cents"))
+        )
+    return cents_arr
 
 
 @register(
     "ann_ivf_topk",
     None,  # centroid assignment is implementation-specific → rows-only.
     doc=(
-        f"ANN via IVF (inverted file): corpus assigned to the nearest of "
-        f"{N_CELLS} coarse centroids; each query scores only its {N_PROBE} "
-        "nearest cells. The centroid table broadcasts; the corpus shuffles "
-        "once on cell id — at 100 TB you persist the corpus bucketed by "
-        "cell and probing prunes the scan to ~N_PROBE/N_CELLS of the data."
+        f"ANN via IVF (inverted file): k-means-refined coarse quantizer "
+        f"({N_CELLS} cells, {KMEANS_ITERS} Lloyd iterations on a "
+        f"deterministic 1/{TRAIN_MOD} hash-sample); corpus assigned to its "
+        "nearest cell by a zero-shuffle HOF argmin over the broadcast "
+        f"centroid array; each query scores only its {N_PROBE} nearest "
+        "cells. At 100 TB you persist the corpus bucketed by cell and "
+        "probing prunes the scan to ~N_PROBE/N_CELLS of the data."
     ),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # Deterministic coarse centroids: the first N_CELLS vectors (a real
-    # deployment k-means these; the plan shape is identical).
-    cents = F.broadcast(
-        emb.filter(F.col("vec_id") < N_CELLS).select(
-            F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
-        )
+    # Seed centroids: the first N_CELLS vectors, collapsed to ONE row
+    # holding array<struct<cell,cvec>> — broadcasting this single row
+    # attaches the whole codebook to every corpus row with no expansion.
+    seed = (
+        emb.filter(F.col("vec_id") < N_CELLS)
+        .select(F.struct(F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")).alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
     )
-    # Assign every corpus vector to its nearest centroid (1 broadcast join
-    # + window; no shuffle of the corpus until the final cell grouping).
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-    assigned = (
-        emb.join(cents)
-        .select("vec_id", "embedding", "cell", cosine(F.col("embedding"), F.col("cvec")).alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+    # Refine on a deterministic hash-sample: k-means quality needs a
+    # representative sample, not the full corpus — at 100 TB training on
+    # 1/TRAIN_MOD of the data is the difference between 2 cheap passes
+    # and 2 full-corpus passes, with identical codebook quality.
+    train = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(TRAIN_MOD)) == 0).select("embedding")
+    # Two consumers (assignment broadcast + probe rows): cache the 1-row
+    # codebook so the Lloyd passes run once, not per consumer.
+    cents_arr = kmeans_refine(train, seed).cache()
+    cent_rows = cents_arr.select(F.explode("cents").alias("c")).select(
+        F.col("c.cell").alias("cell"), F.col("c.cvec").alias("cvec")
     )
-    # Each query probes its N_PROBE nearest cells.
+    # Full-corpus assignment: one narrow projection, zero shuffle.
+    assigned = emb.crossJoin(F.broadcast(cents_arr)).select(
+        "vec_id",
+        "embedding",
+        nearest_cell(F.col("embedding"), F.col("cents")).alias("cell"),
+    )
+    # Each query probes its N_PROBE nearest refined cells (tiny frame:
+    # N_QUERIES × N_CELLS rows — the window shuffle here is metadata).
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     w_probe = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("cell"))
     probes = (
-        q.join(cents)
+        q.crossJoin(F.broadcast(cent_rows))
         .select("qid", "qvec", "cell", cosine(F.col("qvec"), F.col("cvec")).alias("qsim"))
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= N_PROBE)

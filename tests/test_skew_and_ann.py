@@ -147,10 +147,42 @@ def test_ann_variants_recall_against_brute_force(spark):
     exact = {
         (r.qid, r.vec_id) for r in qs["cosine_topk"](spark, sf).collect()
     }
-    for variant in ("ann_lsh_topk", "ann_ivf_topk"):
-        approx = {(r.qid, r.vec_id) for r in qs[variant](spark, sf).collect()}
-        # approximate results must be a plausible subset of the space and
-        # overlap the exact top-k meaningfully (pruned search, recall>0)
-        assert approx, f"{variant} returned nothing"
-        recall = len(approx & exact) / len(exact)
-        assert recall >= 0.2, f"{variant} recall {recall:.2f} too low"
+    # LSH with radius-1 multi-probe: measured 1.0 on the fixture; floor
+    # leaves slack for plane-constant tweaks.
+    lsh = {(r.qid, r.vec_id) for r in qs["ann_lsh_topk"](spark, sf).collect()}
+    assert len(lsh & exact) / len(exact) >= 0.8, "LSH recall below 0.8"
+    # IVF on the ISOTROPIC fixture: recall is bounded by probed mass
+    # (N_PROBE/N_CELLS = 0.25) no matter the codebook; measured ≈0.45.
+    # The clustered-corpus test below is where codebook quality shows.
+    ivf = {(r.qid, r.vec_id) for r in qs["ann_ivf_topk"](spark, sf).collect()}
+    assert len(ivf & exact) / len(exact) >= 0.35, "IVF recall below probed-mass floor"
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    # On a corpus that actually clusters, the k-means codebook must route
+    # queries to the right cells: recall ≈ 1 even probing 4/16 cells.
+    import numpy as np
+
+    from nt_etl_order_book_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(sim.N_CELLS, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for vid in range(320):
+        c = centers[vid % sim.N_CELLS]
+        v = c + 0.05 * rng.normal(size=64)
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    orig = sim.load_table
+    try:
+        sim.load_table = lambda _s, _d, name: emb  # only embeddings used
+        qs = registry.queries()
+        exact = {(r.qid, r.vec_id) for r in qs["cosine_topk"](spark, "_")
+                 .collect()}
+        ivf = {(r.qid, r.vec_id) for r in qs["ann_ivf_topk"](spark, "_").collect()}
+    finally:
+        sim.load_table = orig
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.9, f"clustered-corpus IVF recall {recall:.2f}"
