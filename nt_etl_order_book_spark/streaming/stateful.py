@@ -103,12 +103,18 @@ def detect_seq_gaps_tws(
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
             last = self._last.get()[0] if self._last.exists() else None
             out: list[tuple] = []
+            # Gather every Arrow chunk before sorting (same as
+            # detect_seq_gaps): a large per-key batch arrives as multiple
+            # chunks, and per-chunk sorting reports spurious gaps when a
+            # later chunk holds lower seqs.
+            seqs: list[int] = []
             for pdf in rows:
-                for seq in sorted(pdf[seq_col].dropna().astype("int64")):
-                    if last is not None and seq - last > 1:
-                        out.append((key[0], int(seq), int(last), int(seq - last)))
-                    if last is None or seq > last:
-                        last = int(seq)
+                seqs.extend(int(s) for s in pdf[seq_col].dropna().astype("int64"))
+            for seq in sorted(seqs):
+                if last is not None and seq - last > 1:
+                    out.append((key[0], int(seq), int(last), int(seq - last)))
+                if last is None or seq > last:
+                    last = int(seq)
             self._last.update((last,))
             yield pd.DataFrame(out, columns=["key", "seq", "prev_seq", "gap"])
 

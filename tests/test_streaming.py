@@ -263,16 +263,22 @@ def test_stateful_seq_gap_stream(spark, tmp_path):
     assert [(g.key, g.seq, g.prev_seq, g.gap) for g in got] == [("KXM-A", 7, 3, 4)]
 
 
-def test_stateful_ops_survive_multi_chunk_batches(spark, tmp_path):
+@pytest.mark.parametrize("variant", ["applyInPandasWithState", "transformWithState"])
+def test_stateful_ops_survive_multi_chunk_batches(spark, tmp_path, variant):
     # A key's micro-batch arrives as MULTIPLE pandas chunks when it
     # exceeds arrow.maxRecordsPerBatch; per-chunk sorting would emit
     # spurious gaps / wipe deltas. Force 2-row chunks and shuffle input.
-    from nt_etl_order_book_spark.streaming.stateful import detect_seq_gaps
+    # Covers BOTH stateful APIs: the TWS variant had this exact bug
+    # (chunks sorted independently) while detect_seq_gaps was fixed.
+    from nt_etl_order_book_spark.streaming.stateful import (
+        detect_seq_gaps,
+        detect_seq_gaps_tws,
+    )
 
     old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
     try:
-        p = tmp_path / "chunky"
+        p = tmp_path / f"chunky_{variant[:3]}"
         p.mkdir()
         seqs = [9, 1, 8, 2, 7, 3, 12, 4, 6, 5]  # shuffled 1..9 + 12 (gap 9→12)
         msgs = []
@@ -283,20 +289,51 @@ def test_stateful_ops_survive_multi_chunk_batches(spark, tmp_path):
             msgs.append(json.dumps(m))
         (p / "b0.json").write_text("\n".join(msgs))
         stream = read_json_stream(spark, str(p))
-        gaps = detect_seq_gaps(stream, key_col="market_ticker", seq_col="seq")
+        detector = detect_seq_gaps if variant == "applyInPandasWithState" else detect_seq_gaps_tws
+        try:
+            gaps = detector(stream, key_col="market_ticker", seq_col="seq")
+        except NotImplementedError:
+            pytest.skip("TWS API unavailable (no protobuf)")
         q = (
             gaps.writeStream.format("memory")
-            .queryName("chunk_gaps")
+            .queryName(f"chunk_gaps_{variant[:3]}")
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(60)
-        got = spark.sql("select * from chunk_gaps").collect()
+        got = spark.sql(f"select * from chunk_gaps_{variant[:3]}").collect()
         # only the true 9→12 gap; per-chunk sorting would report extras
         assert [(g.seq, g.prev_seq, g.gap) for g in got] == [(12, 9, 3)]
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_tws_gate_tracks_dependency_presence(spark):
+    # CI-style activation check: the NotImplementedError gate on
+    # detect_seq_gaps_tws must open exactly when its dependencies exist.
+    # If protobuf ever lands in the image, this test forces the gated
+    # path (and the TWS parametrizations above) to actually run.
+    import importlib.util
+
+    from nt_etl_order_book_spark.streaming.stateful import detect_seq_gaps_tws
+
+    try:
+        # find_spec raises (not returns None) when the parent package
+        # "google" itself is absent
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    has_tws_api = importlib.util.find_spec("pyspark.sql.streaming.stateful_processor") is not None
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr("CAST(value AS STRING) AS market_ticker", "value AS seq")
+    )
+    if has_protobuf and has_tws_api:
+        detect_seq_gaps_tws(stream)  # must not raise — gate is open
+    else:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            detect_seq_gaps_tws(stream)
 
 
 def test_stateful_seq_gap_tws_variant(spark, tmp_path):
