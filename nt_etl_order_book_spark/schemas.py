@@ -99,10 +99,14 @@ SNAPSHOTS_CAST = {
 }
 
 DELTAS_CAST = {
-    "timestamp": "bigint",
+    "timestamp": "bigint",  # INGESTION time — same clock as snapshots (consumer.py:132)
     "ticker": "string",
     "side": "string",
     "price_dollars": "decimal(5,4)",
     "delta": "int",
     "redis_stream_id": "string",
+    # Additive deviation from the reference's 6-column table: the
+    # exchange event time is kept so event-time streaming (watermarks)
+    # doesn't have to re-parse raw messages. SURVEY §2.9 "both carried".
+    "event_ts": "bigint",
 }

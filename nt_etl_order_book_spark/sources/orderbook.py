@@ -100,15 +100,23 @@ def flatten_snapshots(msgs: DataFrame, *, stream_id_col: str = "redis_stream_id"
 
 
 def flatten_deltas(msgs: DataFrame, *, stream_id_col: str = "redis_stream_id") -> DataFrame:
-    """Delta messages → 1:1 typed projection (consumer.py:131-150)."""
+    """Delta messages → 1:1 typed projection (consumer.py:131-150).
+
+    `timestamp` is INGESTION time (consumer.py:132 reads
+    `delta["ingestion_ts"]`) — the same clock the snapshot table anchors
+    on. Mixing clocks here silently drops post-snapshot deltas whose
+    exchange ts lags the snapshot's ingestion_ts during reconstruction;
+    the exchange event time stays available as `event_ts`.
+    """
     deltas = msgs.filter(F.col("type") == DELTA_TYPE)
     sid = _stream_id(msgs, stream_id_col)
     flat = deltas.select(
-        F.col("ts").alias("timestamp"),
+        F.col("ingestion_ts").alias("timestamp"),
         F.col("market_ticker").alias("ticker"),
         F.col("side"),
         F.col("price_dollars"),
         F.col("delta"),
         sid,
+        F.col("ts").alias("event_ts"),
     )
     return cast_to(flat, DELTAS_CAST)

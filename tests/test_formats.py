@@ -50,7 +50,9 @@ def test_partitioned_sink_by_event_date(spark, tmp_path):
     (p / "m.json").write_text("\n".join(json.dumps(m) for m in MSGS))
     flat = flatten_deltas(read_json_messages(spark, str(p)))
     out = str(tmp_path / "bydate")
-    write_partitioned(flat, out)
+    # delta `timestamp` is ingestion time (reference format); partition
+    # by the EXCHANGE clock carried in event_ts
+    write_partitioned(flat, out, ts_col="event_ts")
     back = spark.read.parquet(out)
     assert back.select("event_date").distinct().count() == 4  # one partition per day
     one_day = back.filter(F.col("event_date") == "2023-11-15")
