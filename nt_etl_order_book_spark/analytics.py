@@ -72,10 +72,24 @@ def current_book(
     # Latest snapshot time per ticker (a snapshot message is atomic: all
     # its levels share one timestamp — consumer.py:58-81 carries msg ts).
     w = Window.partitionBy("ticker")
-    snap_latest = (
-        snapshots.withColumn("_max_ts", F.max("timestamp").over(w))
-        .filter(F.col("timestamp") == F.col("_max_ts"))
-        .select("ticker", "side", "price_dollars", "contracts", F.col("timestamp").alias("snap_ts"))
+    snap_latest = snapshots.withColumn("_max_ts", F.max("timestamp").over(w)).filter(
+        F.col("timestamp") == F.col("_max_ts")
+    )
+    # Two snapshot MESSAGES for one ticker can share the max timestamp
+    # (millisecond wall clock, plausible under replay); keeping both
+    # double-counts contracts. Tie-break: keep the message with the
+    # greatest stream id (deterministic); without an id column, dedup
+    # levels directly.
+    if "redis_stream_id" in snapshots.columns:
+        snap_latest = snap_latest.withColumn(
+            "_max_sid", F.max("redis_stream_id").over(w)
+        ).filter(
+            F.col("redis_stream_id").isNull() | (F.col("redis_stream_id") == F.col("_max_sid"))
+        )
+    else:
+        snap_latest = snap_latest.dropDuplicates(["ticker", "side", "price_dollars"])
+    snap_latest = snap_latest.select(
+        "ticker", "side", "price_dollars", "contracts", F.col("timestamp").alias("snap_ts")
     )
     snap_ts_per_ticker = snap_latest.groupBy("ticker").agg(F.max("snap_ts").alias("snap_ts"))
 

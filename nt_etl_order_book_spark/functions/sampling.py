@@ -17,21 +17,36 @@ from nt_etl_order_book_spark.registry import register
 from nt_etl_order_book_spark.tables import load_table
 
 
+# Hex chars consumed from the md5 digest. 8 chars = 16^8 ≈ 4.3e9
+# equiprobable values, so bucket probabilities deviate from uniform by
+# at most 1 part in 16^8/n_buckets ≈ 4e7 — two chars (256 values mod
+# 100) skewed the documented 80/10/10 split by up to ±1.3pp.
+_BUCKET_HEX_CHARS = 8
+
+
 def hash_bucket(text: Column, n_buckets: int = 100) -> Column:
     """Deterministic bucket in [0, n_buckets) from the md5 of content.
 
-    Uses ascii() of the first two hex chars so the exact same arithmetic
-    runs in any SQL engine (no engine-specific hash or hex-parse needed).
+    Decodes the first 8 hex chars to an integer with pure ascii
+    arithmetic (digit value = ascii − 48, letter value = ascii − 87,
+    Horner fold) so the exact same expression runs in any SQL engine —
+    no engine-specific hash or hex-parse function.
     """
     h = F.md5(text)
-    return (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % n_buckets
+    v = F.lit(0).cast("long")  # long: 16^8 overflows int32 under ANSI
+    for i in range(1, _BUCKET_HEX_CHARS + 1):
+        a = F.ascii(F.substring(h, i, 1))
+        v = v * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
+    return v % n_buckets
 
 
 def _sql_hash_bucket(expr: str, n_buckets: int = 100) -> str:
-    return (
-        f"(ascii(substring(md5({expr}), 1, 1)) * 256 + "
-        f"ascii(substring(md5({expr}), 2, 1))) % {n_buckets}"
-    )
+    """DuckDB twin of hash_bucket — same Horner fold, same constants."""
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(1, _BUCKET_HEX_CHARS + 1):
+        a = f"ascii(substring(md5({expr}), {i}, 1))"
+        acc = f"({acc} * 16 + ({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END))"
+    return f"({acc} % {n_buckets})"
 
 
 @register(

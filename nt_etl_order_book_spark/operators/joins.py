@@ -38,25 +38,34 @@ def asof_join(
 
     Implementation is the union+window pattern, not an inequality join:
     tag right rows 0 / left rows 1, union, and take
-    ``last(value, ignorenulls)`` over (key) ordered by (ts, tag) — right
-    rows sort before left rows at equal ts, so ties match. One shuffle
-    on the key; O(n log n) per key vs the O(n·m) BroadcastNestedLoop a
-    theta-join would produce. `right` must be unique per (key, ts).
+    ``last(row_struct, ignorenulls)`` over (key) ordered by (ts, tag) —
+    right rows sort before left rows at equal ts, so ties match. One
+    shuffle on the key; O(n log n) per key vs the O(n·m)
+    BroadcastNestedLoop a theta-join would produce. `right` must be
+    unique per (key, ts).
+
+    The matched right row travels as ONE struct, not per-column `last`
+    calls: per-column ignorenulls would stitch a NULL-bearing right row
+    together with older rows' values, emitting a composite right row
+    that never existed.
     """
     lcols = [c for c in left.columns]
+    r_struct_type = "struct<" + ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+    ) + ">"
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tagged = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     )
     w = (
         Window.partitionBy("_k")
@@ -64,11 +73,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = l_tagged.unionByName(r_tagged).select(
-        "*", *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in value_cols]
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
     )
     return matched.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col("_m")[c].alias(f"asof_{c}") for c in value_cols],
     )
 
 

@@ -136,3 +136,30 @@ def test_streaming_quotes_stateful_across_batches(spark, tmp_path):
         assert last[0].best_bid == 0.47  # ladder carried in state across batches
     finally:
         q.stop()
+
+
+def test_current_book_same_ts_snapshot_tiebreak(spark):
+    # Two snapshot MESSAGES for one ticker sharing the max ingestion_ts
+    # (millisecond wall clock under replay): only the one with the
+    # greatest stream id may contribute levels — keeping both
+    # double-counts contracts and emits duplicate (side, price) rows.
+    msgs = [
+        {
+            "type": "orderbook_snapshot", "sid": 1, "seq": 1,
+            "market_ticker": "KXT-A", "market_id": "0",
+            "yes_dollars": [[0.40, 100]], "no_dollars": [],
+            "ingestion_ts": 5000, "redis_stream_id": "5000-1",
+        },
+        {
+            "type": "orderbook_snapshot", "sid": 1, "seq": 2,
+            "market_ticker": "KXT-A", "market_id": "0",
+            "yes_dollars": [[0.40, 70], [0.45, 30]], "no_dollars": [],
+            "ingestion_ts": 5000, "redis_stream_id": "5000-2",  # same ms, later id
+        },
+    ]
+    df = spark.createDataFrame([(json.dumps(m),) for m in msgs], "value string")
+    parsed = parse_messages(df)
+    book = current_book(flatten_snapshots(parsed), flatten_deltas(parsed))
+    rows = {(r.side, float(r.price_dollars)): r.contracts for r in book.collect()}
+    # only the 5000-2 message's ladder; no duplicate (side, price) rows
+    assert rows == {("yes", 0.40): 70, ("yes", 0.45): 30}

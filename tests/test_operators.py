@@ -78,6 +78,21 @@ def test_asof_join_tie_and_no_match(spark):
     assert got == {("A", 10, 80.0), ("A", 5, 50.0), ("B", 1, None)}
 
 
+def test_asof_join_null_value_not_stitched(spark):
+    # The matched right row must arrive WHOLE: with per-column
+    # last(ignorenulls) a NULL in one value column was stitched from an
+    # older right row, emitting a composite that never existed.
+    left = spark.createDataFrame([("A", 10, "l1")], "k string, ts int, tag string")
+    right = spark.createDataFrame(
+        [("A", 5, 50.0, "old"), ("A", 8, None, "new")],
+        "k string, ts int, snap double, label string",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts", value_cols=["snap", "label"]
+    ).collect()
+    assert [(r.asof_snap, r.asof_label) for r in out] == [(None, "new")]
+
+
 def test_book_reconstruct_negative_deltas_to_zero(spark):
     snaps = spark.createDataFrame(
         [("M", 100, 1, 10.0), ("M", 50, 0, 99.0)], "k string, ts int, event_id int, value double"
