@@ -33,15 +33,58 @@ from nt_etl_order_book_spark.sources.orderbook import (
 )
 
 
+BUFFER_TOPICS = ("orderbook-snapshots", "orderbook-deltas")
+
+
+def buffer_reader_options(
+    *,
+    source: str = "file",
+    brokers: str | None = None,
+    topics: tuple[str, ...] = BUFFER_TOPICS,
+    max_per_trigger: int | None = None,
+) -> tuple[str, dict[str, str]]:
+    """(format, options) for the durable-buffer stream reader — the
+    config-only swap between dev file replay and the Kafka buffer.
+
+    Reference → Kafka mapping (tested in test_streaming.py):
+    - two Redis streams (redis_client.py:50-86) → two topics, one
+      ``subscribe`` list;
+    - start-at-"-" cursor (consumer.py:34,114) → startingOffsets
+      "earliest" (checkpoint overrides on resume, same as the
+      exclusive-cursor bookkeeping);
+    - count-bounded poll batching, batch_size=100 (consumer.py:9,42-49)
+      → maxOffsetsPerTrigger;
+    - the buffer losing acked data is a hard error in the reference →
+      failOnDataLoss stays true (default) rather than silently skipped.
+    """
+    if source == "kafka":
+        if not brokers:
+            raise ValueError("kafka source needs brokers")
+        opts = {
+            "kafka.bootstrap.servers": brokers,
+            "subscribe": ",".join(topics),
+            "startingOffsets": "earliest",
+        }
+        if max_per_trigger:
+            opts["maxOffsetsPerTrigger"] = str(max_per_trigger)
+        return "kafka", opts
+    opts = {}
+    if max_per_trigger:
+        opts["maxFilesPerTrigger"] = str(max_per_trigger)
+    return "text", opts
+
+
 def read_json_stream(spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source replay of the message stream (one JSON doc per line).
 
-    The count-bounded poll batching of consumer.py:9,42-49 maps to
-    maxFilesPerTrigger (Kafka: maxOffsetsPerTrigger).
+    The Kafka branch differs only in reader config plus a
+    ``CAST(value AS STRING)`` projection (Kafka values are binary) —
+    see buffer_reader_options.
     """
-    reader = spark.readStream.format("text")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    fmt, opts = buffer_reader_options(source="file", max_per_trigger=max_files_per_trigger)
+    reader = spark.readStream.format(fmt)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
     raw = reader.load(path)
     return parse_messages(raw, value_col="value")
 
@@ -112,15 +155,27 @@ def enrich_with_market_dim(deltas: DataFrame, dim: DataFrame) -> DataFrame:
     return deltas.join(F.broadcast(dim), on="ticker", how="left")
 
 
-def foreach_batch_idempotent_sink(flat: DataFrame, out_path: str, checkpoint: str):
+def foreach_batch_idempotent_sink(
+    flat: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    *,
+    ts_col: str = "timestamp",
+    horizon_ms: int | None = None,
+):
     """foreachBatch sink with MERGE-style idempotency on redis_stream_id:
     replays (at-least-once upstream, or checkpoint loss) anti-join against
     the keys already in the sink before appending — the exactly-once
     upgrade of the reference's ack-after-write (consumer.py:104-107).
 
-    At 100 TB, bound the anti-join to the watermark horizon (partition the
-    sink by date and read only recent partitions) or use a transactional
-    table format's MERGE; re-reading the whole sink is the local-dev shape.
+    ``horizon_ms`` bounds the anti-join to the watermark horizon: only
+    sink rows with ``ts_col >= max(batch ts) - horizon_ms`` are loaded
+    as dedup keys, so the scan stays O(horizon), not O(sink history) —
+    the same contract as dropDuplicatesWithinWatermark (a replay
+    arriving later than the horizon may append; delivery guarantees
+    never outlive the watermark). The ts filter prunes via parquet
+    min/max stats; partition the sink by date to prune at the directory
+    level. ``horizon_ms=None`` keeps the unbounded local-dev behavior.
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -131,8 +186,16 @@ def foreach_batch_idempotent_sink(flat: DataFrame, out_path: str, checkpoint: st
         # land in one micro-batch), then anti-join against the sink.
         out = batch_df.dropDuplicates(["redis_stream_id"])
         try:
-            existing = spark.read.parquet(out_path).select("redis_stream_id")
-            out = out.join(F.broadcast(existing), on="redis_stream_id", how="left_anti")
+            existing = spark.read.parquet(out_path)
+            if horizon_ms is not None:
+                # 1-row metadata aggregate on the driver — the foreachBatch
+                # analog of the engine's own per-batch watermark tracking
+                # (not a data collect).
+                hi = out.agg(F.max(F.col(ts_col).cast("long"))).first()[0]
+                if hi is not None:
+                    existing = existing.filter(F.col(ts_col).cast("long") >= hi - horizon_ms)
+            keys = existing.select("redis_stream_id")
+            out = out.join(F.broadcast(keys), on="redis_stream_id", how="left_anti")
         except AnalysisException as exc:
             # Only sink-not-yet-created is a legitimate first-batch state;
             # any other read failure must fail the batch (checkpoint retry)

@@ -216,6 +216,86 @@ def test_foreach_batch_idempotent_sink(spark, msg_dir, tmp_path):
     assert sunk.count() == sunk.select("redis_stream_id").distinct().count() == 1
 
 
+def test_kafka_reader_option_mapping():
+    # The "config-only swap" claim as tested code: exact reader options
+    # for the buffer topics, no broker needed (option construction only).
+    from nt_etl_order_book_spark.streaming.pipeline import (
+        BUFFER_TOPICS,
+        buffer_reader_options,
+    )
+
+    fmt, opts = buffer_reader_options(source="kafka", brokers="b1:9092,b2:9092", max_per_trigger=100)
+    assert fmt == "kafka"
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "orderbook-snapshots,orderbook-deltas",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "100",
+    }
+    assert BUFFER_TOPICS == ("orderbook-snapshots", "orderbook-deltas")
+    # failOnDataLoss must NOT be overridden to false: the reference treats
+    # buffer loss as fatal, so the default (true) is the faithful mapping.
+    assert "failOnDataLoss" not in opts
+
+    with pytest.raises(ValueError, match="brokers"):
+        buffer_reader_options(source="kafka")
+
+    fmt, opts = buffer_reader_options(source="file", max_per_trigger=3)
+    assert (fmt, opts) == ("text", {"maxFilesPerTrigger": "3"})
+
+
+def test_idempotent_sink_watermark_horizon(spark, tmp_path):
+    # With horizon_ms set, dedup keys are loaded only from sink rows
+    # within max(batch ts) - horizon: an in-horizon replay is suppressed,
+    # an out-of-horizon replay appends (delivery guarantees never outlive
+    # the watermark — same contract as dropDuplicatesWithinWatermark).
+    from nt_etl_order_book_spark.streaming.pipeline import foreach_batch_idempotent_sink
+
+    def mk_delta(seq, ts, sid):
+        return {
+            "type": "orderbook_delta", "sid": 1, "seq": seq,
+            "market_ticker": "KXH-A", "market_id": "0",
+            "price": 40, "price_dollars": 0.40, "delta": 1, "side": "yes",
+            "ts": ts, "ingestion_ts": ts, "redis_stream_id": sid,
+        }
+
+    out = str(tmp_path / "hz_out")
+    p1 = tmp_path / "hz1"
+    p1.mkdir()
+    (p1 / "b.json").write_text(
+        "\n".join(json.dumps(m) for m in [mk_delta(1, 1_000, "old-1"), mk_delta(2, 9_000, "new-1")])
+    )
+    q = foreach_batch_idempotent_sink(
+        flatten_deltas(read_json_stream(spark, str(p1))), out, str(tmp_path / "hzcp1"),
+        horizon_ms=5_000,
+    )
+    q.awaitTermination(60)
+
+    # Second run, fresh checkpoint (full replay) plus one new row at
+    # ts 9100 → horizon floor = 9100 - 5000 = 4100: "old-1" (ts 1000) is
+    # out of horizon and re-appends; "new-1" (ts 9000) is suppressed.
+    p2 = tmp_path / "hz2"
+    p2.mkdir()
+    (p2 / "b.json").write_text(
+        "\n".join(
+            json.dumps(m)
+            for m in [mk_delta(1, 1_000, "old-1"), mk_delta(2, 9_000, "new-1"), mk_delta(3, 9_100, "new-2")]
+        )
+    )
+    q = foreach_batch_idempotent_sink(
+        flatten_deltas(read_json_stream(spark, str(p2))), out, str(tmp_path / "hzcp2"),
+        horizon_ms=5_000,
+    )
+    q.awaitTermination(60)
+
+    counts = {
+        r.redis_stream_id: r.n
+        for r in spark.read.parquet(out)
+        .groupBy("redis_stream_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"old-1": 2, "new-1": 1, "new-2": 1}
+
+
 def test_streaming_metrics_listener(spark, msg_dir, tmp_path):
     from nt_etl_order_book_spark.streaming.metrics import BookPipelineListener
 
