@@ -369,3 +369,60 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.filter(F.col("jaccard") >= 0.8)
+
+
+# Pseudo-benchmark membership for the decontamination query: a
+# deterministic 1/97 slice of the corpus plays the held-out eval set.
+BENCH_MOD = 97
+DECONTAM_MIN_SHARED = 3
+
+
+@register(
+    "decontaminate_ngram",
+    f"""
+    WITH sh_all AS (
+      SELECT doc_id, UNNEST(list_distinct(g)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)] AS g
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+      )
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM sh_all
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 200
+    ),
+    corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+    bench  AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} = 0)
+    SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+    FROM corpus c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id, b.doc_id
+    HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
+    """,
+    doc=(
+        "Benchmark decontamination: flag training docs sharing >= "
+        f"{DECONTAM_MIN_SHARED} distinct 3-gram shingles with any held-out "
+        "benchmark doc (deterministic 1/97 slice stands in for the eval "
+        "set). Same capped inverted-index shape as ngram_jaccard, but the "
+        "join is corpus x benchmark — the benchmark side is tiny, so at "
+        "100 TB the shuffle carries only benchmark-matching shingles."
+    ),
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=3)
+    w = Window.partitionBy("shingle")
+    sh = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .drop("_df")
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    corpus = sh.filter(~is_bench)
+    bench = sh.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "shingle")
+    return (
+        corpus.join(bench, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
+    )

@@ -240,3 +240,117 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("sha_fp"),
         F.md5(F.lower(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias("normalized_fp"),
     )
+
+
+@register(
+    "topk_ngrams",
+    """
+    WITH sh AS (
+      SELECT doc_id, UNNEST(list_distinct(g)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)] AS g
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+      )
+    )
+    SELECT shingle, COUNT(*) AS doc_freq
+    FROM sh GROUP BY shingle
+    ORDER BY doc_freq DESC, shingle ASC
+    LIMIT 20
+    """,
+    doc=(
+        "Vocabulary head: top-20 3-gram shingles by document frequency — "
+        "the corpus-QA view that feeds boilerplate blocklists and the "
+        "MAX_SHINGLE_DF cap. One partial-aggregated shuffle of (shingle, "
+        "count) pairs; top-k via global sort of the aggregate (tiny)."
+    ),
+)
+def q_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_etl_order_book_spark.functions.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(20)
+    )
+
+
+@register(
+    "doc_length_histogram",
+    """
+    SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc=(
+        "Corpus-QA length histogram: fixed-width (100-char) buckets with "
+        "doc counts and per-bucket language spread — the sanity view run "
+        "before and after every filtering stage."
+    ),
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("bigint")
+    return docs.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# Redaction patterns: RE2-safe (work identically under Java regex and
+# DuckDB's RE2 — no lookbehind, no backrefs). The entity pattern stands
+# in for a dictionary-based scrubber; emails/numbers are the standard
+# PII shapes (absent from the fixture corpus — their zero counts are
+# still oracle-checked).
+_RE_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+_RE_NUMBER = "[0-9]+"
+_RE_ENTITY = "\\bcustomer\\b"
+
+
+@register(
+    "redact_pii",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_RE_EMAIL}')) AS n_email,
+           len(regexp_extract_all(text, '{_RE_NUMBER}')) AS n_number,
+           len(regexp_extract_all(text, '{_RE_ENTITY}')) AS n_entity,
+           LENGTH(regexp_replace(regexp_replace(regexp_replace(text,
+                  '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                  '{_RE_NUMBER}', '<NUM>', 'g'),
+                  '{_RE_ENTITY}', '<ENTITY>', 'g')) AS redacted_len
+    FROM documents
+    """,
+    doc=(
+        "Rule-based scrubbing: count and replace email / number / "
+        "dictionary-entity matches per doc (the pre-training redaction "
+        "pass). Pure regexp expressions — narrow, no shuffle, pushes "
+        "column pruning to the scan."
+    ),
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _RE_EMAIL, "<EMAIL>"),
+            _RE_NUMBER,
+            "<NUM>",
+        ),
+        _RE_ENTITY,
+        "<ENTITY>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_RE_EMAIL)).alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(_RE_NUMBER)).alias("n_number"),
+        F.regexp_count(F.col("text"), F.lit(_RE_ENTITY)).alias("n_entity"),
+        F.length(redacted).alias("redacted_len"),
+    )

@@ -73,7 +73,12 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "text_stats", "tokenize_tf", "lang_id", "quality_score",
     "token_count", "doc_fingerprint",
     "udf_scalar_pandas", "udaf_grouped", "udtf_explode_custom",
-    # -- regression slots (17): flagship + per-family representatives --
+    # -- new this round (4): never driver-checked --
+    "decontaminate_ngram",
+    "topk_ngrams",
+    "doc_length_histogram",
+    "redact_pii",
+    # -- regression slots (13): flagship + per-family representatives --
     "book_reconstruct",
     "join_asof",            # asof struct-stitch fix this round
     "join_inner_hash",
@@ -85,12 +90,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "set_union_all",
     "dedup_exact",
     "sort_limit",
-    "filter_msg_type",
-    "explode_ladder",
-    "cast_schema",
     "seq_gap_check",
     "composite_regional_revenue",
-    "agg_having",
 )
 
 
