@@ -60,3 +60,25 @@ def test_asof_join_is_single_key_shuffle_per_input(spark, sf_dir):
     from nt_etl_order_book_spark.plans.explain import formatted_plan
 
     assert "NestedLoop" not in formatted_plan(df)
+
+
+def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
+    # The full-corpus cell assignment must be a narrow projection: the
+    # only hash exchanges in the whole plan are the two tiny qid windows
+    # (probe ranking + final top-k). Round 1 shuffled corpus×N_CELLS
+    # expanded rows through Window.partitionBy(vec_id) just to argmax.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    df = registry.queries()["ann_ivf_topk"](spark, sf_dir)
+    assert count_shuffles(df) <= 2
+    # the codebook attaches via a 1-row broadcast, never a row-expanding join
+    assert "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    # corpus ⋈ benchmark must build on the (tiny) benchmark side so the
+    # corpus never shuffles for the join; remaining exchanges are the
+    # DF-cap windows and the final pair aggregate.
+    df = registry.queries()["decontaminate_ngram"](spark, sf_dir)
+    assert plan_uses_broadcast_join(df)
+    assert count_shuffles(df) <= 3
