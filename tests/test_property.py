@@ -55,6 +55,39 @@ def test_asof_join_matches_bruteforce(spark_prop, left, right):
         assert got[i] == expected, f"lid={i} key={k} ts={ts}: {got[i]} != {expected}"
 
 
+maybe_val = st.one_of(st.none(), VAL)
+nullable_right = st.lists(
+    st.tuples(st.sampled_from(KEYS), TS, maybe_val, maybe_val), min_size=0, max_size=10
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=left_rows, right=nullable_right)
+def test_asof_join_never_stitches_composite_rows(spark_prop, left, right):
+    # Anti-stitch invariant: every matched (asof_a, asof_b) pair must be
+    # a row that EXISTS in the right table — per-column last(ignorenulls)
+    # used to fabricate composites from different right rows when one
+    # column was NULL.
+    spark = spark_prop
+    rd: dict[tuple, tuple] = {}
+    for k, ts, a, b in right:
+        rd[(k, ts)] = (a, b)  # unique per (key, ts): last writer wins
+    ldf = spark.createDataFrame(
+        [(k, ts) for k, ts in left] or [("Z", -1)], "k string, ts int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts, a, b) for (k, ts), (a, b) in rd.items()] or [("Z", -1, 0, 0)],
+        "k string, ts int, a int, b int",
+    )
+    out = asof_join(ldf, rdf, key="k", left_ts="ts", right_ts="ts", value_cols=["a", "b"])
+    # no-match rows are all-null; (0, 0) is the empty-side placeholder row
+    real_rows = set(rd.values()) | {(None, None), (0, 0)}
+    for r in out.collect():
+        assert (r.asof_a, r.asof_b) in real_rows, (
+            f"composite row ({r.asof_a}, {r.asof_b}) never existed in right"
+        )
+
+
 snap_rows = st.lists(st.tuples(st.sampled_from(KEYS), TS, VAL), min_size=0, max_size=8)
 delta_rows = st.lists(st.tuples(st.sampled_from(KEYS), TS, VAL), min_size=0, max_size=12)
 
