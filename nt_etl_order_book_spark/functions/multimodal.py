@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -48,6 +49,11 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType(), True),
         StructField("feature_dim", LongType(), True),
         StructField("feature_crc", LongType(), True),
+        # real-decode fields: populated for formats decoded natively
+        # (BMP), NULL for formats that would need codec libs
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("mean_lum", DoubleType(), True),
     ]
 )
 
@@ -68,20 +74,66 @@ def as_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+_NO_IMAGE = {"width": None, "height": None, "mean_lum": None}
+
+
+def _decode_bmp(payload: bytes) -> dict | None:
+    """Real decode for uncompressed 24-bit BMP — pure struct + numpy, no
+    codec library. Returns None (→ fallback) for anything that isn't a
+    well-formed 24bpp BMP."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    try:
+        pix_off = struct.unpack_from("<I", payload, 10)[0]
+        width = struct.unpack_from("<i", payload, 18)[0]
+        height = struct.unpack_from("<i", payload, 22)[0]
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+            return None
+        row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+        n_rows = abs(height)
+        if len(payload) < pix_off + row_bytes * n_rows:
+            return None
+        arr = np.frombuffer(payload, dtype=np.uint8, offset=pix_off, count=row_bytes * n_rows)
+        px = arr.reshape(n_rows, row_bytes)[:, : width * 3].reshape(n_rows, width, 3)
+        b, g, r = px.astype(np.float64).mean(axis=(0, 1))
+        return {
+            "feature_dim": 3,
+            "feature_crc": int(px.sum()) % (1 << 31),
+            "width": width,
+            "height": n_rows,
+            "mean_lum": float((0.114 * b + 0.587 * g + 0.299 * r) / 255.0),
+        }
+    except Exception:
+        return None
+
+
 def decode_payload(payload: bytes, media_type: str) -> dict:
-    """STUB: real deployments decode image/audio/video here (PIL,
-    torchaudio, pyav — not present in this container). The deterministic
-    fake derives a feature vector length + checksum from the raw bytes
-    so the distributed plumbing is exercised end-to-end.
+    """Decode a payload into features.
+
+    Uncompressed 24-bit BMP images decode for REAL (header parse + numpy
+    pixel stats — no codec library needed). Every other format would
+    need PIL/torchaudio/pyav, which this container lacks, so they take
+    the clearly-marked deterministic fallback: a feature length +
+    checksum derived from the raw bytes, exercising the distributed
+    plumbing end-to-end without pretending to decode.
     """
     if payload is None:
-        return {"feature_dim": 0, "feature_crc": 0}
-    # Deterministic fake "features": dim from payload length, crc from bytes.
+        return {"feature_dim": 0, "feature_crc": 0, **_NO_IMAGE}
+    bmp = _decode_bmp(payload)
+    if bmp is not None:
+        return bmp
+    # Deterministic fallback "features": dim from payload length, crc from bytes.
     dim = 16 + (len(payload) % 48)
     crc = 0
     for i, byte in enumerate(payload[:256]):
         crc = (crc * 31 + byte + i) % (1 << 31)
-    return {"feature_dim": dim, "feature_crc": crc}
+    return {"feature_dim": dim, "feature_crc": crc, **_NO_IMAGE}
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -99,6 +151,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int64"),
                     "feature_dim": pd.Series([f["feature_dim"] for f in feats], dtype="int64"),
                     "feature_crc": pd.Series([f["feature_crc"] for f in feats], dtype="int64"),
+                    "width": pd.Series([f["width"] for f in feats], dtype="Int64"),
+                    "height": pd.Series([f["height"] for f in feats], dtype="Int64"),
+                    "mean_lum": pd.Series([f["mean_lum"] for f in feats], dtype="float64"),
                 }
             )
 

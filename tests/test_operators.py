@@ -128,3 +128,42 @@ def test_seq_gap_detection(spark):
         .collect()
     )
     assert [(g.event_id, g.prev) for g in gaps] == [(7, 3)]
+
+
+def test_multimodal_bmp_decodes_for_real(spark):
+    # A well-formed 24bpp BMP must decode natively (header parse + numpy
+    # pixel stats); arbitrary bytes take the deterministic fallback with
+    # NULL image fields. Runs through the full mapInPandas path.
+    import struct
+
+    from nt_etl_order_book_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    width, height = 2, 2
+    row = bytes([255, 0, 0] * 2 + [0, 0]) # two blue pixels + 2 pad bytes
+    red_row = bytes([0, 0, 255] * 2 + [0, 0])
+    pixels = row + red_row
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    )
+    bmp = header + pixels
+    rows = [
+        (1, "image", bmp, len(bmp), "fp1"),
+        (2, "image", b"not an image at all, just bytes", 31, "fp2"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.doc_id: r for r in extract_features(df).collect()}
+
+    real = got[1]
+    assert (real.width, real.height, real.feature_dim) == (2, 2, 3)
+    # 2 blue + 2 red pixels: mean B = mean R = 127.5, mean G = 0
+    expect_lum = (0.114 * 127.5 + 0.587 * 0.0 + 0.299 * 127.5) / 255.0
+    assert abs(real.mean_lum - expect_lum) < 1e-9
+
+    fake = got[2]
+    assert fake.width is None and fake.height is None and fake.mean_lum is None
+    assert fake.feature_dim == 16 + (31 % 48)
