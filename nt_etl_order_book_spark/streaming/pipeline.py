@@ -325,6 +325,36 @@ def windowed_vwap(
     )
 
 
+def windowed_market_breadth(
+    deltas: DataFrame,
+    *,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Market breadth per window: approximate distinct active tickers
+    (HLL sketch — bytes of state per window instead of a distinct-set
+    that grows with market count) plus total message volume. The
+    streaming analog of `agg_approx_distinct`; at cluster scale an
+    exact streaming distinct per window would hold every ticker in
+    state forever, while the sketch is O(1) per window and mergeable
+    across partitions.
+    """
+    with_time = deltas.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"))
+        .agg(
+            F.approx_count_distinct("ticker").alias("approx_active_tickers"),
+            F.count(F.lit(1)).alias("n_msgs"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "approx_active_tickers",
+            "n_msgs",
+        )
+    )
+
+
 def session_bursts(
     deltas: DataFrame,
     *,

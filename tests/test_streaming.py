@@ -216,6 +216,37 @@ def test_foreach_batch_idempotent_sink(spark, msg_dir, tmp_path):
     assert sunk.count() == sunk.select("redis_stream_id").distinct().count() == 1
 
 
+def test_windowed_market_breadth(spark, tmp_path):
+    # Approximate distinct active tickers per window (HLL state, not a
+    # growing distinct set). 3 tickers inside one minute: the sketch at
+    # this cardinality is exact.
+    from nt_etl_order_book_spark.streaming.pipeline import windowed_market_breadth
+
+    p = tmp_path / "breadth"
+    p.mkdir()
+    msgs = []
+    for i, t in enumerate(["KXW-A", "KXW-B", "KXW-C", "KXW-A"]):
+        m = dict(DELTA)
+        m["market_ticker"] = t
+        m["ingestion_ts"] = 1_700_000_000_000 + i * 1000
+        m["redis_stream_id"] = f"br-{i}"
+        msgs.append(json.dumps(m))
+    (p / "b.json").write_text("\n".join(msgs))
+    stream = read_json_stream(spark, str(p))
+    q = (
+        windowed_market_breadth(flatten_deltas(stream))
+        .writeStream.format("memory")
+        .queryName("breadth_tbl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from breadth_tbl").collect()
+    assert len(rows) == 1
+    assert rows[0].approx_active_tickers == 3 and rows[0].n_msgs == 4
+
+
 def test_kafka_reader_option_mapping():
     # The "config-only swap" claim as tested code: exact reader options
     # for the buffer topics, no broker needed (option construction only).
