@@ -411,17 +411,26 @@ DECONTAM_MIN_SHARED = 3
 def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles(docs, "doc_id", "text", n=3)
-    w = Window.partitionBy("shingle")
-    sh = (
-        sh.withColumn("_df", F.count(F.lit(1)).over(w))
-        .filter(F.col("_df") <= MAX_SHINGLE_DF)
-        .drop("_df")
+    # DF cap as a HOT-SHINGLE BLOCKLIST anti-join, not a window: the
+    # benchmark side broadcasts, so the corpus index never needs a
+    # shuffle here — a Window.partitionBy(shingle) cap would introduce
+    # the only full-index exchange in the plan. The blocklist aggregate
+    # shuffles partial (shingle, count) states and the list itself is
+    # tiny (only shingles OVER the cap), so it broadcasts too.
+    # (ngram_jaccard keeps the window form: its self-join shuffles by
+    # shingle anyway and the window reuses that exchange for free.)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
     )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     corpus = sh.filter(~is_bench)
     bench = sh.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "shingle")
     return (
-        corpus.join(bench, "shingle")
+        corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
