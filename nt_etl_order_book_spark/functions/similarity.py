@@ -358,3 +358,55 @@ def q_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(nrm), 6).alias("min_norm"),
         F.round(F.max(nrm), 6).alias("max_norm"),
     )
+
+
+DEDUP_COS_TAU = 0.3  # fixture-calibrated: isotropic 64-dim corpus tops out ≈0.47
+
+
+@register(
+    "embed_cosine_dedup",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b, a.label,
+           ROUND(
+             list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+             / nullif(a.nrm * b.nrm, 0), 6
+           ) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+          / nullif(a.nrm * b.nrm, 0) >= {DEDUP_COS_TAU}
+    """,
+    doc=(
+        "Embedding-cosine near-dup pairs via BLOCKING: exact all-pairs "
+        "cosine within each metadata block (label), threshold "
+        f"{DEDUP_COS_TAU}. The classic record-linkage shape: the join "
+        "shuffles once on the blocking key, so cost is sum of block² — "
+        "at 100 TB pick finer blocking keys (label × coarse LSH bucket) "
+        "to bound block size; the unblocked approximate path is "
+        "ann_lsh_topk's banding."
+    ),
+)
+def q_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Norms once per row, BEFORE the self-join (not per pair).
+    e = emb.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
+    a = e.select(
+        F.col("vec_id").alias("a"), "label",
+        F.col("embedding").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b"), "label",
+        F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+    return (
+        a.join(b, "label")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "label", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= DEDUP_COS_TAU)
+    )

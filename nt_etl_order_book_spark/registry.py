@@ -73,12 +73,13 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "text_stats", "tokenize_tf", "lang_id", "quality_score",
     "token_count", "doc_fingerprint",
     "udf_scalar_pandas", "udaf_grouped", "udtf_explode_custom",
-    # -- new this round (4): never driver-checked --
+    # -- new this round (5): never driver-checked --
     "decontaminate_ngram",
     "topk_ngrams",
     "doc_length_histogram",
     "redact_pii",
-    # -- regression slots (13): flagship + per-family representatives --
+    "embed_cosine_dedup",
+    # -- regression slots (12): flagship + per-family representatives --
     "book_reconstruct",
     "join_asof",            # asof struct-stitch fix this round
     "join_inner_hash",
@@ -89,7 +90,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "win_rank_topk_depth",
     "set_union_all",
     "dedup_exact",
-    "sort_limit",
     "seq_gap_check",
     "composite_regional_revenue",
 )
