@@ -82,3 +82,13 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     df = registry.queries()["decontaminate_ngram"](spark, sf_dir)
     assert plan_uses_broadcast_join(df)
     assert count_shuffles(df) <= 3
+
+
+def test_corpus_qa_ops_prune_scan_columns(spark, sf_dir):
+    # redact_pii needs only (doc_id, text); doc_length_histogram only
+    # (n_chars, lang) — at 100 TB reading the text column for a length
+    # histogram would dominate the query cost.
+    cols = scan_read_schema(registry.queries()["redact_pii"](spark, sf_dir))
+    assert "text" in cols and "lang" not in cols and "source" not in cols
+    cols = scan_read_schema(registry.queries()["doc_length_histogram"](spark, sf_dir))
+    assert "text" not in cols
