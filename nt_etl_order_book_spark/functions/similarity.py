@@ -361,16 +361,27 @@ def q_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_COS_TAU = 0.3  # fixture-calibrated: isotropic 64-dim corpus tops out ≈0.47
+# Blocks larger than this are EXCLUDED from the exact pass: within-block
+# cost is block², so one oversized block is the quadratic cliff (measured
+# 87× wall at 10× data before the cap). Oversized blocks belong to the
+# approximate path (ann_lsh_topk's banding) — same contract as
+# MAX_SHINGLE_DF / max_bucket in the text-dedup family.
+MAX_BLOCK = 10_000
 
 
 @register(
     "embed_cosine_dedup",
     f"""
-    WITH e AS (
+    WITH sized AS (
+      SELECT vec_id, label, embedding,
+             COUNT(*) OVER (PARTITION BY label) AS bsz
+      FROM embeddings
+    ),
+    e AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
-      FROM embeddings
+      FROM sized WHERE bsz <= {MAX_BLOCK}
     )
     SELECT a.vec_id AS a, b.vec_id AS b, a.label,
            ROUND(
@@ -386,13 +397,23 @@ DEDUP_COS_TAU = 0.3  # fixture-calibrated: isotropic 64-dim corpus tops out ≈0
         "cosine within each metadata block (label), threshold "
         f"{DEDUP_COS_TAU}. The classic record-linkage shape: the join "
         "shuffles once on the blocking key, so cost is sum of block² — "
-        "at 100 TB pick finer blocking keys (label × coarse LSH bucket) "
-        "to bound block size; the unblocked approximate path is "
-        "ann_lsh_topk's banding."
+        f"blocks over {MAX_BLOCK} rows are excluded (quadratic guard) "
+        "and belong to the approximate path (ann_lsh_topk's banding); "
+        "production subdivides with finer keys (label × coarse bucket)."
     ),
 )
 def q_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # Quadratic guard as a broadcast blocklist (same shape as the
+    # decontamination DF cap): the list of OVERSIZED labels is tiny, and
+    # the aggregate shuffles partial counts, never rows.
+    big = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > MAX_BLOCK)
+        .select("label")
+    )
+    emb = emb.join(F.broadcast(big), "label", "left_anti")
     # Norms once per row, BEFORE the self-join (not per pair).
     e = emb.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
     a = e.select(
