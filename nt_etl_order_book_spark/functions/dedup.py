@@ -435,3 +435,86 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
     )
+
+
+@register(
+    "dedup_components",
+    """
+    WITH RECURSIVE sh_all AS (
+      SELECT doc_id, UNNEST(list_distinct(g)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)] AS g
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+      )
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM sh_all
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 200
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS inter
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      GROUP BY s1.doc_id, s2.doc_id
+    ),
+    pairs AS (
+      SELECT i.a, i.b
+      FROM inter i
+      JOIN sizes za ON i.a = za.doc_id
+      JOIN sizes zb ON i.b = zb.doc_id
+      WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.8
+    ),
+    sym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+    reach AS (
+      SELECT x, y FROM sym
+      UNION
+      SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+    )
+    SELECT x AS doc_id, LEAST(x, MIN(y)) AS component
+    FROM reach GROUP BY x
+    """,
+    doc=(
+        "Near-dup CLUSTERS: connected components over the ngram_jaccard "
+        "pair graph (jaccard >= 0.8), component id = min doc_id — the "
+        "stage that turns pairwise matches into survivor groups (keep "
+        "component id, drop the rest). Spark side is min-label "
+        "propagation iterated to convergence, each round one keyed "
+        "aggregate + one join, labels localCheckpoint'ed so lineage "
+        "stays flat; rounds needed = graph diameter (near-dup components "
+        "are tiny and dense, so a handful). The DuckDB oracle computes "
+        "the exact transitive closure recursively — feasible at oracle "
+        "scale, and the hash-match proves the distributed propagation "
+        "reaches the true fixpoint."
+    ),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_ngram_jaccard(spark, sf_dir).select("a", "b")
+    sym = pairs.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        pairs.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    # Min-label propagation: label(x) starts at min(x, min neighbor),
+    # then each round pulls the smallest label in the neighborhood.
+    labels = sym.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(20):  # diameter bound; loop exits at fixpoint below
+        nbr = (
+            sym.join(labels.withColumnRenamed("x", "y2"), F.col("y") == F.col("y2"))
+            .groupBy("x")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "x", "left")
+            .select("x", F.least("label", F.coalesce("nbr_min", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "x")
+            .filter(F.col("new_label") != F.col("label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels.select(F.col("x").alias("doc_id"), F.col("label").alias("component"))

@@ -73,13 +73,14 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "text_stats", "tokenize_tf", "lang_id", "quality_score",
     "token_count", "doc_fingerprint",
     "udf_scalar_pandas", "udaf_grouped", "udtf_explode_custom",
-    # -- new this round (5): never driver-checked --
+    # -- new this round (6): never driver-checked --
     "decontaminate_ngram",
     "topk_ngrams",
     "doc_length_histogram",
     "redact_pii",
     "embed_cosine_dedup",
-    # -- regression slots (12): flagship + per-family representatives --
+    "dedup_components",
+    # -- regression slots (11): flagship + per-family representatives --
     "book_reconstruct",
     "join_asof",            # asof struct-stitch fix this round
     "join_inner_hash",
@@ -90,7 +91,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "win_rank_topk_depth",
     "set_union_all",
     "dedup_exact",
-    "seq_gap_check",
     "composite_regional_revenue",
 )
 
