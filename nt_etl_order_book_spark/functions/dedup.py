@@ -493,6 +493,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
         pairs.select(F.col("b").alias("x"), F.col("a").alias("y"))
     )
+    # Materialize the edge list ONCE: every propagation round joins it,
+    # and without this each round re-runs the whole shingle/inverted-
+    # index pipeline (measured 4× end-to-end at sf0.1). The edge list is
+    # near-dup pairs only — tiny relative to the corpus.
+    sym = sym.localCheckpoint(eager=True)
     # Min-label propagation: label(x) starts at min(x, min neighbor),
     # then each round pulls the smallest label in the neighborhood.
     labels = sym.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("label"))
