@@ -437,6 +437,67 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame:
+    """(a, b) undirected pair edges → (x, label) with label = min node id
+    in x's component.
+
+    Min-label propagation WITH pointer doubling: each round takes the
+    min over (own label, neighbors' labels, label-of-label). Doubling
+    makes convergence O(log diameter) instead of O(diameter), so
+    `max_rounds` = 25 covers any graph that fits on disk; the loop still
+    exits at the observed fixpoint (usually 2-4 rounds on near-dup
+    graphs). Labels are localCheckpoint'ed so lineage stays flat.
+    """
+    sym = pairs.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        pairs.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    # Materialize the edge list ONCE: every propagation round joins it,
+    # and without this each round re-runs the whole upstream pair
+    # pipeline (measured 4× end-to-end at sf0.1). The edge list is
+    # near-dup pairs only — tiny relative to the corpus.
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(labels.withColumnRenamed("x", "y2"), F.col("y") == F.col("y2"))
+            .groupBy("x")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        # pointer doubling: x's label jumps to its label's label —
+        # label ids are node ids, so they exist as keys in `labels`
+        chase = (
+            labels.join(
+                labels.select(F.col("x").alias("lx"), F.col("label").alias("chase_min")),
+                F.col("label") == F.col("lx"),
+            )
+            .select("x", "chase_min")
+        )
+        new_labels = (
+            labels.join(nbr, "x", "left")
+            .join(chase, "x", "left")
+            .select(
+                "x",
+                F.least(
+                    "label",
+                    F.coalesce("nbr_min", "label"),
+                    F.coalesce("chase_min", "label"),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "x")
+            .filter(F.col("new_label") != F.col("label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels
+
+
 @register(
     "dedup_components",
     """
@@ -490,36 +551,5 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_ngram_jaccard(spark, sf_dir).select("a", "b")
-    sym = pairs.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
-        pairs.select(F.col("b").alias("x"), F.col("a").alias("y"))
-    )
-    # Materialize the edge list ONCE: every propagation round joins it,
-    # and without this each round re-runs the whole shingle/inverted-
-    # index pipeline (measured 4× end-to-end at sf0.1). The edge list is
-    # near-dup pairs only — tiny relative to the corpus.
-    sym = sym.localCheckpoint(eager=True)
-    # Min-label propagation: label(x) starts at min(x, min neighbor),
-    # then each round pulls the smallest label in the neighborhood.
-    labels = sym.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(20):  # diameter bound; loop exits at fixpoint below
-        nbr = (
-            sym.join(labels.withColumnRenamed("x", "y2"), F.col("y") == F.col("y2"))
-            .groupBy("x")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, "x", "left")
-            .select("x", F.least("label", F.coalesce("nbr_min", "label")).alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "x")
-            .filter(F.col("new_label") != F.col("label"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if changed:
-            break
+    labels = connected_components(pairs)
     return labels.select(F.col("x").alias("doc_id"), F.col("label").alias("component"))

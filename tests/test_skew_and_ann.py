@@ -186,3 +186,20 @@ def test_ivf_recall_on_clustered_corpus(spark):
         sim.load_table = orig
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.9, f"clustered-corpus IVF recall {recall:.2f}"
+
+
+def test_connected_components_long_chain(spark):
+    # A 60-node path graph has diameter 59: single-hop min-label
+    # propagation would need 59 rounds (and silently return wrong
+    # components at the 25-round cap); pointer doubling converges in
+    # O(log n). Everything must collapse to component 0, plus a separate
+    # pair and an isolated edge kept apart.
+    from nt_etl_order_book_spark.functions.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(59)]          # 0-1-2-...-59
+    extra = [(100, 101), (200, 300)]                  # two separate components
+    pairs = spark.createDataFrame(chain + extra, "a long, b long")
+    got = {r.x: r.label for r in connected_components(pairs).collect()}
+    assert all(got[i] == 0 for i in range(60))
+    assert got[100] == got[101] == 100
+    assert got[200] == got[300] == 200
