@@ -61,7 +61,7 @@ def _sql_hash_bucket(expr: str, n_buckets: int = 100) -> str:
                 WHEN bucket < 90 THEN 'valid'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc_id
     FROM bucketed
     GROUP BY 1

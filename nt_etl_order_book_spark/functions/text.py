@@ -58,8 +58,8 @@ LANG_MARKERS: dict[str, list[str]] = {
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
-           SUM(n_words) AS total_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
            {sql_davg('n_chars')} AS avg_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars

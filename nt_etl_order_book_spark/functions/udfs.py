@@ -62,7 +62,7 @@ def q_udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_rows,
-           SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty_floor,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_floor,
            MAX(l_extendedprice) AS max_price
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus

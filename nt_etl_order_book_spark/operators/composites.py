@@ -171,8 +171,8 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_roundtrip",
     """
     SELECT event_id,
-           to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT),
-                               et := event_type)) AS packed
+           CAST(to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT),
+                                    et := event_type)) AS VARCHAR) AS packed
     FROM events
     """,
     doc="JSON encode side of the codec: decode a field, re-encode an envelope struct (redis_client.py:42-45 round trip).",

@@ -2,10 +2,20 @@
 
 Runs every `queries()` entry on Spark and its `oracle_sql()` twin on
 DuckDB at the given sf dir, compares row count, column names (sorted),
-and values (order-insensitive, exact) — stricter than any value-hash,
-so passing here implies passing the driver.
+and values (order-insensitive, exact) — stricter than any value-hash
+ON VALUES, but the driver additionally hashes the oracle frame's
+serialized dtypes: a DuckDB HUGEINT (e.g. SUM(INTEGER) widens) vs
+Spark BIGINT is value-equal here yet hash-mismatches at the driver
+(observed r2: session_islands, sample_split, text_stats, udaf_grouped).
 
-Usage: python tools/check.py [sf_dir] [query ...]
+`--dtypes` audits exactly that boundary: for every oracled query it
+resolves the DuckDB relation's logical column types (lazy, no rows
+fetched) against the Spark DataFrame schema (plan only, no job), and
+FAILs any column whose DuckDB type has no exact Spark twin (HUGEINT,
+unsigned ints) or whose type family disagrees (int vs float vs decimal
+vs string vs temporal). Run it after adding or editing any oracle.
+
+Usage: python tools/check.py [--dtypes] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -69,9 +79,89 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+# DuckDB logical types that exist in Spark's type system, normalized to
+# a comparison family. Anything absent (HUGEINT, UBIGINT, ...) is an
+# automatic audit failure regardless of the Spark side.
+_DUCK_FAMILY = {
+    "BOOLEAN": "bool",
+    "TINYINT": "int",
+    "SMALLINT": "int",
+    "INTEGER": "int",
+    "BIGINT": "int",
+    "FLOAT": "float",
+    "DOUBLE": "float",
+    "VARCHAR": "string",
+    "BLOB": "binary",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+}
+
+_SPARK_FAMILY = {
+    "boolean": "bool",
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "float": "float",
+    "double": "float",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def _family(type_str: str, table: dict[str, str]) -> str:
+    t = type_str.strip().lower() if table is _SPARK_FAMILY else type_str.strip().upper()
+    if t.startswith(("decimal", "DECIMAL")):
+        return "decimal"
+    if t.startswith(("array", "list", "LIST", "ARRAY", "struct", "STRUCT", "map", "MAP")):
+        return "nested"
+    return table.get(t, f"UNSUPPORTED({type_str})")
+
+
+def dtype_audit(spark, con, qs, oracles, sf_dir: str, only: set[str]) -> int:
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if (only and name not in only) or name not in oracles:
+            continue
+        problems = []
+        try:
+            rel = con.sql(oracles[name])
+            duck_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+            spark_types = dict(fn(spark, sf_dir).dtypes)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: audit error: {e}")
+            n_fail += 1
+            continue
+        for col, dt in duck_types.items():
+            dfam = _family(dt, _DUCK_FAMILY)
+            if dfam.startswith("UNSUPPORTED"):
+                problems.append(f"{col}: duck type {dt} has no Spark twin")
+                continue
+            st = spark_types.get(col)
+            if st is None:
+                problems.append(f"{col}: missing on spark side")
+                continue
+            sfam = _family(st, _SPARK_FAMILY)
+            if dfam != sfam and "nested" not in (dfam, sfam):
+                problems.append(f"{col}: duck {dt} ({dfam}) vs spark {st} ({sfam})")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            n_pass += 1
+    print(f"\ndtype audit: {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--dtypes"]
+    dtypes_mode = "--dtypes" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     if os.environ.get("SPARK_CHECK_DRIVER_MIMIC"):
         # Hostile-session mode: build the session the way an external
         # driver might (non-UTC, default confs) so the per-query
@@ -93,6 +183,8 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if dtypes_mode:
+        return dtype_audit(spark, con, qs, oracles, sf_dir, only)
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
