@@ -54,43 +54,39 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 # The driver's per-round correctness sweep caps at 50 queries, taken in
 # registration order (confirmed: CORRECTNESS_r01.json holds exactly the
-# first 50 registered names). Round 1 therefore never driver-checked the
-# 33 queries registered after slot 50. This priority list front-loads
-# those 33, then fills the remaining 17 sweep slots with the flagship and
-# one regression representative per operator family (preferring queries
-# whose implementation changed this round). Everything else keeps
-# registration order after the priority block — nothing is dropped from
-# `queries()`, only reordered.
+# first 50 registered names). This priority list is rotated each round so
+# that (a) queries whose implementation or oracle changed this round and
+# queries new this round land in slots 1-50, then (b) queries whose most
+# recent driver row is oldest, then (c) regression representatives.
+# Everything else keeps registration order after the priority block —
+# nothing is dropped from `queries()`, only reordered. Names not yet
+# registered are skipped gracefully.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # -- round-1 driver-unchecked (33) --
-    "session_islands", "win_ntile", "best_bid_ask",
-    "dedup_exact_docs", "minhash_dedup", "simhash_dedup", "ngram_jaccard",
-    "multimodal_meta", "multimodal_features",
-    "sample_split", "stratified_sample",
-    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
-    "fn_map_ops", "fn_bitwise", "fn_null_safe_eq", "fn_conditional",
-    "cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "embed_norm_stats",
-    "text_stats", "tokenize_tf", "lang_id", "quality_score",
-    "token_count", "doc_fingerprint",
-    "udf_scalar_pandas", "udaf_grouped", "udtf_explode_custom",
-    # -- new this round (6): never driver-checked --
-    "decontaminate_ngram",
-    "topk_ngrams",
-    "doc_length_histogram",
-    "redact_pii",
-    "embed_cosine_dedup",
-    "dedup_components",
-    # -- regression slots (11): flagship + per-family representatives --
+    # -- round 3: oracle/impl changed this round (5) --
+    "session_islands", "sample_split", "text_stats", "udaf_grouped",
+    "ann_ivf_topk",
+    # -- round 3: new this round --
+    "paragraph_dedup",
+    "bloom_filter_dedup",
+    # -- last driver row is round 1 (39): rotate back into the window --
+    "json_roundtrip",       # oracle changed this round too (VARCHAR pin)
+    "scan_parquet", "filter_msg_type", "project_rename", "cast_schema",
+    "json_encode_decode", "explode_ladder", "unpivot_sides",
+    "add_event_ts_ms", "notnull_guard", "seq_gap_check",
+    "join_broadcast", "join_left_right_outer", "join_full_outer",
+    "join_semi", "join_anti", "join_theta_range",
+    "agg_multi", "agg_distinct", "agg_approx_distinct", "agg_stats",
+    "agg_median", "agg_string_concat", "agg_weighted_avg", "agg_cube",
+    "agg_having",
+    "win_lag_lead", "win_moving_avg", "win_range_frame", "win_first_last",
+    "sort_limit", "sort_nulls",
+    "set_union_distinct", "set_intersect", "set_except",
+    "pivot_event_types", "subquery_scalar", "subquery_correlated",
+    "composite_shipping_priority",
+    # -- regression slots: flagship + per-family representatives --
     "book_reconstruct",
-    "join_asof",            # asof struct-stitch fix this round
-    "join_inner_hash",
-    "join_interval",
-    "agg_groupby_sum",
-    "agg_grouping_sets",
-    "win_running_sum",
-    "win_rank_topk_depth",
-    "set_union_all",
-    "dedup_exact",
+    "join_asof",
+    "minhash_dedup",
     "composite_regional_revenue",
 )
 
