@@ -32,6 +32,28 @@ def dedup_by_id(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.filter(present).dropDuplicates(keys).unionByName(df.filter(~present))
 
 
+def _sid_sort_key(sid):  # Column -> Column
+    """Total order over Redis stream ids ('<ms>-<seq>', redis_client.py
+    ids): numeric (ms, seq) so '5000-10' > '5000-9' and '999-0' < '5000-0'
+    — lexicographic string order gets both wrong. Non-conforming ids sort
+    below all conforming ones (ms=seq=-1) but deterministically among
+    themselves on the raw string; NULL ids yield NULL (excluded from max)."""
+    parts = F.split(sid, "-")
+    conforming = F.struct(
+        parts.getItem(0).cast("bigint").alias("ms"),
+        parts.getItem(1).cast("bigint").alias("seq"),
+        sid.alias("raw"),
+    )
+    fallback = F.struct(
+        F.lit(-1).cast("bigint").alias("ms"),
+        F.lit(-1).cast("bigint").alias("seq"),
+        sid.alias("raw"),
+    )
+    return F.when(sid.rlike(r"^\d+-\d+$"), conforming).otherwise(
+        F.when(sid.isNotNull(), fallback)
+    )
+
+
 def current_book(
     snapshots: DataFrame,
     deltas: DataFrame,
@@ -78,13 +100,18 @@ def current_book(
     # Two snapshot MESSAGES for one ticker can share the max timestamp
     # (millisecond wall clock, plausible under replay); keeping both
     # double-counts contracts. Tie-break: keep the message with the
-    # greatest stream id (deterministic); without an id column, dedup
-    # levels directly.
+    # greatest stream id. Redis ids are '<ms>-<seq>' and do NOT order
+    # lexicographically ('5000-9' > '5000-10' as strings), so compare a
+    # parsed (ms, seq) struct; ids not in that shape rank below every
+    # parseable id but stay comparable among themselves via the raw
+    # string. NULL-id rows can't join the contest — they pass through
+    # and the level-level dedup below resolves any remaining mix.
     if "redis_stream_id" in snapshots.columns:
-        snap_latest = snap_latest.withColumn(
-            "_max_sid", F.max("redis_stream_id").over(w)
-        ).filter(
-            F.col("redis_stream_id").isNull() | (F.col("redis_stream_id") == F.col("_max_sid"))
+        snap_latest = (
+            snap_latest.withColumn("_sidk", _sid_sort_key(F.col("redis_stream_id")))
+            .withColumn("_max_sidk", F.max("_sidk").over(w))
+            .filter(F.col("_sidk").isNull() | (F.col("_sidk") == F.col("_max_sidk")))
+            .dropDuplicates(["ticker", "side", "price_dollars"])
         )
     else:
         snap_latest = snap_latest.dropDuplicates(["ticker", "side", "price_dollars"])

@@ -300,7 +300,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard",
-    """
+    f"""
     WITH sh_all AS (
       SELECT doc_id, UNNEST(list_distinct(g)) AS shingle
       FROM (
@@ -311,7 +311,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
       SELECT doc_id, shingle FROM sh_all
-      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 200
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
@@ -390,7 +390,7 @@ DECONTAM_MIN_SHARED = 3
     ),
     sh AS (
       SELECT doc_id, shingle FROM sh_all
-      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 200
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}
     ),
     corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
     bench  AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} = 0)
@@ -404,8 +404,11 @@ DECONTAM_MIN_SHARED = 3
         f"{DECONTAM_MIN_SHARED} distinct 3-gram shingles with any held-out "
         "benchmark doc (deterministic 1/97 slice stands in for the eval "
         "set). Same capped inverted-index shape as ngram_jaccard, but the "
-        "join is corpus x benchmark — the benchmark side is tiny, so at "
-        "100 TB the shuffle carries only benchmark-matching shingles."
+        "join is corpus x benchmark. Scale note: what broadcasts is the "
+        "SHINGLE EXPANSION of the benchmark set — fine for a real eval "
+        "suite (thousands of docs, MBs of shingles), which is what this "
+        "slice stands in for; a benchmark side too big to broadcast "
+        "should drop the hint and take the shingle-keyed shuffle join."
     ),
 )
 def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,6 +432,12 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     corpus = sh.filter(~is_bench)
     bench = sh.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "shingle")
+    # The broadcast is the benchmark's shingle EXPANSION, not the corpus:
+    # a real eval suite is thousands of docs → MBs of shingles, well
+    # under the broadcast ceiling. If the bench side ever outgrew that
+    # (it is 1/97 of the corpus only in this synthetic stand-in), remove
+    # the hint and let AQE pick the shingle-keyed shuffle join — the
+    # blocklist anti-join above stays broadcast either way.
     return (
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id", "bench_id")
@@ -486,21 +495,27 @@ def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
+        converged = (
             new_labels.withColumnRenamed("label", "new_label")
             .join(labels, "x")
             .filter(F.col("new_label") != F.col("label"))
             .isEmpty()
         )
         labels = new_labels
-        if changed:
-            break
-    return labels
+        if converged:
+            return labels
+    # Pointer doubling converges in O(log diameter): 25 rounds cover any
+    # graph with diameter ≤ 2^25. Hitting this means the loop was asked
+    # for something it can't have finished — never return silently-wrong
+    # partial labels.
+    raise RuntimeError(
+        f"connected_components did not converge within {max_rounds} rounds"
+    )
 
 
 @register(
     "dedup_components",
-    """
+    f"""
     WITH RECURSIVE sh_all AS (
       SELECT doc_id, UNNEST(list_distinct(g)) AS shingle
       FROM (
@@ -511,7 +526,7 @@ def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame
     ),
     sh AS (
       SELECT doc_id, shingle FROM sh_all
-      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 200
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (

@@ -163,3 +163,61 @@ def test_current_book_same_ts_snapshot_tiebreak(spark):
     rows = {(r.side, float(r.price_dollars)): r.contracts for r in book.collect()}
     # only the 5000-2 message's ladder; no duplicate (side, price) rows
     assert rows == {("yes", 0.40): 70, ("yes", 0.45): 30}
+
+
+def test_snapshot_tiebreak_numeric_stream_id_order(spark):
+    # Redis ids order numerically per '<ms>-<seq>' part, not as strings:
+    # '5000-10' beats '5000-9' even though it sorts first lexicographically.
+    msgs = [
+        {
+            "type": "orderbook_snapshot", "sid": 1, "seq": 1,
+            "market_ticker": "KXT-A", "market_id": "0",
+            "yes_dollars": [[0.40, 100]], "no_dollars": [],
+            "ingestion_ts": 5000, "redis_stream_id": "5000-9",
+        },
+        {
+            "type": "orderbook_snapshot", "sid": 1, "seq": 2,
+            "market_ticker": "KXT-A", "market_id": "0",
+            "yes_dollars": [[0.40, 70]], "no_dollars": [],
+            "ingestion_ts": 5000, "redis_stream_id": "5000-10",  # numerically later
+        },
+        # second ticker: ms parts of different digit lengths also invert
+        # lexicographically ('999-0' > '5000-0' as strings)
+        {
+            "type": "orderbook_snapshot", "sid": 2, "seq": 1,
+            "market_ticker": "KXT-B", "market_id": "1",
+            "yes_dollars": [[0.30, 10]], "no_dollars": [],
+            "ingestion_ts": 6000, "redis_stream_id": "999-0",
+        },
+        {
+            "type": "orderbook_snapshot", "sid": 2, "seq": 2,
+            "market_ticker": "KXT-B", "market_id": "1",
+            "yes_dollars": [[0.30, 5]], "no_dollars": [],
+            "ingestion_ts": 6000, "redis_stream_id": "5000-0",  # numerically later
+        },
+    ]
+    df = spark.createDataFrame([(json.dumps(m),) for m in msgs], "value string")
+    parsed = parse_messages(df)
+    book = current_book(flatten_snapshots(parsed), flatten_deltas(parsed))
+    rows = {(r.ticker, r.side, float(r.price_dollars)): r.contracts for r in book.collect()}
+    assert rows == {("KXT-A", "yes", 0.40): 70, ("KXT-B", "yes", 0.30): 5}
+
+
+def test_snapshot_tiebreak_null_sid_mix_no_double_count(spark):
+    # A ticker whose max-timestamp snapshot rows mix NULL and non-NULL
+    # stream ids must not double-count a level: null-sid rows bypass the
+    # id contest, so the level-level dedup has to collapse the overlap.
+    snapshots = spark.createDataFrame(
+        [
+            (5000, "KXT-A", "yes", "0.4000", 100, "5000-1"),
+            (5000, "KXT-A", "yes", "0.4000", 100, None),  # same level, no id
+        ],
+        "timestamp long, ticker string, side string, price_dollars string, contracts int, redis_stream_id string",
+    ).withColumn("price_dollars", F.col("price_dollars").cast("decimal(5,4)"))
+    deltas = spark.createDataFrame(
+        [],
+        "timestamp long, ticker string, side string, price_dollars decimal(5,4), delta int, redis_stream_id string",
+    )
+    book = current_book(snapshots, deltas)
+    rows = book.collect()
+    assert len(rows) == 1 and rows[0].contracts == 100
