@@ -25,6 +25,15 @@ def get_spark(app_name: str = "nt-etl-order-book-spark", *, shuffle_partitions: 
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition byte size when coalescing instead
+        # of padding partition count up to defaultParallelism: the many
+        # KB-sized internal shuffles (codebook training, blocklists,
+        # probe frames) otherwise launch cpu-count tasks each, pure
+        # dispatch overhead here and on a 1000-executor cluster alike.
+        # Spark's own tuning guide recommends false; a small advisory
+        # size keeps genuinely large shuffles parallel.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -49,6 +58,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     _ship_package(spark)
     spark._ntspark_tuned = True
