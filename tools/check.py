@@ -15,7 +15,11 @@ FAILs any column whose DuckDB type has no exact Spark twin (HUGEINT,
 unsigned ints) or whose type family disagrees (int vs float vs decimal
 vs string vs temporal). Run it after adding or editing any oracle.
 
-Usage: python tools/check.py [--dtypes] [sf_dir] [query ...]
+`--recall` audits the no-oracle ANN queries: exact top-k ground truth
+from the cosine_topk DuckDB oracle, recall@5 per variant against
+corpus-calibrated floors (see RECALL_FLOORS).
+
+Usage: python tools/check.py [--dtypes|--recall] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -157,9 +161,37 @@ def dtype_audit(spark, con, qs, oracles, sf_dir: str, only: set[str]) -> int:
     return 1 if n_fail else 0
 
 
+# The rows-only ANN queries carry no oracle by contract (bucketing is
+# hash-/codebook-specific), so the driver can only count their rows.
+# This mode gives them the quantitative check the driver can't: exact
+# top-k ground truth from the cosine_topk DuckDB oracle (explicit DOUBLE
+# arithmetic — float32 list_cosine_similarity disagrees with Spark) and
+# recall@k per variant. Floors are corpus-calibrated: LSH multi-probe
+# measures 1.0 at sf0.01/sf0.1; IVF on an ISOTROPIC corpus is bounded by
+# probed mass ≈ N_PROBE/N_CELLS (0.25) plus rank luck — measured 0.50 /
+# 0.74 — so its floor guards regressions, not clustering quality (the
+# clustered-corpus case is asserted ≥0.9 in tests/test_skew_and_ann.py).
+RECALL_FLOORS = {"ann_lsh_topk": 0.8, "ann_ivf_topk": 0.4}
+
+
+def recall_audit(spark, con, qs, oracles, sf_dir: str) -> int:
+    exact = con.execute(oracles["cosine_topk"]).fetchdf()
+    truth = exact.groupby("qid")["vec_id"].apply(set).to_dict()
+    failed = False
+    for name, floor in RECALL_FLOORS.items():
+        got = qs[name](spark, sf_dir).toPandas().groupby("qid")["vec_id"].apply(set).to_dict()
+        recalls = [len(got.get(q, set()) & s) / len(s) for q, s in truth.items()]
+        recall = sum(recalls) / len(recalls)
+        ok = recall >= floor
+        failed |= not ok
+        print(f"{'PASS' if ok else 'FAIL'}  {name}: recall@5 = {recall:.3f} (floor {floor})")
+    return 1 if failed else 0
+
+
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--dtypes"]
+    argv = [a for a in sys.argv[1:] if a not in ("--dtypes", "--recall")]
     dtypes_mode = "--dtypes" in sys.argv[1:]
+    recall_mode = "--recall" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     if os.environ.get("SPARK_CHECK_DRIVER_MIMIC"):
@@ -185,6 +217,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     if dtypes_mode:
         return dtype_audit(spark, con, qs, oracles, sf_dir, only)
+    if recall_mode:
+        return recall_audit(spark, con, qs, oracles, sf_dir)
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
