@@ -446,6 +446,170 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Paragraph-level dedup: the unit is a fixed-width token chunk. Real
+# corpora segment on blank lines / sentence boundaries; the synthetic
+# documents table is delimiter-free, so the deterministic fallback is
+# non-overlapping PARA_TOKENS-token windows — same operator shape, and
+# SQL-expressible in both engines.
+PARA_TOKENS = 25
+# Reference-corpus slice for Bloom-filter dedup (doc_id % REF_MOD == 0
+# plays "the previous crawl"). 1/7 leaves enough cross-slice paragraph
+# overlap in the synthetic corpus for a non-trivial result.
+REF_MOD = 7
+BLOOM_M = 1 << 20  # filter bits
+BLOOM_K = 4  # hash functions per item
+
+
+def paragraphs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per non-empty paragraph (PARA_TOKENS-token chunk) per doc.
+
+    Same narrow HOF shape as `shingles`: tokenize once, chunk via
+    transform over a chunk-index sequence, explode — no Python, no
+    shuffle."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(PARA_TOKENS))).cast("int")
+    pars = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(pars).alias("par"))
+        .filter(F.col("par") != "")
+    )
+
+
+def _sql_paragraphs() -> str:
+    """DuckDB twin of `paragraphs` over the documents view, as WITH-clause
+    body (expects to follow a WITH keyword)."""
+    p = PARA_TOKENS
+    return f"""
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    pars AS (
+      SELECT doc_id, par FROM (
+        SELECT doc_id,
+               UNNEST([array_to_string(t[i*{p}+1:i*{p}+{p}], ' ')
+                       FOR i IN range(0, CAST(CEIL(len(t)/{p}.0) AS INT))]) AS par
+        FROM toks
+      ) WHERE par <> ''
+    )"""
+
+
+@register(
+    "paragraph_dedup",
+    f"""
+    WITH {_sql_paragraphs()}
+    SELECT md5(par) AS par_hash,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS canonical_doc_id
+    FROM pars
+    GROUP BY md5(par)
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc=(
+        "Paragraph-level exact dedup: hash every PARA_TOKENS-token chunk, "
+        "report chunks appearing in ≥2 docs with occurrence counts and the "
+        "canonical (min) doc — the boilerplate-removal stage between "
+        "whole-doc exact dedup and shingle near-dup. The groupBy shuffles "
+        "(md5, doc_id) only — paragraph text never rides an exchange."
+    ),
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        paragraphs(docs)
+        .select(F.md5("par").alias("par_hash"), "doc_id")
+        .groupBy("par_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def bloom_positions(par: Column) -> Column:
+    """BLOOM_K bit positions in [0, BLOOM_M) per paragraph, via the
+    engine-portable md5+Horner fold (sampling.hash_bucket) with per-hash
+    salts — DuckDB computes the identical positions, so the whole Bloom
+    decision (false positives included) is oracle-checkable."""
+    from nt_etl_order_book_spark.functions.sampling import hash_bucket
+
+    return F.array(
+        *[hash_bucket(F.concat(F.lit(f"bloom{i}:"), par), BLOOM_M) for i in range(BLOOM_K)]
+    )
+
+
+def _bloom_oracle() -> str:
+    """DuckDB twin of q_bloom_filter_dedup: same salted folds, same
+    filter-set construction, same all-k membership test."""
+    from nt_etl_order_book_spark.functions.sampling import _sql_hash_bucket
+
+    folds = [_sql_hash_bucket(f"'bloom{i}:' || par", BLOOM_M) for i in range(BLOOM_K)]
+    union = " UNION ALL ".join(
+        f"SELECT {f} AS pos FROM pars WHERE doc_id % {REF_MOD} = 0" for f in folds
+    )
+    conds = " AND ".join(f"{f} IN (SELECT pos FROM ref_bits)" for f in folds)
+    return f"""
+    WITH {_sql_paragraphs()},
+    ref_bits AS (SELECT DISTINCT pos FROM ({union}))
+    SELECT doc_id, COUNT(DISTINCT md5(par)) AS n_flagged_pars
+    FROM pars
+    WHERE doc_id % {REF_MOD} <> 0 AND {conds}
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "bloom_filter_dedup",
+    _bloom_oracle(),
+    doc=(
+        "Dedup against a reference corpus via Bloom filter: the reference "
+        f"slice's paragraphs set {BLOOM_K} bits each in a {BLOOM_M}-bit "
+        "filter; a corpus doc is flagged when any of its paragraphs hits "
+        "all its bits. The filter is the DISTINCT set-bit table — "
+        "k×|ref paragraphs| rows regardless of corpus size — broadcast to "
+        "the corpus scan, so the corpus side never shuffles text (only "
+        "md5 + positions). False-positive rate ≈ (k·n/m)^k; positions use "
+        "the engine-portable md5 fold, so the oracle reproduces the exact "
+        "decision, FPs included."
+    ),
+)
+def q_bloom_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pars = paragraphs(docs)
+    is_ref = F.col("doc_id") % REF_MOD == 0
+    bits = (
+        pars.filter(is_ref)
+        .select(F.explode(bloom_positions(F.col("par"))).alias("pos"))
+        .distinct()
+    )
+    corpus = pars.filter(~is_ref).select(
+        "doc_id",
+        F.md5("par").alias("par_hash"),
+        F.array_distinct(bloom_positions(F.col("par"))).alias("ps"),
+    )
+    # All-k membership: explode the (distinct) positions, inner-join the
+    # broadcast bit table, and keep paragraphs whose hit count equals
+    # their distinct-position count.
+    cpos = corpus.select(
+        "doc_id", "par_hash", F.size("ps").alias("n_pos"), F.explode("ps").alias("pos")
+    )
+    flagged = (
+        cpos.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "par_hash", "n_pos")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == F.col("n_pos"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.countDistinct("par_hash").alias("n_flagged_pars")
+    )
+
+
 def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame:
     """(a, b) undirected pair edges → (x, label) with label = min node id
     in x's component.

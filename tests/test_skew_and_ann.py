@@ -203,3 +203,54 @@ def test_connected_components_long_chain(spark):
     assert all(got[i] == 0 for i in range(60))
     assert got[100] == got[101] == 100
     assert got[200] == got[300] == 200
+
+
+def _doc_frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraphs_chunking_and_empty_doc(spark):
+    from nt_etl_order_book_spark.functions.dedup import PARA_TOKENS, paragraphs
+
+    sixty = " ".join(f"w{i}" for i in range(60))  # 60 tokens → chunks of 25, 25, 10
+    df = _doc_frame(spark, [(1, sixty), (2, ""), (3, "a b")])
+    out = sorted((r.doc_id, r.par) for r in paragraphs(df).collect())
+    assert [d for d, _ in out] == [1, 1, 1, 3]
+    assert out[0][1].split(" ") == [f"w{i}" for i in range(PARA_TOKENS)]
+    assert out[2][1].split(" ") == [f"w{i}" for i in range(50, 60)]
+    assert out[3][1] == "a b"  # short doc = one sub-width paragraph; empty doc = none
+
+
+def test_bloom_filter_flags_shared_paragraph_only(spark):
+    from nt_etl_order_book_spark.functions.dedup import (
+        REF_MOD,
+        bloom_positions,
+        paragraphs,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(25))
+    rows = [
+        (0, shared),                                   # reference doc (0 % REF_MOD == 0)
+        (1, shared + " " + " ".join(f"x{i}" for i in range(25))),  # shares chunk 1
+        (2, " ".join(f"y{i}" for i in range(30))),     # no overlap
+    ]
+    assert 1 % REF_MOD != 0 and 2 % REF_MOD != 0
+    pars = paragraphs(_doc_frame(spark, rows))
+    bits = {
+        r.pos
+        for r in pars.filter(F.col("doc_id") % REF_MOD == 0)
+        .select(F.explode(bloom_positions(F.col("par"))).alias("pos"))
+        .collect()
+    }
+    corpus = (
+        pars.filter(F.col("doc_id") % REF_MOD != 0)
+        .select("doc_id", "par", bloom_positions(F.col("par")).alias("ps"))
+        .collect()
+    )
+    flagged = {r.doc_id for r in corpus if all(p in bits for p in r.ps)}
+    assert flagged == {1}  # doc 1's first chunk equals the reference chunk
+
+    # and the registered end-to-end query agrees on real testdata: every
+    # flag implies ≥1 flagged paragraph, ids are non-reference docs
+    out = registry.queries()["bloom_filter_dedup"](spark, "/root/testdata/sf0.001").collect()
+    assert all(r.n_flagged_pars >= 1 and r.doc_id % REF_MOD != 0 for r in out)
