@@ -354,3 +354,54 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(_RE_ENTITY)).alias("n_entity"),
         F.length(redacted).alias("redacted_len"),
     )
+
+
+# Gopher-style repetition gate: a doc whose 3-grams repeat heavily is
+# boilerplate/spam even when C4 length gates (quality_score) pass.
+REPETITION_TAU = 0.2
+
+
+@register(
+    "repetition_stats",
+    f"""
+    SELECT doc_id,
+           len(g) AS n_grams,
+           len(list_distinct(g)) AS n_distinct_grams,
+           ROUND(1 - CAST(len(list_distinct(g)) AS DOUBLE) / nullif(len(g), 0), 6) AS dup_frac,
+           CASE WHEN 1 - CAST(len(list_distinct(g)) AS DOUBLE) / nullif(len(g), 0)
+                     > {REPETITION_TAU} THEN 1 ELSE 0 END AS repetition_flag
+    FROM (
+      SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)] AS g
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+    )
+    """,
+    doc=(
+        "Intra-document repetition stats (Gopher-style quality signal): "
+        "duplicate-3-gram fraction per doc, flagged above "
+        f"{REPETITION_TAU}. Entirely narrow HOF expressions — the gram "
+        "array never explodes, nothing shuffles."
+    ),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    d = docs.select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+    )
+    dup = F.lit(1) - F.col("n_distinct_grams").cast("double") / F.nullif(
+        F.col("n_grams"), F.lit(0)
+    )
+    return d.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct_grams",
+        F.round(dup, 6).alias("dup_frac"),
+        F.when(dup > REPETITION_TAU, 1).otherwise(0).alias("repetition_flag"),
+    )

@@ -279,3 +279,32 @@ def q_best_bid_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ask - bid).alias("spread"),
         )
     )
+
+
+@register(
+    "win_cume_dist",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    doc=(
+        "Relative-rank windows: PERCENT_RANK + CUME_DIST per priority "
+        "class (unique tiebreak keeps both exact across engines — the "
+        "values are integer-ratio doubles, identical under IEEE division)."
+    ),
+)
+def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -68,6 +68,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # -- round 3: new this round --
     "paragraph_dedup",
     "bloom_filter_dedup",
+    "repetition_stats",
+    "win_cume_dist",
     # -- last driver row is round 1 (39): rotate back into the window --
     "json_roundtrip",       # oracle changed this round too (VARCHAR pin)
     "scan_parquet", "filter_msg_type", "project_rename", "cast_schema",
