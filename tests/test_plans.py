@@ -92,3 +92,38 @@ def test_corpus_qa_ops_prune_scan_columns(spark, sf_dir):
     assert "text" in cols and "lang" not in cols and "source" not in cols
     cols = scan_read_schema(registry.queries()["doc_length_histogram"](spark, sf_dir))
     assert "text" not in cols
+
+
+def test_bloom_filter_set_broadcasts_and_shuffles_no_text(spark, sf_dir):
+    # The Bloom set-bit table must broadcast (it is k×|ref paragraphs|
+    # rows regardless of corpus size) and no exchange may carry the
+    # paragraph text — only md5 hashes and positions ride shuffles.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    df = registry.queries()["bloom_filter_dedup"](spark, sf_dir)
+    assert plan_uses_broadcast_join(df)
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "par#" not in line and ", par," not in line
+
+
+def test_paragraph_dedup_partial_agg_no_text_shuffle(spark, sf_dir):
+    # groupBy(md5(par)) + countDistinct(doc_id) plans as the standard
+    # two-phase distinct aggregate: partial by (hash, doc_id), merge by
+    # hash — two exchanges, both carrying only hashes and partial
+    # counts, never paragraph text.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    df = registry.queries()["paragraph_dedup"](spark, sf_dir)
+    assert plan_has_partial_aggregate(df)
+    assert count_shuffles(df) <= 2
+    for line in formatted_plan(df).splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "par#" not in line
+
+
+def test_repetition_stats_is_narrow(spark, sf_dir):
+    # Pure per-row HOF expressions: zero exchanges anywhere.
+    df = registry.queries()["repetition_stats"](spark, sf_dir)
+    assert count_shuffles(df) == 0
