@@ -9,7 +9,7 @@ length/replace arithmetic), fingerprints via sha2/md5 built-ins.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nt_etl_order_book_spark.operators.aggregates import davg, sql_davg
@@ -404,4 +404,104 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_grams",
         F.round(dup, 6).alias("dup_frac"),
         F.when(dup > REPETITION_TAU, 1).otherwise(0).alias("repetition_flag"),
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "tfidf_topterms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+      FROM tf CROSS JOIN n JOIN dfreq ON tf.token = dfreq.token
+    )
+    SELECT doc_id, token, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+      FROM scored
+    ) WHERE rn <= {TFIDF_TOP_K}
+    """,
+    doc=(
+        "Per-document top-k TF-IDF terms: token tf keyed by (doc, token), "
+        "document frequency keyed by token (both partial-aggregated), "
+        "idf = ln(N/df), rank per doc. Ranking uses the ROUNDED score + "
+        "token tiebreak so a last-ulp ln() difference between engines "
+        "cannot flip the order. Shuffles carry (token, counts) only."
+    ),
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+@register(
+    "unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(-LN(CAST(f.tf AS DOUBLE) / tot.n_total)) / COUNT(*), 6) AS avg_neg_logprob
+    FROM toks t JOIN freq f ON t.token = f.token CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    doc=(
+        "Unigram-LM surprisal per document (the cheap perplexity stand-in "
+        "for corpus quality ranking): average -ln p(token) under the "
+        "corpus unigram distribution. Two keyed aggregates + one join on "
+        "token; the vocabulary frame is small and broadcastable at any "
+        "corpus size."
+    ),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    neg_lp = -F.log(F.col("tf").cast("double") / F.col("n_total"))
+    return (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(neg_lp) / F.count(F.lit(1)), 6).alias("avg_neg_logprob"),
+        )
     )

@@ -357,3 +357,32 @@ def book_reconstruct(snapshots: DataFrame, deltas: DataFrame, key: str) -> DataF
             F.coalesce(F.col("n_deltas"), F.lit(0)).alias("n_deltas"),
         )
     )
+
+
+@register(
+    "agg_grouping_id",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS cnt,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc=(
+        "Explicit GROUPING SETS with GROUPING() indicator columns — the "
+        "third member of the rollup/cube family; the indicators "
+        "disambiguate a NULL group key from the subtotal rows."
+    ),
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_quantity").alias("sum_qty"),
+    )

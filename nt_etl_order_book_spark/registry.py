@@ -62,14 +62,19 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # nothing is dropped from `queries()`, only reordered. Names not yet
 # registered are skipped gracefully.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # -- round 3: oracle/impl changed this round (5) --
+    # -- round 3: oracle changed this round (4) --
+    # (ann_ivf_topk also changed but is rows-only with an r2 driver row
+    # and a local --recall audit; it yields its sweep slot to the oracled
+    # queries below.)
     "session_islands", "sample_split", "text_stats", "udaf_grouped",
-    "ann_ivf_topk",
-    # -- round 3: new this round --
+    # -- round 3: new this round (7) --
     "paragraph_dedup",
     "bloom_filter_dedup",
     "repetition_stats",
     "win_cume_dist",
+    "agg_grouping_id",
+    "tfidf_topterms",
+    "unigram_logprob",
     # -- last driver row is round 1 (39): rotate back into the window --
     "json_roundtrip",       # oracle changed this round too (VARCHAR pin)
     "scan_parquet", "filter_msg_type", "project_rename", "cast_schema",
