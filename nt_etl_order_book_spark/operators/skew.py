@@ -56,3 +56,36 @@ def salted_sum_count(df: DataFrame, keys: list[str], value: str, *, n_salts: int
         },
         n_salts=n_salts,
     ).select(*keys, F.col("sum_value").cast("double").alias("sum_value"), "n_rows")
+
+
+def _register_query() -> None:
+    """Registered here (not a top-level decorator) to keep this module
+    importable without the registry in minimal contexts."""
+    from nt_etl_order_book_spark.registry import register
+    from nt_etl_order_book_spark.tables import load_table
+
+    @register(
+        "agg_salted_skew",
+        """
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+               COUNT(*) AS n_rows
+        FROM events
+        GROUP BY event_type
+        """,
+        doc=(
+            "Skew-safe two-phase aggregation over a hot-key column "
+            "(events.event_type: a handful of keys, each a reducer "
+            "hotspot at scale). The oracle is the PLAIN GROUP BY — the "
+            "hash match proves salting is semantics-transparent, so it "
+            "can be switched on for known-hot keys without review. "
+            "Phase 1 spreads each key over 16 salts; phase 2 moves only "
+            "16 partial rows per key."
+        ),
+    )
+    def q_agg_salted_skew(spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        return salted_sum_count(events, ["event_type"], "value")
+
+
+_register_query()

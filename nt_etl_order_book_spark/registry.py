@@ -106,6 +106,7 @@ def all_specs() -> dict[str, QuerySpec]:
         composites,
         joins,
         setops,
+        skew,
         transforms,
         windows,
     )
