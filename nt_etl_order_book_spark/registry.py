@@ -67,7 +67,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # and a local --recall audit; it yields its sweep slot to the oracled
     # queries below.)
     "session_islands", "sample_split", "text_stats", "udaf_grouped",
-    # -- round 3: new this round (7) --
+    # -- round 3: new this round (8) --
     "paragraph_dedup",
     "bloom_filter_dedup",
     "repetition_stats",
@@ -75,9 +75,12 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "agg_grouping_id",
     "tfidf_topterms",
     "unigram_logprob",
-    # -- last driver row is round 1 (39): rotate back into the window --
+    "agg_salted_skew",
+    # -- last driver row is round 1 (38): rotate back into the window.
+    # (scan_parquet yields its slot to agg_salted_skew: trivial untouched
+    # projection, r1-green, lowest silent-change risk in the family.) --
     "json_roundtrip",       # oracle changed this round too (VARCHAR pin)
-    "scan_parquet", "filter_msg_type", "project_rename", "cast_schema",
+    "filter_msg_type", "project_rename", "cast_schema",
     "json_encode_decode", "explode_ladder", "unpivot_sides",
     "add_event_ts_ms", "notnull_guard", "seq_gap_check",
     "join_broadcast", "join_left_right_outer", "join_full_outer",
