@@ -116,6 +116,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from nt_etl_order_book_spark.functions import (  # noqa: F401
         dedup,
         multimodal,
+        packing,
         sampling,
         scalar,
         similarity,

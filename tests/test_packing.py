@@ -1,0 +1,113 @@
+"""Semantic invariants for the corpus-assembly ops (functions/packing.py):
+sequence packing, domain mixing, duplication-cluster stats. Oracle
+equality is covered by tools/check.py; these tests pin the properties
+the oracle can't express (conservation, contiguity, determinism,
+rate bounds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark import registry
+from nt_etl_order_book_spark.functions.packing import PACK_BUDGET, approx_tokens
+from nt_etl_order_book_spark.tables import load_table
+
+
+def _q(name):
+    return registry.all_specs()[name].fn
+
+
+def test_seq_pack_conserves_tokens_and_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        r.source: (r.n, r.toks)
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(approx_tokens(F.col("text"))).alias("toks"),
+        )
+        .collect()
+    }
+    packs = _q("seq_pack")(spark, sf_dir).collect()
+    got: dict[str, list] = {}
+    for r in packs:
+        got.setdefault(r.source, []).append(r)
+    assert set(got) == set(truth)
+    for source, rows in got.items():
+        n_docs, toks = truth[source]
+        assert sum(r.n_docs for r in rows) == n_docs
+        assert sum(r.pack_tokens for r in rows) == toks
+        # pack ids are contiguous from 0 (concat-then-chunk leaves no gap:
+        # a doc straddling packs p..p+k still *starts* within p, and the
+        # next doc starts within p..p+k too).
+        ids = sorted(r.pack_id for r in rows)
+        assert ids[0] == 0
+        # doc_id ranges of consecutive packs must not interleave
+        by_id = sorted(rows, key=lambda r: r.pack_id)
+        for a, b in zip(by_id, by_id[1:]):
+            assert a.last_doc_id < b.first_doc_id
+
+
+def test_seq_pack_nonfinal_packs_reach_budget(spark, sf_dir):
+    # Every pack except the last per source must span at least the budget
+    # boundary: the next pack's first doc starts at a cumulative offset
+    # >= (pack_id+1)*budget.
+    packs = _q("seq_pack")(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in packs:
+        by_source.setdefault(r.source, []).append(r)
+    for rows in by_source.values():
+        rows.sort(key=lambda r: r.pack_id)
+        cum = 0
+        for r in rows[:-1]:
+            cum += r.pack_tokens
+            # cum = offset where the next pack's first doc starts
+            assert cum >= (r.pack_id + 1) * PACK_BUDGET
+
+
+def test_domain_mix_bounds_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {
+        r.source: r.toks
+        for r in docs.groupBy("source")
+        .agg(F.sum(approx_tokens(F.col("text"))).alias("toks"))
+        .collect()
+    }
+    floor_tokens = min(totals.values())
+    out1 = {r.source: (r.n_docs_kept, r.tokens_kept) for r in _q("domain_mix")(spark, sf_dir).collect()}
+    out2 = {r.source: (r.n_docs_kept, r.tokens_kept) for r in _q("domain_mix")(spark, sf_dir).collect()}
+    assert out1 == out2  # deterministic — no RNG anywhere
+    # The floor domain keeps everything (rate 1); others never exceed
+    # their own total and hover near the floor in expectation. The hash
+    # Bernoulli has variance, so only assert the hard bounds.
+    for source, (n_kept, toks_kept) in out1.items():
+        assert toks_kept <= totals[source]
+    floor_sources = [s for s, t in totals.items() if t == floor_tokens]
+    for s in floor_sources:
+        assert out1[s][1] == totals[s]
+
+
+def test_dup_cluster_stats_conserves_paragraphs(spark, sf_dir):
+    from nt_etl_order_book_spark.functions.dedup import paragraphs
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_pars = paragraphs(docs).count()
+    rows = _q("dup_cluster_stats")(spark, sf_dir).collect()
+    assert sum(r.n_paragraphs for r in rows) == n_pars
+    assert all(r.n_paragraphs == r.cluster_size * r.n_clusters for r in rows)
+    assert min(r.cluster_size for r in rows) >= 1
+
+
+def test_seq_pack_plan_single_exchange(spark, sf_dir):
+    # The groupBy(source, pack_id) must reuse the window's
+    # hash(source) partitioning: exactly one shuffle in the whole plan.
+    df = _q("seq_pack")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_domain_mix_plan_broadcasts_small_sides(spark, sf_dir):
+    df = _q("domain_mix")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
