@@ -314,33 +314,55 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both consumers (assignment broadcast + probe rows) reuse it.
     train = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(TRAIN_MOD)) == 0).select("embedding")
     cents_arr = kmeans_refine(train, seed)
-    cent_rows = cents_arr.select(F.explode("cents").alias("c")).select(
-        F.col("c.cell").alias("cell"), F.col("c.cvec").alias("cvec")
-    )
-    # Full-corpus assignment: one narrow projection, zero shuffle.
+    # Full-corpus assignment: one narrow projection, zero shuffle. The
+    # row norm is per-vector, not per-pair — computed once here so the
+    # per-candidate scoring below is a single dot fold, not dot + 2 norms.
     assigned = emb.crossJoin(F.broadcast(cents_arr)).select(
         "vec_id",
         "embedding",
+        norm(F.col("embedding")).alias("enorm"),
         nearest_cell(F.col("embedding"), F.col("cents")).alias("cell"),
     )
-    # Each query probes its N_PROBE nearest refined cells (tiny frame:
-    # N_QUERIES × N_CELLS rows — the window shuffle here is metadata).
+    # Each query probes its N_PROBE nearest refined cells. Probe selection
+    # is a HOF over the SAME broadcast codebook array the assignment uses:
+    # sort (−dot, cell) ascending ≡ (dot desc, cell asc) and slice the
+    # head — replaces the earlier crossJoin(cent_rows) + Window rank,
+    # which cost an extra broadcast exchange and a window shuffle just to
+    # pick 4 of 16 cells per query.
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        norm(F.col("embedding")).alias("qnorm"),
     )
-    w_probe = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("cell"))
-    probes = (
-        q.crossJoin(F.broadcast(cent_rows))
-        # unit centroids + fixed qvec per partition → dot ranks like cosine
-        .select("qid", "qvec", "cell", dot(F.col("qvec"), F.col("cvec")).alias("qsim"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= N_PROBE)
-        .select("qid", "qvec", "cell")
+    by_sim = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (-dot(F.col("qvec"), c["cvec"])).alias("neg_sim"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    probes = q.crossJoin(F.broadcast(cents_arr)).select(
+        "qid",
+        "qvec",
+        "qnorm",
+        F.explode(
+            F.transform(F.slice(by_sim, 1, N_PROBE), lambda s: s["cell"])
+        ).alias("cell"),
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                dot(F.col("qvec"), F.col("embedding"))
+                / F.nullif(F.col("qnorm") * F.col("enorm"), F.lit(0.0)),
+                6,
+            ).alias("cos_sim"),
+        )
     )
     return topk_per_query(scored)
 

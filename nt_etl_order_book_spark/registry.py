@@ -61,6 +61,13 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # Everything else keeps registration order after the priority block —
 # nothing is dropped from `queries()`, only reordered. Names not yet
 # registered are skipped gracefully.
+#
+# Round-4 rotation plan (capacity check): 100 registered queries, 50
+# slots/round. The r3 window = this list's first 50; the other 47 all
+# have green r2 rows; seq_pack / domain_mix / dup_cluster_stats are new
+# in r3 (local check.py-verified, incl. --dtypes + driver-mimic). Next
+# round's window must be exactly those 47 + the 3 new = 50 — a perfect
+# fit, so r4 can add queries only by retiring or merging existing ones.
 _SWEEP_PRIORITY: tuple[str, ...] = (
     # -- round 3: oracle changed this round (4) --
     # (ann_ivf_topk also changed but is rows-only with an r2 driver row
