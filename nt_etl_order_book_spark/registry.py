@@ -57,54 +57,48 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # first 50 registered names). This priority list is rotated each round so
 # that (a) queries whose implementation or oracle changed this round and
 # queries new this round land in slots 1-50, then (b) queries whose most
-# recent driver row is oldest, then (c) regression representatives.
-# Everything else keeps registration order after the priority block —
-# nothing is dropped from `queries()`, only reordered. Names not yet
-# registered are skipped gracefully.
+# recent driver row is oldest. Everything else keeps registration order
+# after the priority block — nothing is dropped from `queries()`, only
+# reordered. Names not yet registered are skipped gracefully.
 #
-# Round-4 rotation plan (capacity check): 100 registered queries, 50
-# slots/round. The r3 window = this list's first 50; the other 47 all
-# have green r2 rows; seq_pack / domain_mix / dup_cluster_stats are new
-# in r3 (local check.py-verified, incl. --dtypes + driver-mimic). Next
-# round's window must be exactly those 47 + the 3 new = 50 — a perfect
-# fit, so r4 can add queries only by retiring or merging existing ones.
+# Round-4 window (executes the plan recorded here in r3): exactly the 50
+# queries with no r3 driver row — the 3 registered after the r3 sweep
+# (seq_pack/domain_mix/dup_cluster_stats, local check.py-verified in r3),
+# scan_parquet (last row r1), and the 46 whose last row is r2. After this
+# sweep every registered query has a driver row from r3 or r4, i.e. max
+# staleness = 1 round. tests/test_registry_rotation.py asserts this
+# invariant from the CORRECTNESS_r*.json history so rotation debt fails
+# pytest instead of living in the builder's head. Queries newly added in
+# r4 are local-oracle-verified and queued for the r5 window (listed
+# immediately after slot 50 so the r5 rotation is mechanical).
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # -- round 3: oracle changed this round (4) --
-    # (ann_ivf_topk also changed but is rows-only with an r2 driver row
-    # and a local --recall audit; it yields its sweep slot to the oracled
-    # queries below.)
-    "session_islands", "sample_split", "text_stats", "udaf_grouped",
-    # -- round 3: new this round (8) --
-    "paragraph_dedup",
-    "bloom_filter_dedup",
-    "repetition_stats",
-    "win_cume_dist",
-    "agg_grouping_id",
-    "tfidf_topterms",
-    "unigram_logprob",
-    "agg_salted_skew",
-    # -- last driver row is round 1 (38): rotate back into the window.
-    # (scan_parquet yields its slot to agg_salted_skew: trivial untouched
-    # projection, r1-green, lowest silent-change risk in the family.) --
-    "json_roundtrip",       # oracle changed this round too (VARCHAR pin)
-    "filter_msg_type", "project_rename", "cast_schema",
-    "json_encode_decode", "explode_ladder", "unpivot_sides",
-    "add_event_ts_ms", "notnull_guard", "seq_gap_check",
-    "join_broadcast", "join_left_right_outer", "join_full_outer",
-    "join_semi", "join_anti", "join_theta_range",
-    "agg_multi", "agg_distinct", "agg_approx_distinct", "agg_stats",
-    "agg_median", "agg_string_concat", "agg_weighted_avg", "agg_cube",
-    "agg_having",
-    "win_lag_lead", "win_moving_avg", "win_range_frame", "win_first_last",
-    "sort_limit", "sort_nulls",
-    "set_union_distinct", "set_intersect", "set_except",
-    "pivot_event_types", "subquery_scalar", "subquery_correlated",
-    "composite_shipping_priority",
-    # -- regression slots: flagship + per-family representatives --
-    "book_reconstruct",
-    "join_asof",
-    "minhash_dedup",
+    # -- never driver-swept: registered after the r3 window closed (3).
+    # seq_pack's impl+oracle also changed this round (bucketed shard key),
+    # so its slot is doubly required. --
+    "seq_pack", "domain_mix", "dup_cluster_stats",
+    # -- last driver row is round 1 (1) --
+    "scan_parquet",
+    # -- last driver row is round 2 (46): flagship + regression reps
+    # first, then the r2 block in family order --
+    "book_reconstruct", "join_asof", "minhash_dedup",
     "composite_regional_revenue",
+    "agg_groupby_sum", "agg_grouping_sets",
+    "join_inner_hash", "join_interval",
+    "set_union_all", "dedup_exact",
+    "win_rank_topk_depth", "win_running_sum", "win_ntile", "best_bid_ask",
+    "dedup_exact_docs", "simhash_dedup", "ngram_jaccard",
+    "decontaminate_ngram", "stratified_sample", "dedup_components",
+    "multimodal_meta", "multimodal_features",
+    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
+    "fn_map_ops", "fn_bitwise", "fn_null_safe_eq", "fn_conditional",
+    "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "embed_norm_stats", "embed_cosine_dedup",
+    "tokenize_tf", "lang_id", "quality_score", "token_count",
+    "doc_fingerprint", "topk_ngrams", "doc_length_histogram", "redact_pii",
+    "udf_scalar_pandas", "udtf_explode_custom",
+    # ---- slot 51+: r5 queue (changed-in-r4 queries with green r3 rows
+    # first, then anything new in r4) ----
+    "unigram_logprob",      # r4: DECIMAL-exact -ln(p) accumulation
 )
 
 

@@ -1,0 +1,87 @@
+"""Sweep-rotation debt gate.
+
+The driver's per-round correctness sweep caps at the first 50 registered
+queries (see registry._SWEEP_PRIORITY). With ~100 registered queries the
+rotation must guarantee every query gets a fresh driver row at least every
+other round. This test computes each query's most recent driver-swept
+round from the CORRECTNESS_r*.json history and fails if, under the
+CURRENT priority order, any query would exceed 2 rounds of staleness
+after the upcoming sweep — so rotation debt shows up in pytest instead of
+in the builder's head (VERDICT r3, next-round item 3).
+
+No SparkSession needed: registry import only registers query specs.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+from nt_etl_order_book_spark.registry import _SWEEP_PRIORITY, all_specs
+
+REPO = Path(__file__).resolve().parent.parent
+SWEEP_CAP = 50
+
+
+def _driver_rows() -> tuple[dict[str, int], int]:
+    """Map query name -> latest round with a driver row, plus latest round seen."""
+    last: dict[str, int] = {}
+    latest = 0
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        latest = max(latest, rnd)
+        for name in json.loads(path.read_text()):
+            last[name] = max(last.get(name, 0), rnd)
+    return last, latest
+
+
+def test_no_query_exceeds_two_rounds_of_sweep_staleness():
+    last, latest = _driver_rows()
+    assert latest >= 1, "no CORRECTNESS_r*.json history found"
+    upcoming = latest + 1
+    window = set(list(all_specs())[:SWEEP_CAP])
+
+    violations: list[str] = []
+    for name in all_specs():
+        if name in window:
+            continue  # gets a fresh row in the upcoming sweep
+        prev = last.get(name)
+        if prev is None:
+            # Never driver-swept and not in the upcoming window: must at
+            # least be explicitly queued in _SWEEP_PRIORITY so the next
+            # rotation is mechanical, not remembered.
+            if name not in _SWEEP_PRIORITY:
+                violations.append(f"{name}: never swept and not queued in _SWEEP_PRIORITY")
+            continue
+        staleness = upcoming - prev
+        if staleness > 2:
+            violations.append(
+                f"{name}: last driver row r{prev}, would be {staleness} rounds stale after r{upcoming}"
+            )
+        elif staleness == 2 and name not in _SWEEP_PRIORITY:
+            violations.append(
+                f"{name}: will hit 2 rounds of staleness after r{upcoming} and is not queued in _SWEEP_PRIORITY"
+            )
+    assert not violations, "sweep rotation debt:\n" + "\n".join(violations)
+
+
+def test_window_is_exactly_the_stalest_fifty():
+    """The first SWEEP_CAP queries must be precisely the 50 with the
+    oldest (or missing) driver rows — the rotation the r3 verdict
+    prescribed. If a future round legitimately changes the windowing
+    policy, update this test alongside _SWEEP_PRIORITY."""
+    last, _latest = _driver_rows()
+    names = list(all_specs())
+    window = names[:SWEEP_CAP]
+    # Sort all queries by (last round, never-swept first); the window must
+    # cover every query at least as stale as the freshest in-window query.
+    worst_in_rest = min((last.get(n, 0) for n in names[SWEEP_CAP:]), default=99)
+    best_in_window = max(last.get(n, 0) for n in window)
+    assert best_in_window <= worst_in_rest, (
+        f"window contains a query with row r{best_in_window} while a staler "
+        f"query (r{worst_in_rest}) sits outside it"
+    )
