@@ -28,6 +28,16 @@ from nt_etl_order_book_spark.tables import load_table
 # the operator is budget-agnostic.
 PACK_BUDGET = 2048
 
+# Docs per packing shard: the window shard key is (source, bucket) with
+# bucket = floor(doc_id / PACK_SHARD_DOCS), so one window task never
+# serializes more than PACK_SHARD_DOCS rows of one source regardless of
+# corpus size — a low-cardinality `source` column cannot pin a domain's
+# whole token stream to one task. The cost is ≤1 ragged (under-budget)
+# trailing pack per shard instead of per source: the standard trade of
+# parallel packing. 128 docs/shard keeps that waste ≤1/16 of packs at
+# ~250 tokens/doc while giving the sf0.001 fixture (500 docs) 4 buckets.
+PACK_SHARD_DOCS = 128
+
 # Sampling granularity for domain mixing. Rates are resolved to 1/10^4;
 # the keep test is pure BIGINT arithmetic (bucket * domain_tokens <
 # min_tokens * 10^4), exact in any engine, no float rounding at the
@@ -49,52 +59,63 @@ _SQL_TOKENS = "CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)"
     "seq_pack",
     f"""
     WITH toks AS (
-      SELECT doc_id, source, {_SQL_TOKENS} AS n_tokens
+      SELECT doc_id, source,
+             CAST(FLOOR(doc_id / {PACK_SHARD_DOCS}.0) AS BIGINT) AS bucket,
+             {_SQL_TOKENS} AS n_tokens
       FROM documents
     ),
     packed AS (
-      SELECT source, doc_id, n_tokens,
+      SELECT source, bucket, doc_id, n_tokens,
              CAST(FLOOR(
                CAST(COALESCE(SUM(n_tokens) OVER (
-                 PARTITION BY source ORDER BY doc_id
+                 PARTITION BY source, bucket ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) AS BIGINT) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
       FROM toks
     )
-    SELECT source, pack_id,
+    SELECT source, bucket, pack_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
            MIN(doc_id) AS first_doc_id,
            MAX(doc_id) AS last_doc_id
     FROM packed
-    GROUP BY source, pack_id
+    GROUP BY source, bucket, pack_id
     """,
     doc=(
-        "Sequence packing (concat-then-chunk): within each source shard, "
-        "documents are concatenated in doc_id order and cut into "
+        "Sequence packing (concat-then-chunk): within each (source, bucket) "
+        "shard, documents are concatenated in doc_id order and cut into "
         f"{PACK_BUDGET}-token training sequences; a doc belongs to the pack "
-        "its first token lands in. One window + one groupBy, both "
-        "partitioned by source, so shards pack in parallel with no global "
-        "ordering — at 100 TB the shard key widens to (source, bucket) and "
-        "the same plan holds. floor(x/budget) on a double is exact below "
-        "2^53 tokens per shard, far past any real shard."
+        "its first token lands in, pack ids restart per shard. The shard "
+        f"key is (source, floor(doc_id/{PACK_SHARD_DOCS})) so a window task "
+        f"handles at most {PACK_SHARD_DOCS} docs — packing parallelism "
+        "scales with the corpus even when `source` has a handful of "
+        "values, at the cost of ≤1 ragged trailing pack per shard. One "
+        "window + one groupBy sharing the (source, bucket) exchange. "
+        "floor(x/budget) on a double is exact below 2^53 tokens per "
+        "shard, far past any real shard."
     ),
 )
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("doc_id") / F.lit(float(PACK_SHARD_DOCS))).cast("bigint")
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
     return (
-        docs.select("doc_id", "source", approx_tokens(F.col("text")).alias("n_tokens"))
+        docs.select(
+            "doc_id",
+            "source",
+            bucket.alias("bucket"),
+            approx_tokens(F.col("text")).alias("n_tokens"),
+        )
         .withColumn(
             "pack_id",
             F.floor(cum_before / F.lit(float(PACK_BUDGET))).cast("bigint"),
         )
-        .groupBy("source", "pack_id")
+        .groupBy("source", "bucket", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("pack_tokens"),

@@ -29,19 +29,23 @@ def test_seq_pack_conserves_tokens_and_docs(spark, sf_dir):
         .collect()
     }
     packs = _q("seq_pack")(spark, sf_dir).collect()
-    got: dict[str, list] = {}
+    by_source: dict[str, list] = {}
+    shards: dict[tuple, list] = {}
     for r in packs:
-        got.setdefault(r.source, []).append(r)
-    assert set(got) == set(truth)
-    for source, rows in got.items():
+        by_source.setdefault(r.source, []).append(r)
+        shards.setdefault((r.source, r.bucket), []).append(r)
+    assert set(by_source) == set(truth)
+    for source, rows in by_source.items():
         n_docs, toks = truth[source]
         assert sum(r.n_docs for r in rows) == n_docs
         assert sum(r.pack_tokens for r in rows) == toks
-        # pack ids are contiguous from 0 (concat-then-chunk leaves no gap:
-        # a doc straddling packs p..p+k still *starts* within p, and the
-        # next doc starts within p..p+k too).
+    for rows in shards.values():
+        # pack ids are contiguous from 0 within each (source, bucket)
+        # shard (concat-then-chunk leaves no gap: a doc straddling packs
+        # p..p+k still *starts* within p, and the next doc starts within
+        # p..p+k too).
         ids = sorted(r.pack_id for r in rows)
-        assert ids[0] == 0
+        assert ids == list(range(len(rows)))
         # doc_id ranges of consecutive packs must not interleave
         by_id = sorted(rows, key=lambda r: r.pack_id)
         for a, b in zip(by_id, by_id[1:]):
@@ -49,14 +53,14 @@ def test_seq_pack_conserves_tokens_and_docs(spark, sf_dir):
 
 
 def test_seq_pack_nonfinal_packs_reach_budget(spark, sf_dir):
-    # Every pack except the last per source must span at least the budget
-    # boundary: the next pack's first doc starts at a cumulative offset
-    # >= (pack_id+1)*budget.
+    # Every pack except the last per (source, bucket) shard must span at
+    # least the budget boundary: the next pack's first doc starts at a
+    # cumulative offset >= (pack_id+1)*budget.
     packs = _q("seq_pack")(spark, sf_dir).collect()
-    by_source: dict[str, list] = {}
+    by_shard: dict[tuple, list] = {}
     for r in packs:
-        by_source.setdefault(r.source, []).append(r)
-    for rows in by_source.values():
+        by_shard.setdefault((r.source, r.bucket), []).append(r)
+    for rows in by_shard.values():
         rows.sort(key=lambda r: r.pack_id)
         cum = 0
         for r in rows[:-1]:
@@ -99,11 +103,25 @@ def test_dup_cluster_stats_conserves_paragraphs(spark, sf_dir):
 
 
 def test_seq_pack_plan_single_exchange(spark, sf_dir):
-    # The groupBy(source, pack_id) must reuse the window's
-    # hash(source) partitioning: exactly one shuffle in the whole plan.
+    # The groupBy(source, bucket, pack_id) must reuse the window's
+    # hash(source, bucket) partitioning: exactly one shuffle in the plan.
     df = _q("seq_pack")(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_seq_pack_window_shards_scale_with_buckets(spark, sf_dir):
+    # Scale gate for the low-cardinality-source ceiling: the window must
+    # partition by (source, bucket), never source alone, so the number of
+    # window shards grows with the corpus (doc_id range), not with the
+    # handful of source values.
+    df = _q("seq_pack")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    (win_line,) = [ln for ln in plan.splitlines() if "Window" in ln and "windowspecdefinition" in ln]
+    assert "source" in win_line and "bucket" in win_line
+    shards = df.select("source", "bucket").distinct().count()
+    sources = df.select("source").distinct().count()
+    assert shards > sources  # 500 docs / 128-doc buckets -> 4 buckets/source
 
 
 def test_domain_mix_plan_broadcasts_small_sides(spark, sf_dir):
