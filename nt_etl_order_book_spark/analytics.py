@@ -106,15 +106,33 @@ def current_book(
     # parseable id but stay comparable among themselves via the raw
     # string. NULL-id rows can't join the contest — they pass through
     # and the level-level dedup below resolves any remaining mix.
+    #
+    # The level dedup must pick DETERMINISTICALLY when a NULL-sid row
+    # and an identified row share a level with different contracts
+    # (dropDuplicates keeps an arbitrary row): rank identified rows
+    # above NULL-sid rows, then break any remaining tie (two NULL-sid
+    # rows, or no-sid-column input) by contracts so the same input
+    # always yields the same book, on any partitioning.
+    w_lvl = Window.partitionBy("ticker", "side", "price_dollars")
     if "redis_stream_id" in snapshots.columns:
         snap_latest = (
             snap_latest.withColumn("_sidk", _sid_sort_key(F.col("redis_stream_id")))
             .withColumn("_max_sidk", F.max("_sidk").over(w))
             .filter(F.col("_sidk").isNull() | (F.col("_sidk") == F.col("_max_sidk")))
-            .dropDuplicates(["ticker", "side", "price_dollars"])
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    w_lvl.orderBy(
+                        F.col("_sidk").desc_nulls_last(), F.col("contracts").desc()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
         )
     else:
-        snap_latest = snap_latest.dropDuplicates(["ticker", "side", "price_dollars"])
+        snap_latest = snap_latest.withColumn(
+            "_rn", F.row_number().over(w_lvl.orderBy(F.col("contracts").desc()))
+        ).filter(F.col("_rn") == 1)
     snap_latest = snap_latest.select(
         "ticker", "side", "price_dollars", "contracts", F.col("timestamp").alias("snap_ts")
     )

@@ -476,7 +476,9 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT COUNT(*) AS n_total FROM toks)
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
-           ROUND(SUM(-LN(CAST(f.tf AS DOUBLE) / tot.n_total)) / COUNT(*), 6) AS avg_neg_logprob
+           ROUND(CAST(SUM(CAST(-LN(CAST(f.tf AS DOUBLE) / tot.n_total)
+                               AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_neg_logprob
     FROM toks t JOIN freq f ON t.token = f.token CROSS JOIN tot
     GROUP BY t.doc_id
     """,
@@ -485,7 +487,10 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "for corpus quality ranking): average -ln p(token) under the "
         "corpus unigram distribution. Two keyed aggregates + one join on "
         "token; the vocabulary frame is small and broadcastable at any "
-        "corpus size."
+        "corpus size. The -ln(p) terms are accumulated as DECIMAL(38,18) "
+        "— quantization 5e-19, below double ULP at these magnitudes — so "
+        "the per-doc sum is independent of partition/accumulation order "
+        "in both engines (registry determinism discipline)."
     ),
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,6 +507,9 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum(neg_lp) / F.count(F.lit(1)), 6).alias("avg_neg_logprob"),
+            F.round(
+                F.sum(neg_lp.cast("decimal(38,18)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_neg_logprob"),
         )
     )

@@ -221,3 +221,23 @@ def test_snapshot_tiebreak_null_sid_mix_no_double_count(spark):
     book = current_book(snapshots, deltas)
     rows = book.collect()
     assert len(rows) == 1 and rows[0].contracts == 100
+
+
+def test_snapshot_null_sid_mix_identified_row_wins_deterministically(spark):
+    # NULL-sid and identified rows sharing a level with DIFFERENT
+    # contracts: the identified row must always win (not an arbitrary
+    # dropDuplicates survivor), on any partitioning/run.
+    snapshots = spark.createDataFrame(
+        [
+            (5000, "KXT-A", "yes", "0.4000", 70, "5000-1"),
+            (5000, "KXT-A", "yes", "0.4000", 100, None),  # same level, more contracts, no id
+        ],
+        "timestamp long, ticker string, side string, price_dollars string, contracts int, redis_stream_id string",
+    ).withColumn("price_dollars", F.col("price_dollars").cast("decimal(5,4)"))
+    deltas = spark.createDataFrame(
+        [],
+        "timestamp long, ticker string, side string, price_dollars decimal(5,4), delta int, redis_stream_id string",
+    )
+    for _ in range(3):  # stable across repeated evaluations
+        rows = current_book(snapshots.repartition(8), deltas).collect()
+        assert len(rows) == 1 and rows[0].contracts == 70
