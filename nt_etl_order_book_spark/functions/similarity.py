@@ -200,9 +200,12 @@ N_CELLS = 16  # IVF partitions (coarse quantizer size)
 # fixture — measured same-label vs cross-label cosine are both ≈0) is
 # bounded by the probed mass ≈ N_PROBE/N_CELLS regardless of codebook
 # quality; IVF's recall advantage only exists when the corpus clusters
-# (see test_ivf_recall_on_clustered_corpus). 4/16 keeps real 4× pruning
-# while the fixture recall stays ≈0.45.
-N_PROBE = 4
+# (see test_ivf_recall_on_clustered_corpus). 8/16 holds recall@5 ≥0.7
+# even on this worst-case corpus (measured 0.76 sf0.01 / 0.90 sf0.1)
+# while keeping a real 2× scan prune; on a clustered production corpus
+# the same codebook reaches ≥0.9 at 4/16 (the clustered-corpus test),
+# so deployments tune DOWN from this adversarial-fixture setting.
+N_PROBE = 8
 # One Lloyd pass over the training sample: the clustered-corpus recall
 # test (tests/test_skew_and_ann.py) gates codebook quality at ≥0.9 and
 # still measures 1.0 with a single pass — the second pass bought no

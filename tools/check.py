@@ -168,10 +168,10 @@ def dtype_audit(spark, con, qs, oracles, sf_dir: str, only: set[str]) -> int:
 # arithmetic — float32 list_cosine_similarity disagrees with Spark) and
 # recall@k per variant. Floors are corpus-calibrated: LSH multi-probe
 # measures 1.0 at sf0.01/sf0.1; IVF on an ISOTROPIC corpus is bounded by
-# probed mass ≈ N_PROBE/N_CELLS (0.25) plus rank luck — measured 0.50 /
-# 0.74 — so its floor guards regressions, not clustering quality (the
-# clustered-corpus case is asserted ≥0.9 in tests/test_skew_and_ann.py).
-RECALL_FLOORS = {"ann_lsh_topk": 0.8, "ann_ivf_topk": 0.4}
+# probed mass ≈ N_PROBE/N_CELLS (0.5 at 8/16) plus rank luck — measured
+# 0.76 / 0.90 — the floor guards regressions on the worst-case corpus;
+# clustering quality is asserted ≥0.9 in tests/test_skew_and_ann.py.
+RECALL_FLOORS = {"ann_lsh_topk": 0.8, "ann_ivf_topk": 0.7}
 
 
 def recall_audit(spark, con, qs, oracles, sf_dir: str) -> int:
