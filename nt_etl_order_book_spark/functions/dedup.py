@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F
 
 from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.session import checkpoint_frame
 from nt_etl_order_book_spark.tables import load_table
 
 # Fixed (a, b) affine-permutation constants for MinHash over a prime
@@ -619,7 +620,10 @@ def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame
     makes convergence O(log diameter) instead of O(diameter), so
     `max_rounds` = 25 covers any graph that fits on disk; the loop still
     exits at the observed fixpoint (usually 2-4 rounds on near-dup
-    graphs). Labels are localCheckpoint'ed so lineage stays flat.
+    graphs). Labels are checkpointed each round so lineage stays flat —
+    reliable checkpoint() when the session has a checkpoint dir (cluster:
+    survives executor loss), localCheckpoint otherwise (see
+    session.checkpoint_frame).
     """
     sym = pairs.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
         pairs.select(F.col("b").alias("x"), F.col("a").alias("y"))
@@ -628,9 +632,9 @@ def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame
     # and without this each round re-runs the whole upstream pair
     # pipeline (measured 4× end-to-end at sf0.1). The edge list is
     # near-dup pairs only — tiny relative to the corpus.
-    sym = sym.localCheckpoint(eager=True)
+    sym = checkpoint_frame(sym, eager=True)
     labels = sym.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = checkpoint_frame(labels, eager=True)
     for _ in range(max_rounds):
         nbr = (
             sym.join(labels.withColumnRenamed("x", "y2"), F.col("y") == F.col("y2"))
@@ -657,8 +661,8 @@ def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame
                     F.coalesce("chase_min", "label"),
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = checkpoint_frame(new_labels, eager=True)
         converged = (
             new_labels.withColumnRenamed("label", "new_label")
             .join(labels, "x")

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.session import checkpoint_frame
 from nt_etl_order_book_spark.tables import load_table
 
 TOP_K = 5
@@ -255,14 +256,15 @@ def kmeans_refine(train: DataFrame, cents_arr: DataFrame, iters: int = KMEANS_IT
     (spherical k-means: the mean direction is the cosine-metric
     centroid) and re-collapse to a single-row array frame.
 
-    Each iteration ends in localCheckpoint: the codebook is one row of
-    KBs, but its lineage grows a full Lloyd pass per iteration —
-    truncating it keeps Catalyst from re-optimizing (and re-running)
-    the whole nested training plan under every downstream consumer
-    (measured 2-3× on the end-to-end query). The checkpoint is LAZY
-    (eager=False): building the query plan must run no jobs — training
-    executes once, on the first downstream action, and later consumers
-    reuse the materialized blocks.
+    Each iteration ends in a checkpoint (reliable when the session has a
+    checkpoint dir, local otherwise — session.checkpoint_frame): the
+    codebook is one row of KBs, but its lineage grows a full Lloyd pass
+    per iteration — truncating it keeps Catalyst from re-optimizing (and
+    re-running) the whole nested training plan under every downstream
+    consumer (measured 2-3× on the end-to-end query). The checkpoint is
+    LAZY (eager=False): building the query plan must run no jobs —
+    training executes once, on the first downstream action, and later
+    consumers reuse the materialized blocks.
     """
     for _ in range(iters):
         assigned = train.crossJoin(F.broadcast(cents_arr)).select(
@@ -278,7 +280,7 @@ def kmeans_refine(train: DataFrame, cents_arr: DataFrame, iters: int = KMEANS_IT
             .select("cell", unit_vector(F.transform(F.col("pm"), lambda s: s["m"])).alias("cvec"))
             .agg(F.collect_list(F.struct("cell", "cvec")).alias("cents"))
         )
-        cents_arr = cents_arr.localCheckpoint(eager=False)
+        cents_arr = checkpoint_frame(cents_arr, eager=False)
     return cents_arr
 
 
@@ -313,7 +315,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # representative sample, not the full corpus — at 100 TB training on
     # 1/TRAIN_MOD of the data is the difference between 2 cheap passes
     # and 2 full-corpus passes, with identical codebook quality. The
-    # returned codebook is already materialized (localCheckpoint), so
+    # returned codebook is checkpointed (lineage-truncated), so
     # both consumers (assignment broadcast + probe rows) reuse it.
     train = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(TRAIN_MOD)) == 0).select("embedding")
     cents_arr = kmeans_refine(train, seed)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
@@ -42,6 +42,30 @@ def get_spark(app_name: str = "nt-etl-order-book-spark", *, shuffle_partitions: 
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def checkpoint_frame(df: DataFrame, *, eager: bool = True) -> DataFrame:
+    """Truncate lineage with the checkpoint flavor the deployment wants.
+
+    Iterative plans (connected-components label frames, the IVF codebook)
+    must cut their lineage every round or Catalyst re-optimizes — and
+    re-runs — the whole accumulated plan under each consumer. HOW to cut
+    differs by environment:
+
+    - ``sc.setCheckpointDir`` set (cluster reality): reliable
+      ``checkpoint()`` to that directory — blocks survive executor loss
+      and dynamic-allocation scale-in, which ``localCheckpoint`` blocks
+      (pinned to executors) do not.
+    - no checkpoint dir (local / tests / single-box): ``localCheckpoint``
+      — same lineage truncation without a filesystem round-trip.
+
+    Both flavors leave a ``LogicalRDD`` scan in the plan, so consumers
+    are indistinguishable; tests assert that invariant for each.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def tune_session(spark: SparkSession) -> SparkSession:

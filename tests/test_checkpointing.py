@@ -1,0 +1,51 @@
+"""session.checkpoint_frame: the cluster-reality switch between
+localCheckpoint (local/test, executor-pinned blocks) and reliable
+checkpoint() (cluster, survives executor loss / dynamic-allocation
+scale-in). Both flavors must truncate lineage to a LogicalRDD scan and
+produce identical results; the iterative consumers (connected
+components, IVF codebook) must work under either."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.session import checkpoint_frame
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_checkpoint_frame_truncates_lineage_both_flavors(spark, tmp_path):
+    df = (
+        spark.range(100)
+        .select((F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    # Flavor 1: no checkpoint dir on the context -> localCheckpoint.
+    assert spark.sparkContext.getCheckpointDir() is None
+    local = checkpoint_frame(df, eager=True)
+    assert "LogicalRDD" in _plan(local)
+    # Flavor 2: checkpoint dir set -> reliable checkpoint(); blocks must
+    # actually land in the directory (that is what survives executor loss).
+    ckpt_dir = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    reliable = checkpoint_frame(df, eager=True)
+    assert "LogicalRDD" in _plan(reliable)
+    assert glob.glob(os.path.join(ckpt_dir, "**", "part-*"), recursive=True)
+    assert sorted(map(tuple, local.collect())) == sorted(map(tuple, reliable.collect()))
+
+
+def test_connected_components_converges_under_reliable_checkpoint(spark, tmp_path):
+    from nt_etl_order_book_spark.functions.dedup import connected_components
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)], "a long, b long"
+    )
+    labels = {r.x: r.label for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
