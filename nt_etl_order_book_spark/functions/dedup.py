@@ -447,6 +447,92 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tier ladder for the contamination-span check: doubling n-gram widths.
+# The longest shared token run L between a training doc and a benchmark
+# doc contains an n-token shingle for every n <= L, so the largest
+# matched tier brackets L within a factor of 2 (tier <= L < 2*tier for
+# L < 16; L >= 16 reports the capped top tier) — the distributed,
+# SQL-expressible approximation of the suffix-automaton longest-match
+# check (exact L needs positional chaining, quadratic in SQL).
+SPAN_TIERS = (4, 8, 16)
+
+
+def _sql_span_tier(n: int) -> str:
+    """DuckDB CTE pair for one contamination tier: n-gram shingles over
+    `toks` (twin of `shingles(n=...)`, same short-doc semantics) and the
+    corpus-x-benchmark hit counts at that width."""
+    return f"""
+    sh{n} AS (
+      SELECT doc_id, UNNEST(list_distinct([array_to_string(t[i:i+{n - 1}], ' ')
+              FOR i IN range(1, GREATEST(len(t) - {n - 1}, 1) + 1)])) AS shingle
+      FROM toks
+    ),
+    hits{n} AS (
+      SELECT c.doc_id, {n} AS span_tokens, COUNT(*) AS n_hit_shingles
+      FROM sh{n} c
+      JOIN (SELECT DISTINCT shingle FROM sh{n} WHERE doc_id % {BENCH_MOD} = 0) b USING (shingle)
+      WHERE c.doc_id % {BENCH_MOD} <> 0
+      GROUP BY c.doc_id
+    )"""
+
+
+_SQL_SPAN_TIERS = ",".join(_sql_span_tier(n) for n in SPAN_TIERS)
+_SQL_SPAN_UNION = " UNION ALL ".join(f"SELECT * FROM hits{n}" for n in SPAN_TIERS)
+
+
+@register(
+    "contamination_span",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),{_SQL_SPAN_TIERS},
+    all_hits AS (
+      {_SQL_SPAN_UNION}
+    )
+    SELECT doc_id, span_tokens, n_hit_shingles
+    FROM all_hits
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span_tokens DESC) = 1
+    """,
+    doc=(
+        "Contamination-span check: for each training doc that shares any "
+        f"{SPAN_TIERS[0]}-token shingle with the held-out benchmark slice "
+        f"(doc_id % {BENCH_MOD} = 0), the widest tier of the doubling "
+        f"ladder {SPAN_TIERS} it still matches at, plus the number of "
+        "distinct matched shingles at that width — brackets the longest "
+        "contiguous shared token run within a factor of 2 (the "
+        "suffix-automaton longest-match check, re-expressed as three "
+        "capped inverted-index joins so it distributes). Each tier is one "
+        "corpus scan joined to a broadcast DISTINCT benchmark shingle "
+        "set (1:1 match, no fan-out, no quadratic pair stage); "
+        "decontaminate_ngram's scale notes on the benchmark side apply."
+    ),
+)
+def q_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    tiers = []
+    for n in SPAN_TIERS:
+        sh = shingles(docs, "doc_id", "text", n=n)
+        bench = sh.filter(is_bench).select("shingle").distinct()
+        tiers.append(
+            sh.filter(~is_bench)
+            .join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+            .select("doc_id", F.lit(n).alias("span_tokens"), "n_hit_shingles")
+        )
+    all_hits = tiers[0]
+    for t in tiers[1:]:
+        all_hits = all_hits.unionByName(t)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("span_tokens"))
+    return (
+        all_hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "span_tokens", "n_hit_shingles")
+    )
+
+
 # Paragraph-level dedup: the unit is a fixed-width token chunk. Real
 # corpora segment on blank lines / sentence boundaries; the synthetic
 # documents table is delimiter-free, so the deterministic fallback is

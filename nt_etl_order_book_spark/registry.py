@@ -97,8 +97,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "doc_fingerprint", "topk_ngrams", "doc_length_histogram", "redact_pii",
     "udf_scalar_pandas", "udtf_explode_custom",
     # ---- slot 51+: r5 queue (changed-in-r4 queries with green r3 rows
-    # first, then anything new in r4) ----
+    # first, then anything new in r4; new queries are local-oracle
+    # verified via tools/check.py this round) ----
     "unigram_logprob",      # r4: DECIMAL-exact -ln(p) accumulation
+    "contamination_span",   # new r4: tiered longest-match contamination
 )
 
 

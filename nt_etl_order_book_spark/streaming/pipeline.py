@@ -355,6 +355,44 @@ def windowed_market_breadth(
     )
 
 
+def windowed_distinct_docs(
+    docs: DataFrame,
+    *,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming deduped-document counts: per event-time window, the
+    approximate number of DISTINCT document payloads (HLL over the md5
+    content digest) beside the raw arrival count — the ingest-side live
+    twin of `dedup_exact_docs`, surfacing the duplication rate of a
+    crawl AS IT ARRIVES, before the batch dedup stage runs.
+
+    Ties the streaming layer to the corpus-pipeline layer: state per
+    window is one HLL sketch (O(1), mergeable across partitions), never
+    a digest set that grows with crawl size; the digest is computed
+    inline so raw text never enters state. Same sketch, same digest as
+    the batch ops, so stream/batch parity is exact (HLL merge is
+    order-independent — asserted in tests).
+
+    Expects a document stream with ``text`` and an epoch-ms
+    ``ingest_ts`` column (the crawl-arrival clock).
+    """
+    with_time = docs.withColumn("event_time", F.timestamp_millis(F.col("ingest_ts")))
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"))
+        .agg(
+            F.approx_count_distinct(F.md5(F.col("text"))).alias("approx_distinct_docs"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "approx_distinct_docs",
+            "n_docs",
+        )
+    )
+
+
 def session_bursts(
     deltas: DataFrame,
     *,

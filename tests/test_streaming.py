@@ -247,6 +247,51 @@ def test_windowed_market_breadth(spark, tmp_path):
     assert rows[0].approx_active_tickers == 3 and rows[0].n_msgs == 4
 
 
+def test_windowed_distinct_docs_stream_and_batch_parity(spark, tmp_path):
+    # Streaming deduped-doc counts: HLL over content digests per window,
+    # with exact stream/batch parity (the sketch is order-independent,
+    # so the availableNow replay must equal the same agg run in batch).
+    from nt_etl_order_book_spark.streaming.pipeline import windowed_distinct_docs
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    base = 1_700_000_000_000
+    rows = [
+        # window 1: 4 arrivals, 2 distinct payloads (a crawl re-fetch)
+        {"doc_id": 0, "text": "alpha beta gamma", "ingest_ts": base},
+        {"doc_id": 1, "text": "alpha beta gamma", "ingest_ts": base + 1_000},
+        {"doc_id": 2, "text": "delta epsilon", "ingest_ts": base + 2_000},
+        {"doc_id": 3, "text": "alpha beta gamma", "ingest_ts": base + 3_000},
+        # window 2: 2 arrivals, 2 distinct
+        {"doc_id": 4, "text": "zeta", "ingest_ts": base + 61_000},
+        {"doc_id": 5, "text": "eta theta", "ingest_ts": base + 62_000},
+    ]
+    (p / "docs.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "doc_id long, text string, ingest_ts long"
+    stream = spark.readStream.schema(schema).json(str(p))
+    q = (
+        windowed_distinct_docs(stream)
+        .writeStream.format("memory")
+        .queryName("distinct_docs_tbl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r.window_start: (r.approx_distinct_docs, r.n_docs)
+        for r in spark.sql("select * from distinct_docs_tbl").collect()
+    }
+    batch = {
+        r.window_start: (r.approx_distinct_docs, r.n_docs)
+        for r in windowed_distinct_docs(spark.read.schema(schema).json(str(p))).collect()
+    }
+    assert got == batch  # exact parity: same sketch, same digests
+    assert len(got) == 2
+    counts = sorted(got.values())
+    assert counts == [(2, 2), (2, 4)]  # HLL exact at this cardinality
+
+
 def test_kafka_reader_option_mapping():
     # The "config-only swap" claim as tested code: exact reader options
     # for the buffer topics, no broker needed (option construction only).
