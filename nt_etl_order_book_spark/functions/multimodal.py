@@ -188,3 +188,77 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(as_media_table(docs))
+
+
+# Frame sampling for video payloads: one synthetic "frame" per
+# FRAME_CHARS-char block of the payload stand-in, FRAME_SAMPLES frames
+# sampled at uniform stride per video. The block slice is where a real
+# pipeline calls the codec (pyav frame seek inside mapInPandas, absent
+# in this container); everything AROUND that boundary — which frames to
+# take, their timestamps, the per-frame fingerprint join key — is pure
+# arithmetic, kept JVM-side and oracle-checked end-to-end.
+FRAME_CHARS = 64
+FRAME_SAMPLES = 4
+FRAME_MS = 40  # 25 fps
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+    WITH vid AS (
+      SELECT doc_id, text,
+             GREATEST(CAST(CEIL(length(text) / {FRAME_CHARS}.0) AS BIGINT), 1) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    sampled AS (
+      SELECT doc_id, text, n_frames,
+             UNNEST([CAST(FLOOR(i * n_frames / LEAST(n_frames, {FRAME_SAMPLES})) AS BIGINT)
+                     FOR i IN range(0, CAST(LEAST(n_frames, {FRAME_SAMPLES}) AS INT))]) AS frame_no
+      FROM vid
+    )
+    SELECT doc_id, n_frames, frame_no,
+           frame_no * {FRAME_MS} AS frame_ts_ms,
+           md5(substring(text, CAST(frame_no * {FRAME_CHARS} + 1 AS INT), {FRAME_CHARS})) AS frame_fp
+    FROM sampled
+    """,
+    doc=(
+        f"Video frame sampling: uniform-stride pick of {FRAME_SAMPLES} "
+        f"frames per video payload ({FRAME_CHARS}-char blocks at "
+        f"{1000 // FRAME_MS} fps stand in for decoded frames), emitting "
+        "(frame_no, frame_ts_ms, frame fingerprint) rows — the sampling "
+        "stage a multimodal training pipeline runs before per-frame "
+        "feature extraction. Fully narrow: sequence/transform/explode "
+        "per row, no shuffle, no Python; the md5 block slice marks the "
+        "codec boundary (swap for a mapInPandas decode when codec libs "
+        "exist — the sampling math and schema stay identical)."
+    ),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vid = docs.filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id",
+        "text",
+        F.greatest(
+            F.ceil(F.length("text") / F.lit(float(FRAME_CHARS))).cast("bigint"), F.lit(1)
+        ).alias("n_frames"),
+    )
+    k = F.least(F.col("n_frames"), F.lit(FRAME_SAMPLES).cast("bigint"))
+    frame_nos = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), k - 1),
+        lambda i: F.floor(i * F.col("n_frames") / k).cast("bigint"),
+    )
+    return vid.select(
+        "doc_id", "text", "n_frames", F.explode(frame_nos).alias("frame_no")
+    ).select(
+        "doc_id",
+        "n_frames",
+        "frame_no",
+        (F.col("frame_no") * FRAME_MS).cast("bigint").alias("frame_ts_ms"),
+        F.md5(
+            F.substring(
+                F.col("text"),
+                (F.col("frame_no") * FRAME_CHARS + 1).cast("int"),
+                FRAME_CHARS,
+            )
+        ).alias("frame_fp"),
+    )

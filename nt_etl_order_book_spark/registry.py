@@ -101,6 +101,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # verified via tools/check.py this round) ----
     "unigram_logprob",      # r4: DECIMAL-exact -ln(p) accumulation
     "contamination_span",   # new r4: tiered longest-match contamination
+    "multimodal_frame_sample",  # new r4: uniform-stride video frame pick
 )
 
 

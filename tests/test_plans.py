@@ -127,3 +127,11 @@ def test_repetition_stats_is_narrow(spark, sf_dir):
     # Pure per-row HOF expressions: zero exchanges anywhere.
     df = registry.queries()["repetition_stats"](spark, sf_dir)
     assert count_shuffles(df) == 0
+
+
+def test_multimodal_frame_sample_is_narrow(spark, sf_dir):
+    # Frame sampling is per-row sequence/transform/explode: zero
+    # exchanges — at 100 TB the sampler runs at scan parallelism with
+    # no data movement at all.
+    df = registry.queries()["multimodal_frame_sample"](spark, sf_dir)
+    assert count_shuffles(df) == 0
