@@ -547,12 +547,20 @@ BLOOM_M = 1 << 20  # filter bits
 BLOOM_K = 4  # hash functions per item
 
 
-def paragraphs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """One row per non-empty paragraph (PARA_TOKENS-token chunk) per doc.
 
     Same narrow HOF shape as `shingles`: tokenize once, chunk via
     transform over a chunk-index sequence, explode — no Python, no
-    shuffle."""
+    shuffle. ``keep`` carries extra metadata columns (e.g. ``source``)
+    through the explode so consumers don't need a join back to the doc
+    table."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(PARA_TOKENS))).cast("int")
     pars = F.transform(
@@ -560,7 +568,7 @@ def paragraphs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         lambda i: F.concat_ws(" ", F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS)),
     )
     return (
-        df.select(F.col(id_col), F.explode(pars).alias("par"))
+        df.select(F.col(id_col), *[F.col(c) for c in keep], F.explode(pars).alias("par"))
         .filter(F.col("par") != "")
     )
 
@@ -694,6 +702,49 @@ def q_bloom_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flagged.groupBy("doc_id").agg(
         F.countDistinct("par_hash").alias("n_flagged_pars")
+    )
+
+
+@register(
+    "cross_source_dup",
+    f"""
+    WITH {_sql_paragraphs()},
+    tagged AS (
+      SELECT DISTINCT d.source, md5(p.par) AS par_hash
+      FROM pars p JOIN documents d USING (doc_id)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_pars
+    FROM tagged a JOIN tagged b
+      ON a.par_hash = b.par_hash AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    doc=(
+        "Cross-source duplication matrix: for every pair of source "
+        "domains, the number of distinct paragraph hashes present in "
+        "both — the leakage audit that tells a corpus owner whether two "
+        "crawls/dumps overlap before they are mixed (domain weights "
+        "computed on overlapping sources double-count). Paragraph text "
+        "collapses to (source, md5) before anything wide: the distinct "
+        "and the self-join shuffle hashes only, and per-hash fan-out is "
+        "bounded by source cardinality squared (a handful), so there is "
+        "no quadratic cliff at any corpus size."
+    ),
+)
+def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = (
+        paragraphs(docs, keep=("source",))
+        .select("source", F.md5("par").alias("par_hash"))
+        .distinct()
+    )
+    a = tagged.select(F.col("source").alias("source_a"), "par_hash")
+    b = tagged.select(F.col("source").alias("source_b"), "par_hash")
+    return (
+        a.join(b, "par_hash")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_pars"))
     )
 
 

@@ -513,3 +513,103 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+@register(
+    "corpus_filter_funnel",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_words,
+             LENGTH(text) AS n_chars_f,
+             len(g) AS n_grams,
+             len(list_distinct(g)) AS n_distinct_grams,
+             sha256(text) AS sha,
+             CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT *,
+               [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)] AS g
+        FROM (SELECT *, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+      )
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN n_words BETWEEN 5 AND 100000
+                   AND CAST(n_chars_f AS DOUBLE) / nullif(n_words, 0) BETWEEN 2 AND 12
+                  THEN 1 ELSE 0 END AS q,
+             CASE WHEN 1 - CAST(n_distinct_grams AS DOUBLE) / nullif(n_grams, 0)
+                       > {REPETITION_TAU} THEN 1 ELSE 0 END AS r
+      FROM feats
+    ),
+    dedup AS (
+      SELECT *,
+             MIN(CASE WHEN q = 1 AND r = 0 THEN doc_id END)
+               OVER (PARTITION BY sha) AS min_pass
+      FROM flagged
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_quality,
+           CAST(SUM(CASE WHEN q = 1 AND r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_repetition,
+           CAST(SUM(CASE WHEN q = 1 AND r = 0 AND doc_id <> min_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+           CAST(SUM(CASE WHEN q = 1 AND r = 0 AND doc_id = min_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN q = 1 AND r = 0 AND doc_id = min_pass THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM dedup
+    GROUP BY source
+    """,
+    doc=(
+        "Corpus-cleaning funnel report: per source domain, how many docs "
+        "each pipeline stage drops — C4-style quality gates (length, "
+        "avg-word-length), then the Gopher duplicate-3-gram repetition "
+        "gate, then exact dedup (canonical = min doc_id per sha256 among "
+        "stage survivors, the order real pipelines apply) — plus "
+        "survivor count and surviving token mass. The per-doc gates are "
+        "narrow HOF expressions; only (sha, flags, doc_id, source, "
+        "n_tokens) ride the dedup window exchange and the final "
+        "per-source aggregate, never text, so the report costs two "
+        "digest-width shuffles at any corpus size."
+    ),
+)
+def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_words"),
+        F.length("text").alias("n_chars_f"),
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens"),
+    )
+    n_words_nz = F.nullif(F.col("n_words"), F.lit(0))
+    awl = F.col("n_chars_f").cast("double") / n_words_nz
+    dup = F.lit(1) - F.col("n_distinct_grams").cast("double") / F.nullif(
+        F.col("n_grams"), F.lit(0)
+    )
+    flagged = feats.select(
+        "*",
+        F.when(F.col("n_words").between(5, 100000) & awl.between(2, 12), 1)
+        .otherwise(0)
+        .alias("q"),
+        F.when(dup > REPETITION_TAU, 1).otherwise(0).alias("r"),
+    )
+    pass12 = (F.col("q") == 1) & (F.col("r") == 0)
+    w = Window.partitionBy("sha")
+    dedup = flagged.withColumn(
+        "min_pass", F.min(F.when(pass12, F.col("doc_id"))).over(w)
+    )
+    kept = pass12 & (F.col("doc_id") == F.col("min_pass"))
+    return dedup.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("q") == 0).cast("int")).alias("n_fail_quality"),
+        F.sum(((F.col("q") == 1) & (F.col("r") == 1)).cast("int")).alias("n_fail_repetition"),
+        F.sum((pass12 & (F.col("doc_id") != F.col("min_pass"))).cast("int")).alias("n_dup_dropped"),
+        F.sum(kept.cast("int")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+    )

@@ -102,6 +102,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "unigram_logprob",      # r4: DECIMAL-exact -ln(p) accumulation
     "contamination_span",   # new r4: tiered longest-match contamination
     "multimodal_frame_sample",  # new r4: uniform-stride video frame pick
+    "cross_source_dup",     # new r4: cross-domain paragraph-overlap audit
+    "corpus_filter_funnel",  # new r4: per-source cleaning-funnel report
 )
 
 
