@@ -77,10 +77,10 @@ def as_media_table(docs: DataFrame) -> DataFrame:
 _NO_IMAGE = {"width": None, "height": None, "mean_lum": None}
 
 
-def _decode_bmp(payload: bytes) -> dict | None:
-    """Real decode for uncompressed 24-bit BMP — pure struct + numpy, no
-    codec library. Returns None (→ fallback) for anything that isn't a
-    well-formed 24bpp BMP."""
+def _bmp_pixels(payload: bytes):
+    """Pixel array (rows, width, 3 BGR) for an uncompressed 24-bit BMP —
+    pure struct + numpy, no codec library. None for anything that isn't
+    a well-formed 24bpp BMP (→ callers take their fallback path)."""
     import struct
 
     import numpy as np
@@ -100,17 +100,25 @@ def _decode_bmp(payload: bytes) -> dict | None:
         if len(payload) < pix_off + row_bytes * n_rows:
             return None
         arr = np.frombuffer(payload, dtype=np.uint8, offset=pix_off, count=row_bytes * n_rows)
-        px = arr.reshape(n_rows, row_bytes)[:, : width * 3].reshape(n_rows, width, 3)
-        b, g, r = px.astype(np.float64).mean(axis=(0, 1))
-        return {
-            "feature_dim": 3,
-            "feature_crc": int(px.sum()) % (1 << 31),
-            "width": width,
-            "height": n_rows,
-            "mean_lum": float((0.114 * b + 0.587 * g + 0.299 * r) / 255.0),
-        }
+        return arr.reshape(n_rows, row_bytes)[:, : width * 3].reshape(n_rows, width, 3)
     except Exception:
         return None
+
+
+def _decode_bmp(payload: bytes) -> dict | None:
+    """Real decode for uncompressed 24-bit BMP: pixel stats over
+    `_bmp_pixels`. None (→ fallback) when the payload isn't one."""
+    px = _bmp_pixels(payload)
+    if px is None:
+        return None
+    b, g, r = px.astype("float64").mean(axis=(0, 1))
+    return {
+        "feature_dim": 3,
+        "feature_crc": int(px.sum()) % (1 << 31),
+        "width": px.shape[1],
+        "height": px.shape[0],
+        "mean_lum": float((0.114 * b + 0.587 * g + 0.299 * r) / 255.0),
+    }
 
 
 def decode_payload(payload: bytes, media_type: str) -> dict:
@@ -188,6 +196,96 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(as_media_table(docs))
+
+
+# Thumbnail edge for the resize stage: 8x8 nearest-neighbor, the
+# canonical "perceptual fingerprint" size (aHash/dHash family).
+THUMB_EDGE = 8
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_src_bytes", LongType(), True),
+        # real-resize fields: populated when the payload decodes (BMP);
+        # NULL for formats that would need codec libs
+        StructField("out_w", LongType(), True),
+        StructField("out_h", LongType(), True),
+        StructField("thumb_crc", LongType(), True),
+    ]
+)
+
+
+def resize_payload(payload: bytes) -> dict:
+    """Nearest-neighbor THUMB_EDGE² thumbnail of a decodable image.
+
+    BMPs resize for REAL (numpy index sampling over `_bmp_pixels`).
+    Undecodable payloads take the clearly-marked deterministic fallback
+    — a stride-sample of the raw bytes folded into the same crc — so
+    the distributed plumbing runs end-to-end without pretending to
+    decode (same contract as `decode_payload`).
+    """
+    px = _bmp_pixels(payload)
+    if px is not None:
+        import numpy as np
+
+        h, w = px.shape[:2]
+        yi = (np.arange(THUMB_EDGE) * h) // THUMB_EDGE
+        xi = (np.arange(THUMB_EDGE) * w) // THUMB_EDGE
+        thumb = px[yi][:, xi]
+        return {
+            "out_w": THUMB_EDGE,
+            "out_h": THUMB_EDGE,
+            "thumb_crc": int(thumb.sum()) % (1 << 31),
+        }
+    if payload is None or len(payload) == 0:
+        return {"out_w": None, "out_h": None, "thumb_crc": 0}
+    n = len(payload)
+    k = THUMB_EDGE * THUMB_EDGE
+    crc = 0
+    for j in range(min(n, k)):
+        crc = (crc * 31 + payload[(j * n) // k] + j) % (1 << 31)
+    return {"out_w": None, "out_h": None, "thumb_crc": crc}
+
+
+def resize_images(media: DataFrame) -> DataFrame:
+    """Resize/thumbnail stage via mapInPandas — same Arrow-batched shape
+    as `extract_features`, so partitions of large payloads stay within
+    executor memory regardless of payload size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rs = [resize_payload(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_src_bytes": pdf["payload"]
+                    .map(lambda b: 0 if b is None else len(b))
+                    .astype("int64"),
+                    "out_w": pd.Series([r["out_w"] for r in rs], dtype="Int64"),
+                    "out_h": pd.Series([r["out_h"] for r in rs], dtype="Int64"),
+                    "thumb_crc": pd.Series([r["thumb_crc"] for r in rs], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+@register(
+    "multimodal_resize",
+    None,  # resize path is Python-side (mapInPandas) → rows-only check; determinism asserted in tests.
+    doc=(
+        f"Image resize/thumbnail stage: {THUMB_EDGE}x{THUMB_EDGE} "
+        "nearest-neighbor downsample per payload via mapInPandas (real "
+        "for BMP, deterministic byte-sample fallback otherwise) — the "
+        "normalize-before-encode step of a multimodal training pipeline, "
+        "Arrow-batched so payload size never breaks executor memory."
+    ),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(as_media_table(docs))
 
 
 # Frame sampling for video payloads: one synthetic "frame" per

@@ -104,6 +104,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",  # new r4: uniform-stride video frame pick
     "cross_source_dup",     # new r4: cross-domain paragraph-overlap audit
     "corpus_filter_funnel",  # new r4: per-source cleaning-funnel report
+    "multimodal_resize",    # new r4: thumbnail stage (rows-only: mapInPandas)
 )
 
 

@@ -167,3 +167,38 @@ def test_multimodal_bmp_decodes_for_real(spark):
     fake = got[2]
     assert fake.width is None and fake.height is None and fake.mean_lum is None
     assert fake.feature_dim == 16 + (31 % 48)
+
+
+def test_multimodal_resize_real_bmp_and_fallback(spark):
+    # BMPs resize for real: a solid-color image thumbnails to
+    # THUMB_EDGE² pixels of that color, so the crc is exactly
+    # sum(BGR) * 64. Non-images take the deterministic byte-sample
+    # fallback (NULL dims); both paths must be stable across runs.
+    import struct
+
+    from nt_etl_order_book_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        THUMB_EDGE,
+        resize_images,
+    )
+
+    width, height = 4, 4
+    row = bytes([10, 20, 30] * width)  # 12 bytes/row, already 4-aligned
+    pixels = row * height
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    )
+    rows = [
+        (1, "image", header + pixels, 54 + len(pixels), "fp1"),
+        (2, "audio", b"definitely not pixels", 21, "fp2"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for _ in range(2):  # deterministic across runs
+        got = {r.doc_id: r for r in resize_images(df).collect()}
+        real = got[1]
+        assert (real.out_w, real.out_h) == (THUMB_EDGE, THUMB_EDGE)
+        assert real.thumb_crc == (10 + 20 + 30) * THUMB_EDGE * THUMB_EDGE
+        fake = got[2]
+        assert fake.out_w is None and fake.out_h is None and fake.thumb_crc > 0
