@@ -91,13 +91,31 @@ _SQL_TOKENS = "CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)"
         "scales with the corpus even when `source` has a handful of "
         "values, at the cost of ≤1 ragged trailing pack per shard. One "
         "window + one groupBy sharing the (source, bucket) exchange. "
-        "floor(x/budget) on a double is exact below 2^53 tokens per "
-        "shard, far past any real shard."
+        "A doc longer than the whole budget straddles several packs and "
+        "only packs containing a doc START emit a row (pack ids may "
+        "gap; property-tested). floor(x/budget) on a double is exact "
+        "below 2^53 tokens per shard, far past any real shard."
     ),
 )
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.floor(F.col("doc_id") / F.lit(float(PACK_SHARD_DOCS))).cast("bigint")
+    toks = docs.select(
+        "doc_id", "source", approx_tokens(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(toks)
+
+
+def pack_sequences(
+    toks: DataFrame,
+    *,
+    budget: int = PACK_BUDGET,
+    shard_docs: int = PACK_SHARD_DOCS,
+) -> DataFrame:
+    """Concat-then-chunk packing over a (doc_id, source, n_tokens) frame
+    — the library form of `seq_pack` (see its registration doc for the
+    sharding/scale rationale), parameterized so property tests can
+    exercise the bucketing math on arbitrary inputs."""
+    bucket = F.floor(F.col("doc_id") / F.lit(float(shard_docs))).cast("bigint")
     w = (
         Window.partitionBy("source", "bucket")
         .orderBy("doc_id")
@@ -105,15 +123,10 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
     return (
-        docs.select(
-            "doc_id",
-            "source",
-            bucket.alias("bucket"),
-            approx_tokens(F.col("text")).alias("n_tokens"),
-        )
+        toks.select("doc_id", "source", bucket.alias("bucket"), "n_tokens")
         .withColumn(
             "pack_id",
-            F.floor(cum_before / F.lit(float(PACK_BUDGET))).cast("bigint"),
+            F.floor(cum_before / F.lit(float(budget))).cast("bigint"),
         )
         .groupBy("source", "bucket", "pack_id")
         .agg(

@@ -66,10 +66,14 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # (seq_pack/domain_mix/dup_cluster_stats, local check.py-verified in r3),
 # scan_parquet (last row r1), and the 46 whose last row is r2. After this
 # sweep every registered query has a driver row from r3 or r4, i.e. max
-# staleness = 1 round. tests/test_registry_rotation.py asserts this
-# invariant from the CORRECTNESS_r*.json history so rotation debt fails
-# pytest instead of living in the builder's head. Queries newly added in
-# r4 are local-oracle-verified and queued for the r5 window (listed
+# staleness = 1 round. tests/test_registry_rotation.py asserts, from the
+# CORRECTNESS_r*.json history, that no query exceeds the SUSTAINABLE
+# staleness bound ceil(N_queries/50) — 3 rounds at the current 105
+# queries — so rotation debt fails pytest instead of living in the
+# builder's head. (The driver row is the external evidence cadence;
+# every query is still locally verified EVERY round by the full
+# tools/check.py sweep.) Queries newly added in r4 are
+# local-oracle-verified and queued for the r5 window (listed
 # immediately after slot 50 so the r5 rotation is mechanical).
 _SWEEP_PRIORITY: tuple[str, ...] = (
     # -- never driver-swept: registered after the r3 window closed (3).

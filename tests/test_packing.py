@@ -41,9 +41,12 @@ def test_seq_pack_conserves_tokens_and_docs(spark, sf_dir):
         assert sum(r.pack_tokens for r in rows) == toks
     for rows in shards.values():
         # pack ids are contiguous from 0 within each (source, bucket)
-        # shard (concat-then-chunk leaves no gap: a doc straddling packs
-        # p..p+k still *starts* within p, and the next doc starts within
-        # p..p+k too).
+        # shard — a FIXTURE property, not a general one: it holds
+        # because every fixture doc is shorter than the budget, so every
+        # pack contains at least one doc start. A doc longer than the
+        # whole budget would leave start-less (unemitted) pack ids —
+        # that general case is covered by the brute-force property test
+        # (tests/test_property.py::test_pack_sequences_matches_bruteforce).
         ids = sorted(r.pack_id for r in rows)
         assert ids == list(range(len(rows)))
         # doc_id ranges of consecutive packs must not interleave

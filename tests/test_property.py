@@ -125,3 +125,62 @@ def test_book_reconstruct_matches_bruteforce(spark_prop, snaps, deltas):
             continue
         base = latest.get(k, (0, 0, 0.0))[2] if k in latest else 0.0
         assert out[k] == (base + dsum.get(k, 0.0), dcnt.get(k, 0)), k
+
+
+pack_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # doc_id (deduped below)
+        st.sampled_from(KEYS),                   # source
+        st.integers(min_value=1, max_value=50),  # n_tokens
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=pack_docs)
+def test_pack_sequences_matches_bruteforce(spark_prop, docs):
+    # Bucketed concat-then-chunk packing vs a python brute force: within
+    # each (source, floor(doc_id/shard)) shard, docs concatenated in
+    # doc_id order, a doc belongs to the pack its first token lands in.
+    from nt_etl_order_book_spark.functions.packing import pack_sequences
+
+    budget, shard = 16, 4
+    dd: dict[int, tuple] = {}
+    for doc_id, src, nt in docs:
+        dd[doc_id] = (src, nt)  # unique doc_ids (last wins)
+    rows = [(i, s, n) for i, (s, n) in sorted(dd.items())]
+
+    # pack ids are NOT necessarily contiguous: a doc longer than the
+    # whole budget straddles packs p..p+k and the next doc starts in
+    # p+k, so packs with no doc START never emit a row — keyed dict,
+    # not a list.
+    expected: dict[tuple, dict] = defaultdict(dict)  # shard -> pack_id -> agg
+    shard_cum: dict[tuple, int] = defaultdict(int)
+    for doc_id, src, nt in rows:
+        key = (src, doc_id // shard)
+        pack_id = shard_cum[key] // budget
+        p = expected[key].setdefault(pack_id, [0, 0, doc_id, doc_id])
+        p[0] += 1  # n_docs
+        p[1] += nt  # pack_tokens
+        p[3] = doc_id  # last_doc_id
+        shard_cum[key] += nt
+
+    df = spark_prop.createDataFrame(
+        rows or [(0, "Z", 1)], "doc_id long, source string, n_tokens long"
+    )
+    out = pack_sequences(df, budget=budget, shard_docs=shard)
+    got = {
+        (r.source, r.bucket, r.pack_id): (r.n_docs, r.pack_tokens, r.first_doc_id, r.last_doc_id)
+        for r in out.collect()
+    }
+    if not rows:
+        assert got == {("Z", 0, 0): (1, 1, 0, 0)}
+        return
+    want = {
+        (src, b, pid): tuple(agg)
+        for (src, b), packs in expected.items()
+        for pid, agg in packs.items()
+    }
+    assert got == want
