@@ -613,3 +613,70 @@ def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept.cast("int")).alias("n_kept"),
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
     )
+
+
+@register(
+    "domain_kl_divergence",
+    """
+    WITH toks AS (
+      SELECT source, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents
+    ),
+    tf_s AS (SELECT source, token, COUNT(*) AS tf_s FROM toks GROUP BY source, token),
+    tf   AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+    n_s  AS (SELECT source, CAST(SUM(tf_s) AS BIGINT) AS src_tokens FROM tf_s GROUP BY source),
+    n    AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+    SELECT s.source,
+           n_s.src_tokens,
+           COUNT(*) AS vocab,
+           ROUND(CAST(SUM(CAST(
+             (CAST(s.tf_s AS DOUBLE) / n_s.src_tokens)
+             * LN((CAST(s.tf_s AS DOUBLE) / n_s.src_tokens)
+                  / (CAST(f.tf AS DOUBLE) / n.n_total))
+             AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl_nats
+    FROM tf_s s
+    JOIN tf f USING (token)
+    JOIN n_s USING (source)
+    CROSS JOIN n
+    GROUP BY s.source, n_s.src_tokens
+    """,
+    doc=(
+        "Per-domain unigram KL divergence vs the whole-corpus "
+        "distribution, KL(P_source || P_corpus) in nats — the "
+        "domain-shift diagnostic that tells a mixture designer which "
+        "sources are interchangeable and which carry unique mass "
+        "(domain_mix re-weights by token VOLUME; this measures "
+        "DISTRIBUTIONAL distance). Shuffles carry (token, count) pairs "
+        "only; the tf_s-x-tf join stays keyed by token WITHOUT a "
+        "broadcast hint (a web-scale vocabulary outgrows broadcast — "
+        "AQE picks broadcast when it fits), while the per-source totals "
+        "and the 1-row grand total do broadcast. "
+        "Each ln input is a quotient of exact BIGINT-ratio doubles "
+        "(identical bits in both engines) and the term sum accumulates "
+        "as DECIMAL(38,18), so the 6-dp result is partition-order "
+        "independent (registry determinism discipline)."
+    ),
+)
+def q_domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+    )
+    tf_s = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf_s"))
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    n_s = tf_s.groupBy("source").agg(F.sum("tf_s").cast("bigint").alias("src_tokens"))
+    n = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    p_src = F.col("tf_s").cast("double") / F.col("src_tokens")
+    p_all = F.col("tf").cast("double") / F.col("n_total")
+    term = p_src * F.log(p_src / p_all)
+    return (
+        tf_s.join(tf, "token")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source", "src_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(F.sum(term.cast("decimal(38,18)")).cast("double"), 6).alias("kl_nats"),
+        )
+        .select("source", "src_tokens", "vocab", "kl_nats")
+    )

@@ -109,6 +109,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "cross_source_dup",     # new r4: cross-domain paragraph-overlap audit
     "corpus_filter_funnel",  # new r4: per-source cleaning-funnel report
     "multimodal_resize",    # new r4: thumbnail stage (rows-only: mapInPandas)
+    "domain_kl_divergence",  # new r4: per-domain distribution-shift audit
 )
 
 
