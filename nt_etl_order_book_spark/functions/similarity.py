@@ -284,24 +284,18 @@ def kmeans_refine(train: DataFrame, cents_arr: DataFrame, iters: int = KMEANS_IT
     return cents_arr
 
 
-@register(
-    "ann_ivf_topk",
-    None,  # centroid assignment is implementation-specific → rows-only.
-    doc=(
-        f"ANN via IVF (inverted file): k-means-refined coarse quantizer "
-        f"({N_CELLS} cells, {KMEANS_ITERS} Lloyd iterations on a "
-        f"deterministic 1/{TRAIN_MOD} hash-sample); corpus assigned to its "
-        "nearest cell by a zero-shuffle HOF argmin over the broadcast "
-        f"centroid array; each query scores only its {N_PROBE} nearest "
-        "cells. At 100 TB you persist the corpus bucketed by cell and "
-        "probing prunes the scan to ~N_PROBE/N_CELLS of the data."
-    ),
-)
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    # Seed centroids: the first N_CELLS vectors, collapsed to ONE row
-    # holding array<struct<cell,cvec>> — broadcasting this single row
-    # attaches the whole codebook to every corpus row with no expansion.
+def ivf_codebook(emb: DataFrame) -> DataFrame:
+    """Trained IVF coarse quantizer as a 1-row array<struct<cell,cvec>>
+    frame (checkpointed — see kmeans_refine).
+
+    Seed centroids are the first N_CELLS vectors, collapsed to ONE row —
+    broadcasting this single row attaches the whole codebook to every
+    corpus row with no expansion. Refinement runs on a deterministic
+    1/TRAIN_MOD hash-sample: k-means quality needs a representative
+    sample, not the full corpus — at 100 TB that is the difference
+    between cheap sample passes and full-corpus passes, with identical
+    codebook quality.
+    """
     seed = (
         emb.filter(F.col("vec_id") < N_CELLS)
         .select(
@@ -311,23 +305,55 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.collect_list("c").alias("cents"))
     )
-    # Refine on a deterministic hash-sample: k-means quality needs a
-    # representative sample, not the full corpus — at 100 TB training on
-    # 1/TRAIN_MOD of the data is the difference between 2 cheap passes
-    # and 2 full-corpus passes, with identical codebook quality. The
-    # returned codebook is checkpointed (lineage-truncated), so
-    # both consumers (assignment broadcast + probe rows) reuse it.
     train = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(TRAIN_MOD)) == 0).select("embedding")
-    cents_arr = kmeans_refine(train, seed)
-    # Full-corpus assignment: one narrow projection, zero shuffle. The
-    # row norm is per-vector, not per-pair — computed once here so the
-    # per-candidate scoring below is a single dot fold, not dot + 2 norms.
-    assigned = emb.crossJoin(F.broadcast(cents_arr)).select(
+    return kmeans_refine(train, seed)
+
+
+def ivf_assign(emb: DataFrame, cents_arr: DataFrame) -> DataFrame:
+    """Full-corpus cell assignment: one narrow projection, zero shuffle.
+    The row norm is per-vector, not per-pair — computed once here so
+    downstream per-candidate scoring is a single dot fold, not
+    dot + 2 norms."""
+    return emb.crossJoin(F.broadcast(cents_arr)).select(
         "vec_id",
         "embedding",
         norm(F.col("embedding")).alias("enorm"),
         nearest_cell(F.col("embedding"), F.col("cents")).alias("cell"),
     )
+
+
+def write_ivf_index(emb: DataFrame, cents_arr: DataFrame, path: str) -> None:
+    """Persist the corpus as an on-disk IVF index: assignment rows
+    written `partitionBy("cell")`, one parquet directory per cell.
+
+    This is the 100 TB form of `ann_ivf_topk`'s claim made testable: a
+    probe read with `cell` predicates prunes at the DIRECTORY level
+    (PartitionFilters in the scan, asserted in tests), so each query
+    batch reads ~N_PROBE/N_CELLS of the stored bytes — no job touches
+    the unprobed cells at all."""
+    emb.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ivf_assign(emb, cents_arr).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # centroid assignment is implementation-specific → rows-only.
+    doc=(
+        f"ANN via IVF (inverted file): k-means-refined coarse quantizer "
+        f"({N_CELLS} cells, {KMEANS_ITERS} Lloyd iterations on a "
+        f"deterministic 1/{TRAIN_MOD} hash-sample); corpus assigned to its "
+        "nearest cell by a zero-shuffle HOF argmin over the broadcast "
+        f"centroid array; each query scores only its {N_PROBE} nearest "
+        "cells. At 100 TB you persist the corpus bucketed by cell "
+        "(write_ivf_index: partitionBy('cell'); partition pruning on "
+        "probe reads is plan-asserted in tests) and probing prunes the "
+        "scan to ~N_PROBE/N_CELLS of the data."
+    ),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents_arr = ivf_codebook(emb)
+    assigned = ivf_assign(emb, cents_arr)
     # Each query probes its N_PROBE nearest refined cells. Probe selection
     # is a HOF over the SAME broadcast codebook array the assignment uses:
     # sort (−dot, cell) ascending ≡ (dot desc, cell asc) and slice the

@@ -254,3 +254,45 @@ def test_bloom_filter_flags_shared_paragraph_only(spark):
     # flag implies ≥1 flagged paragraph, ids are non-reference docs
     out = registry.queries()["bloom_filter_dedup"](spark, "/root/testdata/sf0.001").collect()
     assert all(r.n_flagged_pars >= 1 and r.doc_id % REF_MOD != 0 for r in out)
+
+
+def test_ivf_index_write_prunes_partitions_on_probe_read(spark, sf_dir, tmp_path):
+    # The 100 TB claim as tested code: the persisted IVF index is
+    # partitioned by cell, and a probe read with a cell predicate must
+    # prune at the directory level (PartitionFilters on the scan) and
+    # return exactly the in-memory assignment rows for those cells.
+    import os
+
+    from nt_etl_order_book_spark.functions.similarity import (
+        N_CELLS,
+        ivf_assign,
+        ivf_codebook,
+        write_ivf_index,
+    )
+    from nt_etl_order_book_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_codebook(emb)
+    idx = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, idx)
+
+    # one directory per non-empty cell, none outside [0, N_CELLS)
+    cells = {
+        int(d.split("=")[1]) for d in os.listdir(idx) if d.startswith("cell=")
+    }
+    assert cells and all(0 <= c < N_CELLS for c in cells)
+
+    probe_cells = sorted(cells)[:2]
+    rd = spark.read.parquet(idx).filter(F.col("cell").isin(probe_cells))
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:80]
+
+    got = {(r.vec_id, r.cell) for r in rd.select("vec_id", "cell").collect()}
+    want = {
+        (r.vec_id, r.cell)
+        for r in ivf_assign(emb, cents)
+        .filter(F.col("cell").isin(probe_cells))
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got == want
