@@ -818,9 +818,10 @@ def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame
     )
 
 
-@register(
-    "dedup_components",
-    f"""
+# Shared DuckDB CTE chain: ngram_jaccard pair graph → transitive
+# closure (`reach`). Used by the dedup_components oracle and the
+# survivorship oracle on top of it.
+_SQL_PAIR_CLOSURE = f"""
     WITH RECURSIVE sh_all AS (
       SELECT doc_id, UNNEST(list_distinct(g)) AS shingle
       FROM (
@@ -851,7 +852,12 @@ def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame
       SELECT x, y FROM sym
       UNION
       SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
-    )
+    )"""
+
+
+@register(
+    "dedup_components",
+    f"""{_SQL_PAIR_CLOSURE}
     SELECT x AS doc_id, LEAST(x, MIN(y)) AS component
     FROM reach GROUP BY x
     """,
@@ -873,3 +879,42 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_ngram_jaccard(spark, sf_dir).select("a", "b")
     labels = connected_components(pairs)
     return labels.select(F.col("x").alias("doc_id"), F.col("label").alias("component"))
+
+
+@register(
+    "dedup_survivorship",
+    f"""{_SQL_PAIR_CLOSURE},
+    comp AS (
+      SELECT x AS doc_id, LEAST(x, MIN(y)) AS component
+      FROM reach GROUP BY x
+    )
+    SELECT c.doc_id, c.component,
+           FIRST_VALUE(c.doc_id) OVER w AS survivor_doc_id,
+           CASE WHEN c.doc_id = FIRST_VALUE(c.doc_id) OVER w
+                THEN 1 ELSE 0 END AS is_survivor
+    FROM comp c JOIN documents d USING (doc_id)
+    WINDOW w AS (PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id ASC)
+    """,
+    doc=(
+        "Dedup survivorship: within each near-dup component "
+        "(dedup_components' clusters), pick the canonical copy by the "
+        "standard keep-the-longest rule (n_chars desc, doc_id tiebreak) "
+        "and mark every member keep/drop — the decision stage between "
+        "clustering and the corpus filter. One doc_id-keyed join to "
+        "fetch lengths plus one window over components (tiny: members "
+        "of near-dup clusters only); the component frame reuses "
+        "connected_components' checkpointed labels."
+    ),
+)
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = q_dedup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    surv = F.first("doc_id").over(w)
+    return j.select(
+        "doc_id",
+        "component",
+        surv.alias("survivor_doc_id"),
+        (F.col("doc_id") == surv).cast("int").alias("is_survivor"),
+    )

@@ -680,3 +680,50 @@ def q_domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "src_tokens", "vocab", "kl_nats")
     )
+
+
+# Portable "BPE-ish" pre-tokenizer: letter runs, digit runs, single
+# punctuation marks — the GPT-2 pre-tokenizer's shape reduced to the
+# regex subset Java (Spark) and RE2 (DuckDB) evaluate identically
+# (no lookarounds, no \p classes). Counts subword-ish units, which is
+# what token budgeting needs; a real BPE merge table sits behind the
+# same column contract.
+SUBWORD_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "subword_token_count",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_words,
+             len(regexp_extract_all(text, '{SUBWORD_RE}')) AS n_subwords
+      FROM documents
+    )
+    SELECT doc_id, n_words, CAST(n_subwords AS BIGINT) AS n_subwords,
+           ROUND(CAST(n_subwords AS DOUBLE) / nullif(n_words, 0), 6) AS subwords_per_word
+    FROM c
+    """,
+    doc=(
+        "Regex pre-tokenizer token counting — the BPE-ish complement to "
+        "`token_count`'s whitespace + chars/4 budget: letter runs, digit "
+        "runs, and punctuation marks counted per doc, plus the "
+        "subwords-per-word fertility ratio (the signal that flags "
+        "code/table-heavy docs whose real token cost far exceeds their "
+        "word count). Single regexp_extract_all per row, fully narrow, "
+        "pattern restricted to the Java∩RE2 dialect so both engines "
+        "tokenize identically."
+    ),
+)
+def q_subword_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    n_subwords = F.size(F.regexp_extract_all("text", F.lit(SUBWORD_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_subwords.cast("bigint").alias("n_subwords"),
+        F.round(
+            n_subwords.cast("double") / F.nullif(n_words, F.lit(0)), 6
+        ).alias("subwords_per_word"),
+    )

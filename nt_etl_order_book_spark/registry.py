@@ -110,6 +110,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "corpus_filter_funnel",  # new r4: per-source cleaning-funnel report
     "multimodal_resize",    # new r4: thumbnail stage (rows-only: mapInPandas)
     "domain_kl_divergence",  # new r4: per-domain distribution-shift audit
+    "subword_token_count",  # new r4: BPE-ish regex token budgeting
+    "dedup_survivorship",   # new r4: canonical-copy pick per dup cluster
 )
 
 
