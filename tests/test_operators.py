@@ -202,3 +202,29 @@ def test_multimodal_resize_real_bmp_and_fallback(spark):
         assert real.thumb_crc == (10 + 20 + 30) * THUMB_EDGE * THUMB_EDGE
         fake = got[2]
         assert fake.out_w is None and fake.out_h is None and fake.thumb_crc > 0
+
+
+def test_corpus_filter_funnel_stages_partition_docs(spark, sf_dir):
+    # The funnel stages must PARTITION each source's docs: every doc is
+    # counted in exactly one of fail_quality / fail_repetition /
+    # dup_dropped / kept, and survivors carry positive token mass.
+    from nt_etl_order_book_spark import registry
+
+    rows = registry.all_specs()["corpus_filter_funnel"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs == r.n_fail_quality + r.n_fail_repetition + r.n_dup_dropped + r.n_kept
+        assert (r.tokens_kept > 0) == (r.n_kept > 0)
+
+
+def test_domain_kl_divergence_is_nonnegative(spark, sf_dir):
+    # Gibbs' inequality: KL(P_source || P_corpus) >= 0, equality only if
+    # the source's unigram distribution equals the corpus's. A negative
+    # value (beyond the 6-dp rounding) means the estimator is broken.
+    from nt_etl_order_book_spark import registry
+
+    rows = registry.all_specs()["domain_kl_divergence"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.kl_nats >= -1e-6, (r.source, r.kl_nats)
+        assert r.vocab > 0 and r.src_tokens > 0

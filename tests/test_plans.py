@@ -135,3 +135,27 @@ def test_multimodal_frame_sample_is_narrow(spark, sf_dir):
     # no data movement at all.
     df = registry.queries()["multimodal_frame_sample"](spark, sf_dir)
     assert count_shuffles(df) == 0
+
+
+def _no_text_on_exchanges(df):
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    for line in formatted_plan(df).splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line and " par#" not in line, line
+
+
+def test_corpus_filter_funnel_shuffles_digests_not_text(spark, sf_dir):
+    # The funnel's per-doc gates are narrow projections; only
+    # (sha, flags, doc_id, source, n_tokens) may ride the dedup window
+    # exchange and the final per-source aggregate — never document text.
+    df = registry.queries()["corpus_filter_funnel"](spark, sf_dir)
+    assert count_shuffles(df) <= 3
+    _no_text_on_exchanges(df)
+
+
+def test_cross_source_dup_shuffles_hashes_not_text(spark, sf_dir):
+    # Paragraph text must collapse to (source, md5) before anything
+    # wide: no text or paragraph column on any exchange.
+    df = registry.queries()["cross_source_dup"](spark, sf_dir)
+    _no_text_on_exchanges(df)
