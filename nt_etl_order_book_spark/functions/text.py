@@ -623,9 +623,9 @@ def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     tf_s AS (SELECT source, token, COUNT(*) AS tf_s FROM toks GROUP BY source, token),
-    tf   AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+    tf   AS (SELECT token, CAST(SUM(tf_s) AS BIGINT) AS tf FROM tf_s GROUP BY token),
     n_s  AS (SELECT source, CAST(SUM(tf_s) AS BIGINT) AS src_tokens FROM tf_s GROUP BY source),
-    n    AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+    n    AS (SELECT CAST(SUM(tf_s) AS BIGINT) AS n_total FROM tf_s)
     SELECT s.source,
            n_s.src_tokens,
            COUNT(*) AS vocab,
@@ -646,11 +646,15 @@ def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain-shift diagnostic that tells a mixture designer which "
         "sources are interchangeable and which carry unique mass "
         "(domain_mix re-weights by token VOLUME; this measures "
-        "DISTRIBUTIONAL distance). Shuffles carry (token, count) pairs "
-        "only; the tf_s-x-tf join stays keyed by token WITHOUT a "
-        "broadcast hint (a web-scale vocabulary outgrows broadcast — "
-        "AQE picks broadcast when it fits), while the per-source totals "
-        "and the 1-row grand total do broadcast. "
+        "DISTRIBUTIONAL distance). The raw token stream explodes and "
+        "shuffles exactly ONCE (the tf_s aggregate); tf, per-source "
+        "totals, and the grand total all derive from tf_s's distinct "
+        "(source, token) rows — orders of magnitude smaller — and the "
+        "identical tf_s exchange is reused across branches. The "
+        "tf_s-x-tf join stays keyed by token WITHOUT a broadcast hint "
+        "(a web-scale vocabulary outgrows broadcast — AQE picks "
+        "broadcast when it fits), while the per-source totals and the "
+        "1-row grand total do broadcast. "
         "Each ln input is a quotient of exact BIGINT-ratio doubles "
         "(identical bits in both engines) and the term sum accumulates "
         "as DECIMAL(38,18), so the 6-dp result is partition-order "
@@ -663,9 +667,9 @@ def q_domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
     )
     tf_s = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf_s"))
-    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf_s.groupBy("token").agg(F.sum("tf_s").cast("bigint").alias("tf"))
     n_s = tf_s.groupBy("source").agg(F.sum("tf_s").cast("bigint").alias("src_tokens"))
-    n = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    n = tf_s.agg(F.sum("tf_s").cast("bigint").alias("n_total"))
     p_src = F.col("tf_s").cast("double") / F.col("src_tokens")
     p_all = F.col("tf").cast("double") / F.col("n_total")
     term = p_src * F.log(p_src / p_all)
