@@ -473,7 +473,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     freq AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
-    tot AS (SELECT COUNT(*) AS n_total FROM toks)
+    tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM freq)
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
            ROUND(CAST(SUM(CAST(-LN(CAST(f.tf AS DOUBLE) / tot.n_total)
@@ -499,7 +499,10 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
-    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # n_total derives from freq's distinct-token rows (not a third pass
+    # over the exploded stream); CAST keeps the BIGINT type the ratio
+    # expressions expect in both engines.
+    tot = freq.agg(F.sum("tf").cast("bigint").alias("n_total"))
     neg_lp = -F.log(F.col("tf").cast("double") / F.col("n_total"))
     return (
         toks.join(F.broadcast(freq), "token")
