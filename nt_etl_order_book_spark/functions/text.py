@@ -734,3 +734,92 @@ def q_subword_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_subwords.cast("double") / F.nullif(n_words, F.lit(0)), 6
         ).alias("subwords_per_word"),
     )
+
+
+# Interpolation weight for the bigram LM: p = λ·p_bigram + (1−λ)·p_unigram.
+# 3/4 is the classic fixed-weight baseline (Jelinek-Mercer without EM).
+# Exactly representable in binary, so λ·x is one correctly-rounded
+# multiply in any IEEE engine.
+BIGRAM_LAMBDA = 0.75
+
+
+@register(
+    "bigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, pz[1] AS w1, pz[2] AS w2 FROM (
+        SELECT doc_id, UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pz
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS c_big FROM big GROUP BY w1, w2),
+    ch AS (SELECT w1, CAST(SUM(c_big) AS BIGINT) AS c_hist FROM cb GROUP BY w1),
+    c2 AS (SELECT w2, CAST(SUM(c_big) AS BIGINT) AS c_next FROM cb GROUP BY w2),
+    n2 AS (SELECT CAST(SUM(c_big) AS BIGINT) AS n_bigrams FROM cb)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(-LN(
+             {BIGRAM_LAMBDA} * (CAST(cb.c_big AS DOUBLE) / ch.c_hist)
+             + {1 - BIGRAM_LAMBDA} * (CAST(c2.c_next AS DOUBLE) / n2.n_bigrams)
+           ) AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
+    FROM big b
+    JOIN cb USING (w1, w2)
+    JOIN ch USING (w1)
+    JOIN c2 USING (w2)
+    CROSS JOIN n2
+    GROUP BY b.doc_id
+    """,
+    doc=(
+        "Interpolated bigram-LM surprisal per document — the step up "
+        "from `unigram_logprob` toward a real perplexity quality "
+        f"scorer: -ln({BIGRAM_LAMBDA}·p(w2|w1) + {1 - BIGRAM_LAMBDA}"
+        "·p(w2)) averaged over a doc's bigram positions, with p(w2|w1) "
+        "= c(w1,w2)/c(w1·) and the unigram leg estimated over "
+        "second-of-bigram positions so EVERY count (history, "
+        "next-token, grand total) derives from the single bigram "
+        "aggregate — the token stream explodes and shuffles once, "
+        "every later frame is distinct-bigram sized. Both ln inputs "
+        "are sums of correctly-rounded products of exact BIGINT-ratio "
+        "doubles (bit-identical cross-engine); term sums accumulate as "
+        "DECIMAL(38,18) per the registry determinism discipline. Docs "
+        "with fewer than 2 tokens have no bigram positions and no row."
+    ),
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    ch = cb.groupBy("w1").agg(F.sum("c_big").cast("bigint").alias("c_hist"))
+    c2 = cb.groupBy("w2").agg(F.sum("c_big").cast("bigint").alias("c_next"))
+    n2 = cb.agg(F.sum("c_big").cast("bigint").alias("n_bigrams_total"))
+    p = F.lit(BIGRAM_LAMBDA) * (F.col("c_big").cast("double") / F.col("c_hist")) + F.lit(
+        1 - BIGRAM_LAMBDA
+    ) * (F.col("c_next").cast("double") / F.col("n_bigrams_total"))
+    return (
+        big.join(cb, ["w1", "w2"])
+        .join(ch, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n2))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum((-F.log(p)).cast("decimal(38,18)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )

@@ -112,6 +112,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "domain_kl_divergence",  # new r4: per-domain distribution-shift audit
     "subword_token_count",  # new r4: BPE-ish regex token budgeting
     "dedup_survivorship",   # new r4: canonical-copy pick per dup cluster
+    "bigram_logprob",       # new r4: interpolated bigram-LM surprisal
 )
 
 
