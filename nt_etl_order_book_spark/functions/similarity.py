@@ -491,3 +491,72 @@ def q_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", "label", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= DEDUP_COS_TAU)
     )
+
+
+# int8 quantization ladder for embedding compression: 255 steps between
+# the per-dimension corpus min and max (asymmetric affine, the faiss
+# SQ8 shape). Rounding is written FLOOR(x + 0.5) in BOTH engines —
+# identical IEEE ops — instead of engine ROUND(), whose half-way rule
+# differs across SQL dialects.
+QUANT_STEPS = 255.0
+
+
+@register(
+    "embed_quantize_stats",
+    f"""
+    WITH dims AS (
+      SELECT vec_id, label, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(pos)
+    ),
+    stats AS (SELECT pos, MIN(x) AS xmin, MAX(x) AS xmax FROM dims GROUP BY pos),
+    errs AS (
+      SELECT d.vec_id, d.label,
+             CASE WHEN s.xmax > s.xmin THEN
+               ABS(d.x - (s.xmin
+                 + FLOOR((d.x - s.xmin) / ((s.xmax - s.xmin) / {QUANT_STEPS}) + 0.5)
+                   * ((s.xmax - s.xmin) / {QUANT_STEPS})))
+             ELSE 0.0 END AS err
+      FROM dims d JOIN stats s USING (pos)
+    )
+    SELECT label,
+           COUNT(DISTINCT vec_id) AS n_vecs,
+           ROUND(MAX(err), 6) AS max_abs_err,
+           ROUND(CAST(SUM(CAST(err AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+    FROM errs GROUP BY label
+    """,
+    doc=(
+        "Embedding int8-quantization audit: per-dimension asymmetric "
+        f"affine codes ({QUANT_STEPS:.0f} steps between the corpus "
+        "min/max of each dimension — the faiss SQ8 shape), reporting "
+        "max and mean absolute reconstruction error per label — the "
+        "go/no-go check before compressing a 100 TB embedding store "
+        "4x for ANN serving. The per-dimension stats frame is "
+        "dim-cardinality (64 rows) regardless of corpus size and "
+        "broadcasts back onto the dimension stream; error terms "
+        "accumulate as DECIMAL(38,18); every float op (scale, code, "
+        "dequant, |err|) is a correctly-rounded IEEE expression "
+        "written identically in both engines."
+    ),
+)
+def q_embed_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "xf")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), F.col("xf").cast("double").alias("x"))
+    stats = dims.groupBy("pos").agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"))
+    scale = (F.col("xmax") - F.col("xmin")) / F.lit(QUANT_STEPS)
+    deq = F.col("xmin") + F.floor((F.col("x") - F.col("xmin")) / scale + 0.5) * scale
+    err = F.when(F.col("xmax") > F.col("xmin"), F.abs(F.col("x") - deq)).otherwise(0.0)
+    return (
+        dims.join(F.broadcast(stats), "pos")
+        .select("vec_id", "label", err.alias("err"))
+        .groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vecs"),
+            F.round(F.max("err"), 6).alias("max_abs_err"),
+            F.round(
+                F.sum(F.col("err").cast("decimal(38,18)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("mean_abs_err"),
+        )
+    )

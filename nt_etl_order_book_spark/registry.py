@@ -113,6 +113,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "subword_token_count",  # new r4: BPE-ish regex token budgeting
     "dedup_survivorship",   # new r4: canonical-copy pick per dup cluster
     "bigram_logprob",       # new r4: interpolated bigram-LM surprisal
+    "embed_quantize_stats",  # new r4: int8 SQ audit before ANN serving
 )
 
 
