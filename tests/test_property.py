@@ -15,6 +15,8 @@ hypothesis = pytest.importorskip("hypothesis")
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from nt_etl_order_book_spark.operators.aggregates import book_reconstruct  # noqa: E402
 from nt_etl_order_book_spark.operators.joins import asof_join  # noqa: E402
 
@@ -183,4 +185,66 @@ def test_pack_sequences_matches_bruteforce(spark_prop, docs):
         for (src, b), packs in expected.items()
         for pid, agg in packs.items()
     }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=24),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_hash_bucket_matches_python_md5(spark_prop, texts):
+    # The Horner ascii fold over the first 8 md5 hex chars must equal
+    # the reference computation int(md5[:8], 16) % n for ANY content —
+    # this is the portability contract every deterministic split/sample
+    # op (sample_split, domain_mix, bloom positions) builds on.
+    import hashlib
+
+    from nt_etl_order_book_spark.functions.sampling import hash_bucket
+
+    df = spark_prop.createDataFrame([(t,) for t in texts], "t string")
+    got = {r.t: r.b for r in df.select("t", hash_bucket(F.col("t"), 100).alias("b")).collect()}
+    for t in texts:
+        want = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 100
+        assert got[t] == want, (t, got[t], want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=11), st.integers(min_value=0, max_value=11)),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_connected_components_matches_union_find(spark_prop, edges):
+    # Distributed min-label propagation + pointer doubling vs a python
+    # union-find on arbitrary small graphs (self-loops and duplicate
+    # edges included) — label must be the component's min node id.
+    from nt_etl_order_book_spark.functions.dedup import connected_components
+
+    parent = list(range(12))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    nodes = {v for e in edges for v in e}
+    want = {}
+    for v in nodes:
+        comp = [u for u in nodes if find(u) == find(v)]
+        want[v] = min(comp)
+
+    df = spark_prop.createDataFrame(edges, "a long, b long")
+    got = {r.x: r.label for r in connected_components(df).collect()}
     assert got == want
