@@ -823,3 +823,38 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+@register(
+    "length_profile_by_source",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           quantile_cont(n_chars, 0.1) AS p10_chars,
+           median(n_chars) AS p50_chars,
+           quantile_cont(n_chars, 0.9) AS p90_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY source
+    """,
+    doc=(
+        "Per-source document-length percentile profile (p10/p50/p90/max "
+        "chars) — the corpus-QA fingerprint that spots truncation bugs "
+        "and boilerplate floods per crawl/dump before mixing. EXACT "
+        "interpolated percentiles (both engines sort-and-interpolate "
+        "identically — the agg_median parity pattern), grouped on the "
+        "low-cardinality source key; only (source, n_chars) reaches "
+        "the sort, never text. At 100 TB swap percentile → "
+        "percentile_approx and accept the sketch bound; the exact form "
+        "here is what the oracle can hash-check."
+    ),
+)
+def q_length_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_chars, 0.1)").alias("p10_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
