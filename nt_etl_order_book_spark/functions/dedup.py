@@ -459,13 +459,18 @@ SPAN_TIERS = (4, 8, 16)
 
 def _sql_span_tier(n: int) -> str:
     """DuckDB CTE pair for one contamination tier: n-gram shingles over
-    `toks` (twin of `shingles(n=...)`, same short-doc semantics) and the
-    corpus-x-benchmark hit counts at that width."""
+    `toks` and the corpus-x-benchmark hit counts at that width.
+
+    Docs with fewer than n tokens are EXCLUDED from the tier (no
+    `shingles()`-style whole-doc fallback): a 10-token doc must not
+    match at the 16-token tier, or the reported span_tokens would
+    exceed the doc's own length and break the tier <= L < 2*tier
+    bracket the query documents."""
     return f"""
     sh{n} AS (
       SELECT doc_id, UNNEST(list_distinct([array_to_string(t[i:i+{n - 1}], ' ')
-              FOR i IN range(1, GREATEST(len(t) - {n - 1}, 1) + 1)])) AS shingle
-      FROM toks
+              FOR i IN range(1, len(t) - {n - 1} + 1)])) AS shingle
+      FROM toks WHERE len(t) >= {n}
     ),
     hits{n} AS (
       SELECT c.doc_id, {n} AS span_tokens, COUNT(*) AS n_hit_shingles
@@ -502,7 +507,9 @@ _SQL_SPAN_UNION = " UNION ALL ".join(f"SELECT * FROM hits{n}" for n in SPAN_TIER
         "distinct matched shingles at that width — brackets the longest "
         "contiguous shared token run within a factor of 2 (the "
         "suffix-automaton longest-match check, re-expressed as three "
-        "capped inverted-index joins so it distributes). Each tier is one "
+        "capped inverted-index joins so it distributes). Docs shorter "
+        "than a tier are excluded from it on BOTH sides, so a reported "
+        "span never exceeds the doc's own length. Each tier is one "
         "corpus scan joined to a broadcast DISTINCT benchmark shingle "
         "set (1:1 match, no fan-out, no quadratic pair stage); "
         "decontaminate_ngram's scale notes on the benchmark side apply."
@@ -511,9 +518,14 @@ _SQL_SPAN_UNION = " UNION ALL ".join(f"SELECT * FROM hits{n}" for n in SPAN_TIER
 def q_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % BENCH_MOD == 0
+    n_toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     tiers = []
     for n in SPAN_TIERS:
-        sh = shingles(docs, "doc_id", "text", n=n)
+        # Docs shorter than the tier width are excluded (mirrors the
+        # oracle): shingles()'s whole-doc fallback would otherwise let a
+        # short doc "match" at a tier wider than the doc itself and
+        # break the factor-2 span bracket.
+        sh = shingles(docs.filter(n_toks >= n), "doc_id", "text", n=n)
         bench = sh.filter(is_bench).select("shingle").distinct()
         tiers.append(
             sh.filter(~is_bench)

@@ -68,9 +68,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # sweep every registered query has a driver row from r3 or r4, i.e. max
 # staleness = 1 round. tests/test_registry_rotation.py asserts, from the
 # CORRECTNESS_r*.json history, that no query exceeds the SUSTAINABLE
-# staleness bound ceil(N_queries/50) — 3 rounds at the current 105
-# queries — so rotation debt fails pytest instead of living in the
-# builder's head. (The driver row is the external evidence cadence;
+# staleness bound ceil(N_queries/50) (computed from the live registry
+# size, not hardcoded here) — so rotation debt fails pytest instead of
+# living in the builder's head. (The driver row is the external evidence cadence;
 # every query is still locally verified EVERY round by the full
 # tools/check.py sweep.) Queries newly added in r4 are
 # local-oracle-verified and queued for the r5 window (listed

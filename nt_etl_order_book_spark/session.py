@@ -38,6 +38,11 @@ def get_spark(app_name: str = "nt-etl-order-book-spark", *, shuffle_partitions: 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # GC reliable checkpoint files once their RDDs go out of scope:
+        # long-lived sessions running iterative queries (connected
+        # components, IVF training) otherwise leak checkpoint-dir
+        # storage for the app lifetime.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -61,10 +66,25 @@ def checkpoint_frame(df: DataFrame, *, eager: bool = True) -> DataFrame:
 
     Both flavors leave a ``LogicalRDD`` scan in the plan, so consumers
     are indistinguishable; tests assert that invariant for each.
+
+    Reliable eager checkpoints persist the frame first: Spark writes
+    reliable checkpoint files in a SEPARATE job after the first action,
+    so an unpersisted frame would compute its whole lineage twice per
+    round (the classic persist-before-checkpoint caveat). The cache is
+    dropped as soon as the checkpoint files exist. Checkpoint-file
+    garbage collection is the deployment's
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` choice
+    (enabled in get_spark's defaults).
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        if eager:
+            df = df.persist()
+            try:
+                return df.checkpoint(eager=True)
+            finally:
+                df.unpersist()
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=eager)
 
 

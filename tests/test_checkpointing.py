@@ -10,6 +10,7 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from nt_etl_order_book_spark.session import checkpoint_frame
@@ -19,7 +20,25 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
-def test_checkpoint_frame_truncates_lineage_both_flavors(spark, tmp_path):
+@pytest.fixture()
+def restore_checkpoint_dir(spark):
+    """Undo setCheckpointDir after the test: the SparkContext is
+    session-scoped, and leaving a dir set would silently flip EVERY
+    later checkpoint_frame call in the suite to the reliable flavor
+    (writing into this test's stale tmp_path) — the localCheckpoint
+    path would stop being exercised. PySpark has no public unset, so
+    the restore goes through the Scala var's generated setter."""
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    yield
+    if prev is None:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
+    else:
+        sc.setCheckpointDir(prev)
+
+
+def test_checkpoint_frame_truncates_lineage_both_flavors(spark, tmp_path, restore_checkpoint_dir):
     df = (
         spark.range(100)
         .select((F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("v"))
@@ -40,7 +59,7 @@ def test_checkpoint_frame_truncates_lineage_both_flavors(spark, tmp_path):
     assert sorted(map(tuple, local.collect())) == sorted(map(tuple, reliable.collect()))
 
 
-def test_connected_components_converges_under_reliable_checkpoint(spark, tmp_path):
+def test_connected_components_converges_under_reliable_checkpoint(spark, tmp_path, restore_checkpoint_dir):
     from nt_etl_order_book_spark.functions.dedup import connected_components
 
     spark.sparkContext.setCheckpointDir(str(tmp_path / "cc_ckpt"))

@@ -296,3 +296,30 @@ def test_ivf_index_write_prunes_partitions_on_probe_read(spark, sf_dir, tmp_path
         .collect()
     }
     assert got == want
+
+
+def test_ivf_index_rebuild_leaves_no_stale_cells(spark, sf_dir, tmp_path):
+    # Rebuild semantics: static overwrite must replace the WHOLE index
+    # path. If a rebuild's assignment populates fewer cells, directories
+    # from the previous build must be gone — a stale cell=k dir would
+    # feed deleted vec_ids to probe reads.
+    import os
+
+    from nt_etl_order_book_spark.functions.similarity import (
+        ivf_assign,
+        ivf_codebook,
+        write_ivf_index,
+    )
+    from nt_etl_order_book_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_codebook(emb)
+    idx = str(tmp_path / "ivf_rebuild")
+    write_ivf_index(emb, cents, idx)
+
+    sub = emb.limit(40)
+    write_ivf_index(sub, cents, idx)
+    dirs = {int(d.split("=")[1]) for d in os.listdir(idx) if d.startswith("cell=")}
+    want = {r.cell for r in ivf_assign(sub, cents).select("cell").distinct().collect()}
+    assert dirs == want  # no leftovers from the first, fuller build
+    assert spark.read.parquet(idx).count() == 40

@@ -51,8 +51,9 @@ def main() -> int:
         print(f"ERROR: not registered: {unknown}", file=sys.stderr)
         return 1
     # Order: changed-this-round first (need fresh rows for new semantics),
-    # then never-swept, then ascending last-green round; registration
-    # order is the stable tiebreak throughout.
+    # then never-swept, then ascending last-green round; the current
+    # registry iteration order (itself the previous rotation) is the
+    # stable tiebreak throughout.
     reg_pos = {n: i for i, n in enumerate(names)}
     prio = sorted(
         names,
@@ -63,6 +64,22 @@ def main() -> int:
         ),
     )
     window, queue = prio[:SWEEP_CAP], prio[SWEEP_CAP:]
+    # A changed query carrying a FRESH row can displace a staler query
+    # past the cap — that intentionally breaks the strict stalest-first
+    # invariant tests/test_registry_rotation.py::
+    # test_window_is_exactly_the_stalest_fifty enforces. Surface the
+    # conflict instead of silently emitting a tuple the gate rejects.
+    fresh_changed = [n for n in changed if last.get(n, 0) >= latest]
+    if fresh_changed and queue:
+        worst_out = min(last.get(n, -1) for n in queue)
+        best_in = max(last.get(n, -1) for n in window)
+        if best_in > worst_out:
+            print(
+                "# WARNING: promoting fresh-row changed queries "
+                f"{fresh_changed} displaces staler queries past slot "
+                f"{SWEEP_CAP}; update test_window_is_exactly_the_stalest_"
+                "fifty's documented policy exception alongside this paste.",
+            )
     print(f"# r{latest + 1} window (slots 1-{SWEEP_CAP}); history through r{latest}")
     print("_SWEEP_PRIORITY: tuple[str, ...] = (")
     for n in window:
