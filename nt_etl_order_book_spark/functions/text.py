@@ -858,3 +858,136 @@ def q_length_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# Gopher repetition battery gram widths: the most-frequent-2-gram
+# character mass and the duplicated-5-gram character mass are the two
+# representative rules of the published ladder (top 2-4, dup 5-10).
+TOP_GRAM_N = 2
+DUP_GRAM_N = 5
+
+
+def _sql_gram_counts(n: int) -> str:
+    """DuckDB CTE: per (doc, md5(gram)) occurrence counts at width n —
+    ALL positions (not distinct): repetition is the signal here. Only
+    the digest and the gram's char length leave the row."""
+    return f"""
+    g{n} AS (
+      SELECT doc_id, md5(gram) AS h, LENGTH(gram) AS gl, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, UNNEST([array_to_string(t[i:i+{n - 1}], ' ')
+                FOR i IN range(1, len(t) - {n - 1} + 1)]) AS gram
+        FROM toks WHERE len(t) >= {n}
+      )
+      GROUP BY doc_id, md5(gram), LENGTH(gram)
+    )"""
+
+
+@register(
+    "repetition_battery",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),{_sql_gram_counts(TOP_GRAM_N)},{_sql_gram_counts(DUP_GRAM_N)},
+    top2 AS (
+      SELECT doc_id, c * gl AS top_chars
+      FROM g{TOP_GRAM_N}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, h ASC) = 1
+    ),
+    dup5 AS (
+      SELECT doc_id, CAST(SUM(c * gl) AS BIGINT) AS dup_chars
+      FROM g{DUP_GRAM_N} WHERE c > 1 GROUP BY doc_id
+    ),
+    pars AS (
+      SELECT doc_id,
+             len([array_to_string(t[i*25+1:i*25+25], ' ')
+                  FOR i IN range(0, GREATEST(CAST(CEIL(len(t)/25.0) AS INT), 1))]) AS n_par,
+             len(list_distinct([array_to_string(t[i*25+1:i*25+25], ' ')
+                  FOR i IN range(0, GREATEST(CAST(CEIL(len(t)/25.0) AS INT), 1))])) AS n_par_distinct
+      FROM toks
+    )
+    SELECT d.doc_id,
+           ROUND(1 - CAST(p.n_par_distinct AS DOUBLE) / nullif(p.n_par, 0), 6) AS dup_par_frac,
+           ROUND(CAST(COALESCE(t2.top_chars, 0) AS DOUBLE) / nullif(d.n_chars, 0), 6) AS top2_char_frac,
+           ROUND(CAST(COALESCE(d5.dup_chars, 0) AS DOUBLE) / nullif(d.n_chars, 0), 6) AS dup5_char_frac
+    FROM documents d
+    JOIN pars p USING (doc_id)
+    LEFT JOIN top2 t2 USING (doc_id)
+    LEFT JOIN dup5 d5 USING (doc_id)
+    """,
+    doc=(
+        "Gopher repetition battery: the published rule ladder's "
+        "representative trio per doc — duplicate-paragraph fraction "
+        "(25-token chunks, the corpus's paragraph unit), character "
+        f"mass of the most frequent {TOP_GRAM_N}-gram, and character "
+        f"mass of all duplicated {DUP_GRAM_N}-grams, each over n_chars "
+        "(overlapping positions can push a mass ratio past 1 — the "
+        "gates threshold it, published definition). Gram identity "
+        "shuffles as (md5, length, count) — gram TEXT never rides an "
+        "exchange; the paragraph fractions are per-row HOFs with no "
+        "explode at all; char-mass numerators are exact BIGINT sums "
+        "divided once (no float accumulation anywhere)."
+    ),
+)
+def q_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+
+    def gram_counts(n: int) -> DataFrame:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        return (
+            docs.filter(F.size(toks) >= n)
+            .select("doc_id", F.explode(grams).alias("gram"))
+            .select("doc_id", F.md5("gram").alias("h"), F.length("gram").alias("gl"))
+            .groupBy("doc_id", "h", "gl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("h"))
+    top2 = (
+        gram_counts(TOP_GRAM_N)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", (F.col("c") * F.col("gl")).alias("top_chars"))
+    )
+    dup5 = (
+        gram_counts(DUP_GRAM_N)
+        .filter(F.col("c") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("gl")).cast("bigint").alias("dup_chars"))
+    )
+    par_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.ceil(F.size(toks) / 25.0).cast("int") - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 25 + 1, 25)),
+    )
+    pars = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(par_arr).alias("n_par"),
+        F.size(F.array_distinct(par_arr)).alias("n_par_distinct"),
+    )
+    return (
+        pars.join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1) - F.col("n_par_distinct").cast("double") / F.nullif(F.col("n_par"), F.lit(0)),
+                6,
+            ).alias("dup_par_frac"),
+            F.round(
+                F.coalesce(F.col("top_chars"), F.lit(0)).cast("double")
+                / F.nullif(F.col("n_chars"), F.lit(0)),
+                6,
+            ).alias("top2_char_frac"),
+            F.round(
+                F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+                / F.nullif(F.col("n_chars"), F.lit(0)),
+                6,
+            ).alias("dup5_char_frac"),
+        )
+    )
