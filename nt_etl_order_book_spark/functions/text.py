@@ -991,3 +991,96 @@ def q_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup5_char_frac"),
         )
     )
+
+
+# Winnowing (MOSS) parameters: k-gram width and window size. Guarantee:
+# any shared run of >= WINNOW_W + WINNOW_K - 1 tokens between two docs
+# shares at least one selected fingerprint — the published detection
+# threshold of the winnowing scheme.
+WINNOW_K = 4
+WINNOW_W = 4
+
+
+def _sql_hex8_int(expr: str) -> str:
+    """First 8 md5 hex chars of `expr` as a BIGINT via the same ascii
+    Horner fold as sampling._sql_hash_bucket (no modulus)."""
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(1, 9):
+        a = f"ascii(substring(md5({expr}), {i}, 1))"
+        acc = f"({acc} * 16 + ({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END))"
+    return acc
+
+
+def _hex8_int(col: Column) -> Column:
+    h = F.md5(col)
+    v = F.lit(0).cast("long")
+    for i in range(1, 9):
+        a = F.ascii(F.substring(h, i, 1))
+        v = v * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
+    return v
+
+
+@register(
+    "winnow_fingerprint",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id,
+             [{_sql_hex8_int(f"array_to_string(t[i:i+{WINNOW_K - 1}], ' ')")}
+              FOR i IN range(1, GREATEST(len(t) - {WINNOW_K - 1}, 1) + 1)] AS hs
+      FROM toks
+    ),
+    fps AS (
+      SELECT doc_id, hs,
+             list_distinct([list_min(hs[i+1:i+{WINNOW_W}])
+              FOR i IN range(0, GREATEST(len(hs) - {WINNOW_W}, 0) + 1)]) AS fp
+      FROM hashes
+    )
+    SELECT doc_id,
+           len(hs) AS n_grams,
+           len(fp) AS n_fingerprints,
+           CAST(list_sum(fp) AS BIGINT) AS fp_checksum,
+           list_min(fp) AS min_fp
+    FROM fps
+    """,
+    doc=(
+        f"Winnowing document fingerprints (the MOSS rolling-hash "
+        f"scheme): {WINNOW_K}-gram hashes per position, minimum per "
+        f"{WINNOW_W}-hash sliding window, distinct minima = the doc's "
+        "fingerprint set — any shared token run of >= "
+        f"{WINNOW_W + WINNOW_K - 1} tokens between two docs is "
+        "GUARANTEED to share a fingerprint (the scheme's published "
+        "detection threshold), at a fraction of full-shingle index "
+        "cost. Emits the set's size/checksum/min per doc (exact BIGINT "
+        "arithmetic). Entirely narrow HOF expressions — no explode, no "
+        "shuffle; the portable hex8-Horner hash makes every "
+        "fingerprint value engine-identical, so this is hash-checked, "
+        "not rows-only. At 100 TB the fingerprint sets feed the same "
+        "banded-join machinery as minhash (explode fp, join on value)."
+    ),
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - WINNOW_K, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_K)),
+    )
+    hs = F.transform(grams, _hex8_int)
+    docs = docs.select("doc_id", hs.alias("hs"))
+    fp = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(F.col("hs")) - WINNOW_W, F.lit(0))),
+            lambda i: F.array_min(F.slice(F.col("hs"), i + 1, WINNOW_W)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size("hs").alias("n_grams"),
+        F.size(fp).alias("n_fingerprints"),
+        F.aggregate(fp, F.lit(0).cast("long"), lambda acc, v: acc + v).alias("fp_checksum"),
+        F.array_min(fp).alias("min_fp"),
+    )

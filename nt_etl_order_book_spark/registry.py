@@ -116,6 +116,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "embed_quantize_stats",  # new r4: int8 SQ audit before ANN serving
     "length_profile_by_source",  # new r4: per-crawl length fingerprint
     "repetition_battery",   # new r4: full Gopher repetition rule trio
+    "winnow_fingerprint",   # new r4: MOSS rolling-hash fingerprints
 )
 
 

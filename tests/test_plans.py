@@ -159,3 +159,10 @@ def test_cross_source_dup_shuffles_hashes_not_text(spark, sf_dir):
     # wide: no text or paragraph column on any exchange.
     df = registry.queries()["cross_source_dup"](spark, sf_dir)
     _no_text_on_exchanges(df)
+
+
+def test_winnow_fingerprint_is_narrow(spark, sf_dir):
+    # Winnowing is per-row HOF folds end to end: zero exchanges — the
+    # fingerprint stage runs at scan parallelism at any corpus size.
+    df = registry.queries()["winnow_fingerprint"](spark, sf_dir)
+    assert count_shuffles(df) == 0
