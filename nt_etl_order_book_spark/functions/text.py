@@ -1020,10 +1020,11 @@ def _hex8_int(col: Column) -> Column:
     return v
 
 
-@register(
-    "winnow_fingerprint",
-    f"""
-    WITH toks AS (
+# Shared winnowing CTE chain (toks → per-position hashes → fingerprint
+# sets) — used by the winnow_fingerprint oracle and the winnow_dedup
+# pair oracle on top of it.
+_SQL_WINNOW_FPS = f"""
+    toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
       FROM documents
     ),
@@ -1038,7 +1039,34 @@ def _hex8_int(col: Column) -> Column:
              list_distinct([list_min(hs[i+1:i+{WINNOW_W}])
               FOR i IN range(0, GREATEST(len(hs) - {WINNOW_W}, 0) + 1)]) AS fp
       FROM hashes
+    )"""
+
+
+def winnow_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs) — the per-position k-gram hash array every winnowing
+    consumer starts from (fully narrow)."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - WINNOW_K, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_K)),
     )
+    return docs.select("doc_id", F.transform(grams, _hex8_int).alias("hs"))
+
+
+def winnow_fp_expr() -> Column:
+    """Distinct window-minima fingerprint set over the `hs` column."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(F.col("hs")) - WINNOW_W, F.lit(0))),
+            lambda i: F.array_min(F.slice(F.col("hs"), i + 1, WINNOW_W)),
+        )
+    )
+
+
+@register(
+    "winnow_fingerprint",
+    f"""
+    WITH {_SQL_WINNOW_FPS}
     SELECT doc_id,
            len(hs) AS n_grams,
            len(fp) AS n_fingerprints,
@@ -1058,29 +1086,71 @@ def _hex8_int(col: Column) -> Column:
         "arithmetic). Entirely narrow HOF expressions — no explode, no "
         "shuffle; the portable hex8-Horner hash makes every "
         "fingerprint value engine-identical, so this is hash-checked, "
-        "not rows-only. At 100 TB the fingerprint sets feed the same "
-        "banded-join machinery as minhash (explode fp, join on value)."
+        "not rows-only. The pair-join path over these sets is "
+        "`winnow_dedup`."
     ),
 )
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - WINNOW_K, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_K)),
-    )
-    hs = F.transform(grams, _hex8_int)
-    docs = docs.select("doc_id", hs.alias("hs"))
-    fp = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(F.col("hs")) - WINNOW_W, F.lit(0))),
-            lambda i: F.array_min(F.slice(F.col("hs"), i + 1, WINNOW_W)),
-        )
-    )
+    docs = winnow_hashes(load_table(spark, sf_dir, "documents"))
+    fp = winnow_fp_expr()
     return docs.select(
         "doc_id",
         F.size("hs").alias("n_grams"),
         F.size(fp).alias("n_fingerprints"),
         F.aggregate(fp, F.lit(0).cast("long"), lambda acc, v: acc + v).alias("fp_checksum"),
         F.array_min(fp).alias("min_fp"),
+    )
+
+
+# Winnow-dedup knobs: fingerprints shared by more docs than the cap are
+# boilerplate (dropped from the index — the MAX_SHINGLE_DF contract);
+# pairs need at least MIN_SHARED surviving fingerprints.
+WINNOW_MAX_FP_DF = 200
+WINNOW_MIN_SHARED = 2
+
+
+@register(
+    "winnow_dedup",
+    f"""
+    WITH {_SQL_WINNOW_FPS},
+    idx0 AS (SELECT doc_id, UNNEST(fp) AS f FROM fps),
+    idx AS (
+      SELECT doc_id, f FROM idx0
+      QUALIFY COUNT(*) OVER (PARTITION BY f) <= {WINNOW_MAX_FP_DF}
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_shared_fps
+    FROM idx a JOIN idx b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+    doc=(
+        "Near-dup pairs over winnowing fingerprints — the MOSS pipeline "
+        "end to end: docs sharing >= "
+        f"{WINNOW_MIN_SHARED} selected fingerprints, with fingerprints "
+        f"common to more than {WINNOW_MAX_FP_DF} docs dropped from the "
+        "inverted index first (the boilerplate cap — same quadratic "
+        "guard contract as MAX_SHINGLE_DF). Winnowing keeps roughly "
+        "2/(w+1) of the positions a full shingle index would carry, so "
+        "this is the cheap first-pass near-dup sweep before "
+        "ngram_jaccard verifies exact overlap. Shuffles carry "
+        "(fingerprint, doc_id) BIGINT pairs only."
+    ),
+)
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = winnow_hashes(load_table(spark, sf_dir, "documents"))
+    idx = docs.select("doc_id", F.explode(winnow_fp_expr()).alias("f"))
+    w = Window.partitionBy("f")
+    idx = (
+        idx.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= WINNOW_MAX_FP_DF)
+        .drop("_df")
+    )
+    a = idx.select(F.col("doc_id").alias("a"), "f")
+    b = idx.select(F.col("doc_id").alias("b"), "f")
+    return (
+        a.join(b, "f")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
     )

@@ -117,6 +117,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "length_profile_by_source",  # new r4: per-crawl length fingerprint
     "repetition_battery",   # new r4: full Gopher repetition rule trio
     "winnow_fingerprint",   # new r4: MOSS rolling-hash fingerprints
+    "winnow_dedup",         # new r4: near-dup pairs over winnowed sets
 )
 
 
