@@ -61,63 +61,99 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # after the priority block — nothing is dropped from `queries()`, only
 # reordered. Names not yet registered are skipped gracefully.
 #
-# Round-4 window (executes the plan recorded here in r3): exactly the 50
-# queries with no r3 driver row — the 3 registered after the r3 sweep
-# (seq_pack/domain_mix/dup_cluster_stats, local check.py-verified in r3),
-# scan_parquet (last row r1), and the 46 whose last row is r2. After this
-# sweep every registered query has a driver row from r3 or r4, i.e. max
-# staleness = 1 round. tests/test_registry_rotation.py asserts, from the
-# CORRECTNESS_r*.json history, that no query exceeds the SUSTAINABLE
-# staleness bound ceil(N_queries/50) (computed from the live registry
-# size, not hardcoded here) — so rotation debt fails pytest instead of
-# living in the builder's head. (The driver row is the external evidence cadence;
-# every query is still locally verified EVERY round by the full
-# tools/check.py sweep.) Queries newly added in r4 are
-# local-oracle-verified and queued for the r5 window (listed
-# immediately after slot 50 so the r5 rotation is mechanical).
+# Round-5 window (mechanical output of `python tools/rotate_sweep.py`
+# against the r1–r4 CORRECTNESS history): the 14 queries registered after
+# the r4 window closed (all local-oracle verified in r4, queued at slot
+# 51+ there), then the 36 stalest r3-row queries. After this sweep max
+# driver-row staleness across the registry is 2 rounds, the sustainable
+# bound for 114 queries under a 50-slot cap being ceil(114/50) = 3.
+# tests/test_registry_rotation.py asserts, from the CORRECTNESS_r*.json
+# history, that no query exceeds that bound (computed from the live
+# registry size, not hardcoded) — so rotation debt fails pytest instead
+# of living in the builder's head. In the inter-round state (a new
+# CORRECTNESS file landed but this tuple not yet re-rotated) the gate
+# SKIPS with "rotation pending for r{N+1}" keyed off
+# _SWEEP_ROTATED_FOR_ROUND below, per the r4 verdict. (The driver row is
+# the external evidence cadence; every query is still locally verified
+# EVERY round by the full tools/check.py sweep.)
+#
+# The upcoming driver sweep this rotation targets. When the newest
+# CORRECTNESS_r{N}.json has N >= this value, the window below has been
+# consumed and the rotation gate reports "rotation pending" instead of
+# failing; run `python tools/rotate_sweep.py`, paste, and bump this.
+_SWEEP_ROTATED_FOR_ROUND = 5
+
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # -- never driver-swept: registered after the r3 window closed (3).
-    # seq_pack's impl+oracle also changed this round (bucketed shard key),
-    # so its slot is doubly required. --
-    "seq_pack", "domain_mix", "dup_cluster_stats",
-    # -- last driver row is round 1 (1) --
-    "scan_parquet",
-    # -- last driver row is round 2 (46): flagship + regression reps
-    # first, then the r2 block in family order --
-    "book_reconstruct", "join_asof", "minhash_dedup",
-    "composite_regional_revenue",
-    "agg_groupby_sum", "agg_grouping_sets",
-    "join_inner_hash", "join_interval",
-    "set_union_all", "dedup_exact",
-    "win_rank_topk_depth", "win_running_sum", "win_ntile", "best_bid_ask",
-    "dedup_exact_docs", "simhash_dedup", "ngram_jaccard",
-    "decontaminate_ngram", "stratified_sample", "dedup_components",
-    "multimodal_meta", "multimodal_features",
-    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
-    "fn_map_ops", "fn_bitwise", "fn_null_safe_eq", "fn_conditional",
-    "cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "embed_norm_stats", "embed_cosine_dedup",
-    "tokenize_tf", "lang_id", "quality_score", "token_count",
-    "doc_fingerprint", "topk_ngrams", "doc_length_histogram", "redact_pii",
-    "udf_scalar_pandas", "udtf_explode_custom",
-    # ---- slot 51+: r5 queue (changed-in-r4 queries with green r3 rows
-    # first, then anything new in r4; new queries are local-oracle
-    # verified via tools/check.py this round) ----
-    "unigram_logprob",      # r4: DECIMAL-exact -ln(p) accumulation
-    "contamination_span",   # new r4: tiered longest-match contamination
-    "multimodal_frame_sample",  # new r4: uniform-stride video frame pick
-    "cross_source_dup",     # new r4: cross-domain paragraph-overlap audit
-    "corpus_filter_funnel",  # new r4: per-source cleaning-funnel report
-    "multimodal_resize",    # new r4: thumbnail stage (rows-only: mapInPandas)
-    "domain_kl_divergence",  # new r4: per-domain distribution-shift audit
-    "subword_token_count",  # new r4: BPE-ish regex token budgeting
-    "dedup_survivorship",   # new r4: canonical-copy pick per dup cluster
-    "bigram_logprob",       # new r4: interpolated bigram-LM surprisal
-    "embed_quantize_stats",  # new r4: int8 SQ audit before ANN serving
-    "length_profile_by_source",  # new r4: per-crawl length fingerprint
-    "repetition_battery",   # new r4: full Gopher repetition rule trio
-    "winnow_fingerprint",   # new r4: MOSS rolling-hash fingerprints
-    "winnow_dedup",         # new r4: near-dup pairs over winnowed sets
+    # -- never driver-swept: registered after the r4 window closed (14);
+    # same order they were queued in the r4 tuple's slot-51+ block --
+    "contamination_span",
+    "multimodal_frame_sample",
+    "cross_source_dup",
+    "corpus_filter_funnel",
+    "multimodal_resize",
+    "domain_kl_divergence",
+    "subword_token_count",
+    "dedup_survivorship",
+    "bigram_logprob",
+    "embed_quantize_stats",
+    "length_profile_by_source",
+    "repetition_battery",
+    "winnow_fingerprint",
+    "winnow_dedup",
+    # -- last driver row is round 3 (36) --
+    "unigram_logprob",
+    "agg_multi",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_stats",
+    "agg_median",
+    "agg_string_concat",
+    "agg_weighted_avg",
+    "agg_cube",
+    "agg_having",
+    "agg_grouping_id",
+    "composite_shipping_priority",
+    "pivot_event_types",
+    "subquery_scalar",
+    "subquery_correlated",
+    "json_roundtrip",
+    "join_broadcast",
+    "join_left_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_theta_range",
+    "sort_limit",
+    "sort_nulls",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "agg_salted_skew",
+    "filter_msg_type",
+    "project_rename",
+    "cast_schema",
+    "json_encode_decode",
+    "explode_ladder",
+    "unpivot_sides",
+    "add_event_ts_ms",
+    "notnull_guard",
+    # ---- slot 51+: r6 queue (the remaining r3-row queries; they hit the
+    # 3-round staleness bound after r5 so the r6 rotation must promote
+    # them — listed here so it is mechanical) ----
+    "seq_gap_check",
+    "win_lag_lead",
+    "win_moving_avg",
+    "win_range_frame",
+    "win_first_last",
+    "session_islands",
+    "win_cume_dist",
+    "paragraph_dedup",
+    "sample_split",
+    "bloom_filter_dedup",
+    "text_stats",
+    "repetition_stats",
+    "tfidf_topterms",
+    "udaf_grouped",
 )
 
 

@@ -81,6 +81,8 @@ def main() -> int:
                 "fifty's documented policy exception alongside this paste.",
             )
     print(f"# r{latest + 1} window (slots 1-{SWEEP_CAP}); history through r{latest}")
+    print(f"_SWEEP_ROTATED_FOR_ROUND = {latest + 1}")
+    print()
     print("_SWEEP_PRIORITY: tuple[str, ...] = (")
     for n in window:
         tag = "changed" if n in changed else (f"last r{last[n]}" if n in last else "never swept")
