@@ -332,13 +332,22 @@ def write_ivf_index(emb: DataFrame, cents_arr: DataFrame, path: str) -> None:
     batch reads ~N_PROBE/N_CELLS of the stored bytes — no job touches
     the unprobed cells at all.
 
-    The overwrite is deliberately STATIC (the Spark default): an index
-    rebuild replaces the WHOLE path. Dynamic partition overwrite would
-    keep any cell directory the new assignment no longer populates
-    (codebook drift can empty a cell), and probe reads would then
-    return vec_ids from the previous build. Incremental upserts belong
-    to a table format with deletes (Delta/Iceberg), not raw parquet."""
-    ivf_assign(emb, cents_arr).write.mode("overwrite").partitionBy("cell").parquet(path)
+    The overwrite is deliberately STATIC — pinned per-write below, not
+    inherited from the session (a deployment that sets
+    spark.sql.sources.partitionOverwriteMode=dynamic globally must not
+    change rebuild semantics): an index rebuild replaces the WHOLE
+    path. Dynamic partition overwrite would keep any cell directory the
+    new assignment no longer populates (codebook drift can empty a
+    cell), and probe reads would then return vec_ids from the previous
+    build. Incremental upserts belong to a table format with deletes
+    (Delta/Iceberg), not raw parquet."""
+    (
+        ivf_assign(emb, cents_arr)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell")
+        .parquet(path)
+    )
 
 
 @register(

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nt_etl_order_book_spark.functions.dedup import PARA_TOKENS
 from nt_etl_order_book_spark.operators.aggregates import davg, sql_davg
 from nt_etl_order_book_spark.registry import register
 from nt_etl_order_book_spark.tables import load_table
@@ -901,10 +902,10 @@ def _sql_gram_counts(n: int) -> str:
     ),
     pars AS (
       SELECT doc_id,
-             len([array_to_string(t[i*25+1:i*25+25], ' ')
-                  FOR i IN range(0, GREATEST(CAST(CEIL(len(t)/25.0) AS INT), 1))]) AS n_par,
-             len(list_distinct([array_to_string(t[i*25+1:i*25+25], ' ')
-                  FOR i IN range(0, GREATEST(CAST(CEIL(len(t)/25.0) AS INT), 1))])) AS n_par_distinct
+             len([array_to_string(t[i*{PARA_TOKENS}+1:i*{PARA_TOKENS}+{PARA_TOKENS}], ' ')
+                  FOR i IN range(0, GREATEST(CAST(CEIL(len(t)/{PARA_TOKENS}.0) AS INT), 1))]) AS n_par,
+             len(list_distinct([array_to_string(t[i*{PARA_TOKENS}+1:i*{PARA_TOKENS}+{PARA_TOKENS}], ' ')
+                  FOR i IN range(0, GREATEST(CAST(CEIL(len(t)/{PARA_TOKENS}.0) AS INT), 1))])) AS n_par_distinct
       FROM toks
     )
     SELECT d.doc_id,
@@ -919,7 +920,9 @@ def _sql_gram_counts(n: int) -> str:
     doc=(
         "Gopher repetition battery: the published rule ladder's "
         "representative trio per doc — duplicate-paragraph fraction "
-        "(25-token chunks, the corpus's paragraph unit), character "
+        f"({PARA_TOKENS}-token chunks, dedup.PARA_TOKENS — the corpus's "
+        "paragraph unit, shared with the paragraph-dedup family so the "
+        "two can never desynchronize), character "
         f"mass of the most frequent {TOP_GRAM_N}-gram, and character "
         f"mass of all duplicated {DUP_GRAM_N}-grams, each over n_chars "
         "(overlapping positions can push a mass ratio past 1 — the "
@@ -961,8 +964,11 @@ def q_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("gl")).cast("bigint").alias("dup_chars"))
     )
     par_arr = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.ceil(F.size(toks) / 25.0).cast("int") - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * 25 + 1, 25)),
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.ceil(F.size(toks) / float(PARA_TOKENS)).cast("int") - 1, F.lit(0)),
+        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS)),
     )
     pars = docs.select(
         "doc_id",

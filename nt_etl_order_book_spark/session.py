@@ -67,11 +67,18 @@ def checkpoint_frame(df: DataFrame, *, eager: bool = True) -> DataFrame:
     Both flavors leave a ``LogicalRDD`` scan in the plan, so consumers
     are indistinguishable; tests assert that invariant for each.
 
-    Reliable eager checkpoints persist the frame first: Spark writes
-    reliable checkpoint files in a SEPARATE job after the first action,
-    so an unpersisted frame would compute its whole lineage twice per
-    round (the classic persist-before-checkpoint caveat). The cache is
-    dropped as soon as the checkpoint files exist. Checkpoint-file
+    Reliable checkpoints persist the frame first — on BOTH the eager and
+    the lazy path: Spark writes reliable checkpoint files in a SEPARATE
+    job after the first action, so an unpersisted frame would compute
+    its whole lineage twice per round (the classic
+    persist-before-checkpoint caveat). Eager flavor: the cache is
+    dropped synchronously as soon as the checkpoint files exist. Lazy
+    flavor: there is no action inside this call to unpersist after, so
+    the cached blocks (KB-scale here — the only lazy caller is the
+    1-row IVF codebook) are released by the ContextCleaner when the
+    superseded frame is GC'd on the driver; what matters is that the
+    first downstream action fills the cache and the deferred checkpoint
+    job reads it instead of re-running the lineage. Checkpoint-file
     garbage collection is the deployment's
     ``spark.cleaner.referenceTracking.cleanCheckpoints`` choice
     (enabled in get_spark's defaults).
@@ -84,7 +91,7 @@ def checkpoint_frame(df: DataFrame, *, eager: bool = True) -> DataFrame:
                 return df.checkpoint(eager=True)
             finally:
                 df.unpersist()
-        return df.checkpoint(eager=False)
+        return df.persist().checkpoint(eager=False)
     return df.localCheckpoint(eager=eager)
 
 

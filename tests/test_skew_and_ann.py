@@ -323,3 +323,37 @@ def test_ivf_index_rebuild_leaves_no_stale_cells(spark, sf_dir, tmp_path):
     want = {r.cell for r in ivf_assign(sub, cents).select("cell").distinct().collect()}
     assert dirs == want  # no leftovers from the first, fuller build
     assert spark.read.parquet(idx).count() == 40
+
+
+def test_ivf_index_rebuild_static_even_under_global_dynamic_mode(spark, sf_dir, tmp_path):
+    # write_ivf_index pins partitionOverwriteMode=static per-write; a
+    # deployment that sets the session default to dynamic must NOT get
+    # dynamic rebuild semantics (stale cell dirs feeding probe reads).
+    import os
+
+    from nt_etl_order_book_spark.functions.similarity import (
+        ivf_assign,
+        ivf_codebook,
+        write_ivf_index,
+    )
+    from nt_etl_order_book_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_codebook(emb)
+    idx = str(tmp_path / "ivf_rebuild_dyn")
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        write_ivf_index(emb, cents, idx)
+        sub = emb.limit(40)
+        write_ivf_index(sub, cents, idx)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    dirs = {int(d.split("=")[1]) for d in os.listdir(idx) if d.startswith("cell=")}
+    want = {r.cell for r in ivf_assign(sub, cents).select("cell").distinct().collect()}
+    assert dirs == want  # the per-write static pin overrode the global
+    assert spark.read.parquet(idx).count() == 40
