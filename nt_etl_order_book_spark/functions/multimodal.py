@@ -100,7 +100,12 @@ def _bmp_pixels(payload: bytes):
         if len(payload) < pix_off + row_bytes * n_rows:
             return None
         arr = np.frombuffer(payload, dtype=np.uint8, offset=pix_off, count=row_bytes * n_rows)
-        return arr.reshape(n_rows, row_bytes)[:, : width * 3].reshape(n_rows, width, 3)
+        px = arr.reshape(n_rows, row_bytes)[:, : width * 3].reshape(n_rows, width, 3)
+        # Positive height = bottom-up storage (the BMP default): flip to
+        # image orientation so row-sensitive consumers (thumbnails) see
+        # the picture, not the byte order. Negative height = top-down,
+        # already in image order.
+        return px[::-1] if height > 0 else px
     except Exception:
         return None
 
