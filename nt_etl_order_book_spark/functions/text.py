@@ -1050,13 +1050,26 @@ _SQL_WINNOW_FPS = f"""
 
 def winnow_hashes(docs: DataFrame) -> DataFrame:
     """(doc_id, hs) — the per-position k-gram hash array every winnowing
-    consumer starts from (fully narrow)."""
+    consumer starts from.
+
+    The trailing repartition is a SHUFFLE BARRIER, not load balancing:
+    `winnow_fp_expr` references `hs` from inside a per-window lambda
+    (O(n) positions), and without a materialization boundary Catalyst's
+    CollapseProject inlines this whole tokenize+gram+hash pipeline into
+    every one of those references — O(n·w) window minima become O(n²)
+    gram hashing per document. Invisible on short fixture docs; a hang
+    on 2000-token documents (caught by the skewed-corpus gate in
+    tests/test_skew_and_ann.py). Same defense as
+    dedup.minhash_signature_col's token-hash stage."""
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - WINNOW_K, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_K)),
     )
-    return docs.select("doc_id", F.transform(grams, _hex8_int).alias("hs"))
+    hashed = docs.select("doc_id", F.transform(grams, _hex8_int).alias("hs"))
+    return hashed.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 def winnow_fp_expr() -> Column:

@@ -23,6 +23,7 @@ class BatchMetric:
     num_input_rows: int
     watermark: str | None
     state_rows: int | None
+    state_bytes: int | None = None  # stateOperators memoryUsedBytes sum
 
 
 @dataclass
@@ -56,6 +57,7 @@ class BookPipelineListener(StreamingQueryListener):
         p = json.loads(event.progress.json)
         state = p.get("stateOperators") or []
         state_rows = sum(s.get("numRowsTotal", 0) for s in state) if state else None
+        state_bytes = sum(s.get("memoryUsedBytes", 0) for s in state) if state else None
         self.collector.batches.append(
             BatchMetric(
                 query_name=p.get("name") or p.get("id", "?"),
@@ -63,6 +65,7 @@ class BookPipelineListener(StreamingQueryListener):
                 num_input_rows=int(p.get("numInputRows", 0)),
                 watermark=(p.get("eventTime") or {}).get("watermark"),
                 state_rows=state_rows,
+                state_bytes=state_bytes,
             )
         )
 
