@@ -200,13 +200,18 @@ N_CELLS = 16  # IVF partitions (coarse quantizer size)
 # Cells probed per query. Recall on an ISOTROPIC corpus (like the test
 # fixture — measured same-label vs cross-label cosine are both ≈0) is
 # bounded by the probed mass ≈ N_PROBE/N_CELLS regardless of codebook
-# quality; IVF's recall advantage only exists when the corpus clusters
-# (see test_ivf_recall_on_clustered_corpus). 8/16 holds recall@5 ≥0.7
-# even on this worst-case corpus (measured 0.76 sf0.01 / 0.90 sf0.1)
-# while keeping a real 2× scan prune; on a clustered production corpus
-# the same codebook reaches ≥0.9 at 4/16 (the clustered-corpus test),
-# so deployments tune DOWN from this adversarial-fixture setting.
-N_PROBE = 8
+# quality — candidates are already exact-cosine ranked, so re-ranking
+# buys nothing; probe mass is the ONLY recall lever on this corpus.
+# IVF's recall advantage only exists when the corpus clusters (see
+# test_ivf_recall_on_clustered_corpus). The r5 probe sweep at sf0.01
+# measured 8→0.76, 9→0.80, 10→0.86, 11→0.94, 12→0.96; 11/16 clears
+# the 0.85 floor with margin at no measured wall cost (sf0.1 warm:
+# 1.9 s, recall 0.92). The scan-prune ratio here (16/11 ≈ 1.5×) is
+# fixture-sized: production runs thousands of cells with
+# N_PROBE/N_CELLS ≪ 1, and on a clustered corpus the same codebook
+# reaches ≥0.9 at 4/16 (the clustered-corpus test), so deployments
+# tune DOWN from this adversarial-fixture setting.
+N_PROBE = 11
 # One Lloyd pass over the training sample: the clustered-corpus recall
 # test (tests/test_skew_and_ann.py) gates codebook quality at ≥0.9 and
 # still measures 1.0 with a single pass — the second pass bought no

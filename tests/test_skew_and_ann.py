@@ -152,10 +152,11 @@ def test_ann_variants_recall_against_brute_force(spark):
     lsh = {(r.qid, r.vec_id) for r in qs["ann_lsh_topk"](spark, sf).collect()}
     assert len(lsh & exact) / len(exact) >= 0.8, "LSH recall below 0.8"
     # IVF on the ISOTROPIC fixture: recall is bounded by probed mass
-    # (N_PROBE/N_CELLS = 0.25) no matter the codebook; measured ≈0.45.
-    # The clustered-corpus test below is where codebook quality shows.
+    # (N_PROBE/N_CELLS = 11/16) no matter the codebook; r5 sweep
+    # measured 0.94 at sf0.01. The clustered-corpus test below is where
+    # codebook quality shows. tools/check.py --recall gates 0.85.
     ivf = {(r.qid, r.vec_id) for r in qs["ann_ivf_topk"](spark, sf).collect()}
-    assert len(ivf & exact) / len(exact) >= 0.35, "IVF recall below probed-mass floor"
+    assert len(ivf & exact) / len(exact) >= 0.8, "IVF recall below probed-mass floor"
 
 
 def test_ivf_recall_on_clustered_corpus(spark):
