@@ -155,6 +155,48 @@ def enrich_with_market_dim(deltas: DataFrame, dim: DataFrame) -> DataFrame:
     return deltas.join(F.broadcast(dim), on="ticker", how="left")
 
 
+def sink_merge_spec(
+    *,
+    table_format: str = "parquet",
+    target: str,
+    key: str = "redis_stream_id",
+) -> tuple[str, str | None]:
+    """(sink_kind, merge_sql) — the config-only swap between the raw-
+    parquet anti-join sink and a transactional table format's MERGE
+    (same pattern as ``buffer_reader_options``' file↔Kafka swap).
+
+    The parquet sink is idempotent via read-back + anti-join
+    (``foreach_batch_idempotent_sink``), which is correct but races
+    concurrent writers and rescans the horizon per batch. At 100 TB the
+    exactly-once story wants a table format with ACID MERGE; the swap
+    is config-only because foreachBatch hands both paths the same
+    deduplicated batch frame:
+
+    - ``delta``:   ``MERGE INTO delta.`path``` with insert-if-absent —
+      the transaction log replaces the read-back anti-join entirely.
+    - ``iceberg``: ``MERGE INTO catalog.table`` — identical statement
+      shape, catalog-resolved target.
+    - ``parquet``: no MERGE (None) — callers keep the anti-join path.
+
+    Neither Delta nor Iceberg ships in this container, so the
+    transactional branches are exercised at the spec level (statement
+    shape + dispatch, tests/test_streaming.py), exactly how the Kafka
+    reader branch is tested without a broker."""
+    if table_format == "delta":
+        return "merge", (
+            f"MERGE INTO delta.`{target}` AS t USING batch AS s "  # noqa: S608
+            f"ON t.{key} = s.{key} WHEN NOT MATCHED THEN INSERT *"
+        )
+    if table_format == "iceberg":
+        return "merge", (
+            f"MERGE INTO {target} AS t USING batch AS s "  # noqa: S608
+            f"ON t.{key} = s.{key} WHEN NOT MATCHED THEN INSERT *"
+        )
+    if table_format == "parquet":
+        return "anti_join_append", None
+    raise ValueError(f"unknown sink table_format {table_format!r}")
+
+
 def foreach_batch_idempotent_sink(
     flat: DataFrame,
     out_path: str,
@@ -162,6 +204,7 @@ def foreach_batch_idempotent_sink(
     *,
     ts_col: str = "timestamp",
     horizon_ms: int | None = None,
+    table_format: str = "parquet",
 ):
     """foreachBatch sink with MERGE-style idempotency on redis_stream_id:
     replays (at-least-once upstream, or checkpoint loss) anti-join against
@@ -176,7 +219,16 @@ def foreach_batch_idempotent_sink(
     never outlive the watermark). The ts filter prunes via parquet
     min/max stats; partition the sink by date to prune at the directory
     level. ``horizon_ms=None`` keeps the unbounded local-dev behavior.
+
+    ``table_format`` other than "parquet" swaps the whole anti-join for
+    the table format's transactional MERGE (see ``sink_merge_spec``).
     """
+    sink_kind, merge_sql = sink_merge_spec(table_format=table_format, target=out_path)
+
+    def write_merge(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.dropDuplicates(["redis_stream_id"])
+        out.createOrReplaceTempView("batch")
+        out.sparkSession.sql(merge_sql)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -206,7 +258,7 @@ def foreach_batch_idempotent_sink(
         out.write.mode("append").parquet(out_path)
 
     return (
-        flat.writeStream.foreachBatch(write)
+        flat.writeStream.foreachBatch(write_merge if sink_kind == "merge" else write)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -525,3 +525,40 @@ def test_stateful_seq_gap_tws_variant(spark, tmp_path):
     q.awaitTermination(60)
     got = spark.sql("select * from gaps_tws_tbl").collect()
     assert [(g.key, g.seq, g.prev_seq, g.gap) for g in got] == [("KXM-A", 15, 11, 4)]
+
+
+def test_transactional_sink_merge_spec_mapping(spark):
+    # The exactly-once story's table-format swap as tested config (r4
+    # verdict item 8, same contract as the Kafka reader mapping): the
+    # parquet sink keeps the anti-join path; delta/iceberg swap the
+    # whole read-back for a transactional insert-if-absent MERGE whose
+    # statement must parse (checked against Spark's own SQL parser — no
+    # Delta/Iceberg jars needed for parse analysis).
+    from nt_etl_order_book_spark.streaming.pipeline import sink_merge_spec
+
+    kind, sql = sink_merge_spec(table_format="parquet", target="/data/books")
+    assert (kind, sql) == ("anti_join_append", None)
+
+    kind, sql = sink_merge_spec(table_format="delta", target="/data/books")
+    assert kind == "merge"
+    assert sql == (
+        "MERGE INTO delta.`/data/books` AS t USING batch AS s "
+        "ON t.redis_stream_id = s.redis_stream_id WHEN NOT MATCHED THEN INSERT *"
+    )
+
+    kind, sql = sink_merge_spec(
+        table_format="iceberg", target="lake.books", key="event_id"
+    )
+    assert kind == "merge"
+    assert sql == (
+        "MERGE INTO lake.books AS t USING batch AS s "
+        "ON t.event_id = s.event_id WHEN NOT MATCHED THEN INSERT *"
+    )
+    # both MERGE statements must be syntactically valid Spark SQL
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for fmt in ("delta", "iceberg"):
+        _, stmt = sink_merge_spec(table_format=fmt, target="lake.books")
+        parser.parsePlan(stmt)  # raises ParseException on bad syntax
+
+    with pytest.raises(ValueError, match="table_format"):
+        sink_merge_spec(table_format="csv", target="x")
