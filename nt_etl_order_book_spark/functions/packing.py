@@ -233,3 +233,68 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_paragraphs"),
     )
+
+
+# RAG / context-window chunking: overlapping token windows with stride,
+# the indexing-side twin of seq_pack's training-side packing. Sizes are
+# fixture-scaled (real deployments run 512/384 or similar); the overlap
+# CHUNK_TOKENS - CHUNK_STRIDE keeps boundary-spanning facts inside at
+# least one chunk.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "rag_chunk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) <= {CHUNK_TOKENS} THEN 1
+                  ELSE CAST(CEIL((len(t) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT) + 1
+             END AS k
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(len(t[i*{CHUNK_STRIDE}+1:i*{CHUNK_STRIDE}+{CHUNK_TOKENS}]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(t[i*{CHUNK_STRIDE}+1:i*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ')) AS chunk_md5
+    FROM sized, UNNEST(range(0, k)) AS u(i)
+    """,
+    doc=(
+        f"RAG chunking: overlapping {CHUNK_TOKENS}-token windows at "
+        f"stride {CHUNK_STRIDE} per document (final window may be "
+        "short; every token is covered and boundary-spanning spans of "
+        f"<= {CHUNK_TOKENS - CHUNK_STRIDE} tokens always fall wholly "
+        "inside some chunk), emitting (chunk_idx, start_tok, n_tokens, "
+        "chunk md5) — the unit an embedding indexer consumes. Fully "
+        "narrow: per-row sequence/transform/explode, no shuffle, no "
+        "Python; only digests leave the row, so at 100 TB the chunker "
+        "runs at scan speed and the md5 doubles as the chunk's "
+        "downstream dedup/join key."
+    ),
+)
+def q_rag_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n = F.size(toks)
+    k = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.ceil((n - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE))).cast("int") + 1
+    )
+    chunk = lambda i: F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_TOKENS)  # noqa: E731
+    rows = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_idx"),
+            (i * CHUNK_STRIDE).cast("bigint").alias("start_tok"),
+            F.size(chunk(i)).cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk(i))).alias("chunk_md5"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(rows).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.start_tok", "c.n_tokens", "c.chunk_md5"
+    )

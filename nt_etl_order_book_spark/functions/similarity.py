@@ -580,3 +580,88 @@ def q_embed_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_abs_err"),
         )
     )
+
+
+@register(
+    "embed_centroid_stats",
+    """
+    WITH dims AS (
+      SELECT vec_id, label, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(pos)
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+      FROM dims GROUP BY label, pos
+    ),
+    parts AS (
+      SELECT d.vec_id, d.label,
+             CAST(SUM(CAST(d.x * c.m AS DECIMAL(38,18))) AS DOUBLE) AS dotc,
+             CAST(SUM(CAST(d.x * d.x AS DECIMAL(38,18))) AS DOUBLE) AS nx2,
+             CAST(SUM(CAST(c.m * c.m AS DECIMAL(38,18))) AS DOUBLE) AS nc2
+      FROM dims d JOIN cent c USING (label, pos)
+      GROUP BY d.vec_id, d.label
+    ),
+    coss AS (
+      SELECT vec_id, label,
+             CASE WHEN nx2 > 0 AND nc2 > 0
+                  THEN dotc / (sqrt(nx2) * sqrt(nc2)) END AS c
+      FROM parts
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE) / COUNT(c), 6)
+             AS avg_cos_to_centroid,
+           ROUND(MIN(c), 6) AS min_cos_to_centroid
+    FROM coss GROUP BY label
+    """,
+    doc=(
+        "Embedding cluster-tightness audit: per-label centroid "
+        "(elementwise mean) and each vector's cosine to its own "
+        "centroid, reported as per-label count / mean / worst cosine — "
+        "the drift and mislabel detector run before trusting label "
+        "blocking (embed_cosine_dedup) or training an IVF codebook on "
+        "a label-sharded 100 TB embedding store. The centroid frame is "
+        "label x dim cardinality (KBs) regardless of corpus size and "
+        "broadcasts back onto the dimension stream; every sum "
+        "accumulates as DECIMAL(38,18) so the result is "
+        "partition-order independent; zero-norm vectors yield NULL "
+        "cosine and are excluded from the mean (COUNT(c) semantics in "
+        "both engines)."
+    ),
+)
+def q_embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id", "label", (F.col("pos0") + 1).alias("pos"), F.col("xf").cast("double").alias("x")
+    )
+    dec = "decimal(38,18)"
+    cent = dims.groupBy("label", "pos").agg(
+        (F.sum(F.col("x").cast(dec)).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    parts = (
+        dims.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("x") * F.col("m")).cast(dec)).cast("double").alias("dotc"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("nx2"),
+            F.sum((F.col("m") * F.col("m")).cast(dec)).cast("double").alias("nc2"),
+        )
+    )
+    cos_c = F.when(
+        (F.col("nx2") > 0) & (F.col("nc2") > 0),
+        F.col("dotc") / (F.sqrt(F.col("nx2")) * F.sqrt(F.col("nc2"))),
+    )
+    return (
+        parts.select("vec_id", "label", cos_c.alias("c"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("c").cast(dec)).cast("double") / F.count("c"), 6
+            ).alias("avg_cos_to_centroid"),
+            F.round(F.min("c"), 6).alias("min_cos_to_centroid"),
+        )
+    )

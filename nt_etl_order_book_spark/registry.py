@@ -139,7 +139,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "notnull_guard",
     # ---- slot 51+: r6 queue (the remaining r3-row queries; they hit the
     # 3-round staleness bound after r5 so the r6 rotation must promote
-    # them — listed here so it is mechanical) ----
+    # them — listed here so it is mechanical; r5-new queries follow,
+    # local-oracle verified via tools/check.py this round) ----
     "seq_gap_check",
     "win_lag_lead",
     "win_moving_avg",
@@ -154,6 +155,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "repetition_stats",
     "tfidf_topterms",
     "udaf_grouped",
+    "rag_chunk",            # new r5: overlapping-window RAG chunking
+    "embed_centroid_stats",  # new r5: per-label cluster-tightness audit
 )
 
 

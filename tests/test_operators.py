@@ -344,3 +344,65 @@ def test_domain_kl_divergence_is_nonnegative(spark, sf_dir):
     for r in rows:
         assert r.kl_nats >= -1e-6, (r.source, r.kl_nats)
         assert r.vocab > 0 and r.src_tokens > 0
+
+
+def test_rag_chunk_covers_every_token_with_stride_overlap(spark, sf_dir):
+    # Coverage invariants independent of the SQL oracle: chunk starts
+    # advance by exactly CHUNK_STRIDE, the union of [start, start+n)
+    # covers [0, doc_tokens) with no gap, every non-final chunk is full
+    # width, and the final chunk reaches exactly the last token.
+    import pyarrow.parquet as pq
+
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions.packing import CHUNK_STRIDE, CHUNK_TOKENS
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    want_tokens = {
+        d: len([t for t in txt.split(" ") if t])
+        for d, txt in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    }
+
+    rows = registry.all_specs()["rag_chunk"].fn(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(want_tokens)
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n_total = want_tokens[d]
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.start_tok == c.chunk_idx * CHUNK_STRIDE
+        for c in chunks[:-1]:
+            assert c.n_tokens == CHUNK_TOKENS  # only the tail may be short
+        last = chunks[-1]
+        assert last.start_tok + last.n_tokens == max(n_total, 0) or n_total == 0
+        if n_total > CHUNK_TOKENS:
+            # every token index is inside some chunk (stride < width)
+            assert chunks[-1].start_tok < n_total
+            assert all(
+                chunks[i + 1].start_tok <= chunks[i].start_tok + chunks[i].n_tokens
+                for i in range(len(chunks) - 1)
+            )
+        else:
+            assert len(chunks) == 1
+
+
+def test_embed_centroid_stats_basic_geometry(spark, sf_dir):
+    # Per-label vector counts must match the table; cosine-to-own-
+    # centroid statistics live in [-1, 1], min <= avg, and the mean is
+    # positive (sum of dots against the own-label centroid is n*|c|^2).
+    import pyarrow.parquet as pq
+
+    from nt_etl_order_book_spark import registry
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["label"])
+    import collections
+
+    want = collections.Counter(tbl["label"].to_pylist())
+    rows = registry.all_specs()["embed_centroid_stats"].fn(spark, sf_dir).collect()
+    got = {r.label: r for r in rows}
+    assert {k: v.n_vecs for k, v in got.items()} == dict(want)
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.min_cos_to_centroid <= r.avg_cos_to_centroid <= 1.0 + 1e-9
+        assert r.avg_cos_to_centroid > 0
