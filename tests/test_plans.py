@@ -161,8 +161,37 @@ def test_cross_source_dup_shuffles_hashes_not_text(spark, sf_dir):
     _no_text_on_exchanges(df)
 
 
-def test_winnow_fingerprint_is_narrow(spark, sf_dir):
-    # Winnowing is per-row HOF folds end to end: zero exchanges — the
-    # fingerprint stage runs at scan parallelism at any corpus size.
+def test_winnow_fingerprint_single_deliberate_barrier(spark, sf_dir):
+    # Winnowing is per-row HOF folds, but winnow_hashes ends in ONE
+    # deliberate round-robin-by-doc_id exchange: the materialization
+    # barrier that stops CollapseProject from inlining the
+    # tokenize+gram+hash pipeline into every per-window reference of
+    # winnow_fp_expr (O(n^2) per doc without it — the skewed-corpus
+    # hang). Exactly one exchange, carrying (doc_id, hs) — never text.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
     df = registry.queries()["winnow_fingerprint"](spark, sf_dir)
+    assert count_shuffles(df) == 1
+    for line in formatted_plan(df).splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+
+def test_rag_chunk_is_narrow(spark, sf_dir):
+    # Chunking is per-row sequence/transform/explode emitting digests:
+    # zero exchanges — at 100 TB the chunker runs at scan parallelism.
+    df = registry.queries()["rag_chunk"](spark, sf_dir)
     assert count_shuffles(df) == 0
+    _no_text_on_exchanges(df)
+
+
+def test_embed_centroid_stats_broadcasts_centroids(spark, sf_dir):
+    # The label x dim centroid frame is KBs at any corpus size: it must
+    # come back to the dimension stream as a broadcast join, never a
+    # sort-merge shuffle of the full dimension explosion.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    df = registry.queries()["embed_centroid_stats"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
