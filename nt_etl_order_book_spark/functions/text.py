@@ -1173,3 +1173,111 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
     )
+
+
+# Within-doc gram-frequency cap for the shared-run verifier: a gram hash
+# occurring more than this many times INSIDE one document is internal
+# boilerplate ("a a a ..." pathologies) whose position pairs would join
+# quadratically; dropping it costs only runs made of self-repeating
+# text, which the repetition gates already flag.
+RUN_MAX_GRAM_OCC = 8
+
+
+@register(
+    "shared_run_audit",
+    f"""
+    WITH {_SQL_WINNOW_FPS},
+    idx0 AS (SELECT doc_id, UNNEST(fp) AS f FROM fps),
+    idx AS (
+      SELECT doc_id, f FROM idx0
+      QUALIFY COUNT(*) OVER (PARTITION BY f) <= {WINNOW_MAX_FP_DF}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM idx a JOIN idx b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    ),
+    gpos AS (
+      SELECT doc_id, t.pos, hs[t.pos] AS h
+      FROM hashes, UNNEST(range(1, len(hs) + 1)) AS t(pos)
+      QUALIFY COUNT(*) OVER (PARTITION BY doc_id, hs[t.pos]) <= {RUN_MAX_GRAM_OCC}
+    ),
+    runs AS (
+      SELECT p.a, p.b, ga.pos AS pa, ga.pos - gb.pos AS d
+      FROM pairs p
+      JOIN gpos ga ON ga.doc_id = p.a
+      JOIN gpos gb ON gb.doc_id = p.b AND gb.h = ga.h
+    ),
+    isl AS (
+      SELECT a, b, d, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY a, b, d ORDER BY pa) AS grp
+      FROM runs
+    ),
+    lens AS (
+      SELECT a, b, COUNT(*) AS run_grams
+      FROM isl GROUP BY a, b, d, grp
+    )
+    SELECT a, b,
+           CAST(MAX(run_grams) + {WINNOW_K - 1} AS BIGINT) AS longest_run_tokens,
+           CAST(SUM(run_grams) AS BIGINT) AS n_matching_grams
+    FROM lens GROUP BY a, b
+    """,
+    doc=(
+        "Exact shared-run verification of winnow near-dup candidates — "
+        "the MOSS report stage: for every winnow_dedup candidate pair, "
+        "join the two docs' k-gram hash position streams, group matches "
+        "by diagonal (pos_a - pos_b), and measure consecutive-match "
+        "islands; the longest island of L grams is a shared run of "
+        f"L + {WINNOW_K - 1} tokens, reported with the total matching-"
+        "gram mass. Turns the fingerprint heuristic into an exact span "
+        "measurement (contamination_span's tiered grams, at doc-pair "
+        "granularity). Candidate scoping bounds the join to capped "
+        "pairs; RUN_MAX_GRAM_OCC bounds within-doc gram multiplicity "
+        "so self-repeating text cannot join quadratically; shuffles "
+        "carry BIGINT (hash, pos) pairs only."
+    ),
+)
+def q_shared_run_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = winnow_hashes(load_table(spark, sf_dir, "documents"))
+    idx = docs.select("doc_id", F.explode(winnow_fp_expr()).alias("f"))
+    wf = Window.partitionBy("f")
+    idx = (
+        idx.withColumn("_df", F.count(F.lit(1)).over(wf))
+        .filter(F.col("_df") <= WINNOW_MAX_FP_DF)
+        .drop("_df")
+    )
+    pairs = (
+        idx.select(F.col("doc_id").alias("a"), "f")
+        .join(idx.select(F.col("doc_id").alias("b"), "f"), "f")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_nf"))
+        .filter(F.col("_nf") >= WINNOW_MIN_SHARED)
+        .select("a", "b")
+    )
+    gpos = docs.select(
+        "doc_id", F.posexplode("hs").alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    wg = Window.partitionBy("doc_id", "h")
+    gpos = (
+        gpos.withColumn("_occ", F.count(F.lit(1)).over(wg))
+        .filter(F.col("_occ") <= RUN_MAX_GRAM_OCC)
+        .drop("_occ")
+    )
+    ga = gpos.select(F.col("doc_id").alias("a"), F.col("pos").alias("pa"), "h")
+    gb = gpos.select(F.col("doc_id").alias("b"), F.col("pos").alias("pb"), "h")
+    runs = (
+        pairs.join(ga, "a")
+        .join(gb, ["b", "h"])
+        .select("a", "b", "pa", (F.col("pa") - F.col("pb")).alias("d"))
+    )
+    wi = Window.partitionBy("a", "b", "d").orderBy("pa")
+    isl = runs.select(
+        "a", "b", "d", "pa", (F.col("pa") - F.row_number().over(wi)).alias("grp")
+    )
+    lens = isl.groupBy("a", "b", "d", "grp").agg(F.count(F.lit(1)).alias("run_grams"))
+    return lens.groupBy("a", "b").agg(
+        (F.max("run_grams") + F.lit(WINNOW_K - 1)).cast("bigint").alias("longest_run_tokens"),
+        F.sum("run_grams").cast("bigint").alias("n_matching_grams"),
+    )

@@ -484,3 +484,14 @@ def test_skew_winnow_dedup_cap_bites_only_real_pair_survives(spark, skew_dir):
     assert (2000, 2001) in pairs
     assert pairs[(2000, 2001)] >= 2
     assert set(pairs) == {(2000, 2001)}
+
+
+def test_skew_shared_run_audit_measures_exact_overlap(spark, skew_dir):
+    # The verifier must report the constructed 120-token shared run
+    # EXACTLY (117 matching 4-gram positions on one diagonal + k - 1),
+    # and only for the one surviving candidate pair.
+    rows = registry.all_specs()["shared_run_audit"].fn(spark, skew_dir).collect()
+    got = {(r.a, r.b): r for r in rows}
+    assert set(got) == {(2000, 2001)}
+    assert got[(2000, 2001)].longest_run_tokens == 120
+    assert got[(2000, 2001)].n_matching_grams >= 117
