@@ -406,3 +406,39 @@ def test_embed_centroid_stats_basic_geometry(spark, sf_dir):
     for r in rows:
         assert -1.0 - 1e-9 <= r.min_cos_to_centroid <= r.avg_cos_to_centroid <= 1.0 + 1e-9
         assert r.avg_cos_to_centroid > 0
+
+
+def test_rag_chunk_boundary_token_counts(spark):
+    # Chunk-count arithmetic at the exact boundaries, against
+    # hand-computed expectations (CHUNK=64, STRIDE=48): empty doc → one
+    # empty chunk (md5 of '' — both engines agree); n <= 64 → 1 chunk;
+    # n = 65 → 2 chunks (tail of 17); n = 112 (64+48) → 2 full-ish;
+    # n = 113 → 3.
+    import hashlib
+
+    from nt_etl_order_book_spark.functions.packing import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        q_rag_chunk,
+    )
+
+    cases = {0: 1, 1: 1, CHUNK_TOKENS: 1, CHUNK_TOKENS + 1: 2,
+             CHUNK_TOKENS + CHUNK_STRIDE: 2, CHUNK_TOKENS + CHUNK_STRIDE + 1: 3}
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"t{j}" for j in range(n)), "en", "s", 0) for n in cases],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(f"{tmp}/documents.parquet")
+        rows = q_rag_chunk(spark, tmp).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert {d: len(c) for d, c in by_doc.items()} == cases
+    empty = by_doc[0][0]
+    assert empty.n_tokens == 0
+    assert empty.chunk_md5 == hashlib.md5(b"").hexdigest()
+    tail = max(by_doc[CHUNK_TOKENS + 1], key=lambda r: r.chunk_idx)
+    assert (tail.start_tok, tail.n_tokens) == (CHUNK_STRIDE, CHUNK_TOKENS + 1 - CHUNK_STRIDE)
