@@ -495,3 +495,34 @@ def test_skew_shared_run_audit_measures_exact_overlap(spark, skew_dir):
     assert set(got) == {(2000, 2001)}
     assert got[(2000, 2001)].longest_run_tokens == 120
     assert got[(2000, 2001)].n_matching_grams >= 117
+
+
+def test_shared_run_audit_planted_runs_measured_exactly(spark, tmp_path):
+    # Ground-truth battery: 20 doc pairs, each sharing a planted run of
+    # random length in [20, 60] tokens with pair-disjoint vocabularies
+    # and per-doc unique affixes. Every planted pair must be reported
+    # with longest_run_tokens == planted length and n_matching_grams ==
+    # length - (k - 1); no cross-pair ghosts may appear.
+    import random
+
+    from nt_etl_order_book_spark.functions.text import WINNOW_K, q_shared_run_audit
+
+    rng = random.Random(42)
+    rows, want = [], {}
+    for p in range(20):
+        length = rng.randint(20, 60)
+        run = " ".join(f"p{p}r{j}" for j in range(length))
+        a_id, b_id = 100 + 2 * p, 101 + 2 * p
+        rows.append((a_id, f"p{p}ax p{p}ay {run} p{p}az", "en", "s", 0))
+        rows.append((b_id, f"p{p}bx {run} p{p}by p{p}bz", "en", "s", 0))
+        want[(a_id, b_id)] = length
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {(r.a, r.b): r for r in q_shared_run_audit(spark, str(tmp_path)).collect()}
+    assert set(got) == set(want)
+    for pair, length in want.items():
+        assert got[pair].longest_run_tokens == length, pair
+        assert got[pair].n_matching_grams == length - (WINNOW_K - 1), pair
