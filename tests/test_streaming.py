@@ -562,3 +562,66 @@ def test_transactional_sink_merge_spec_mapping(spark):
 
     with pytest.raises(ValueError, match="table_format"):
         sink_merge_spec(table_format="csv", target="x")
+
+
+def test_rocksdb_state_store_config_swap(spark, tmp_path):
+    # The 100 TB state-size story (PERF.md streaming probe): when the
+    # dedup key working set outgrows the JVM heap, the state store swaps
+    # to RocksDB by CONFIG ONLY — same pipeline code, same results.
+    # Spark ships the provider; this proves the swap works here: the
+    # stateful dedup pipeline produces identical output under RocksDB,
+    # and the query's state operator reports RocksDB custom metrics
+    # (so the provider really engaged, not silently fell back).
+    import json as _json
+
+    p = tmp_path / "rmsgs"
+    p.mkdir()
+    lines = []
+    for i in range(300):
+        lines.append(
+            _json.dumps(
+                {
+                    "type": "orderbook_delta",
+                    "sid": 1,
+                    "seq": i,
+                    "market_ticker": f"KXR-{i % 7}",
+                    "market_id": f"m{i % 7}",
+                    "price": 40 + i % 20,
+                    "price_dollars": (40 + i % 20) / 100.0,
+                    "delta": (i % 11) - 5,
+                    "side": "yes" if i % 2 else "no",
+                    "ts": 1_700_000_000_000 + i,
+                    "ingestion_ts": 1_700_000_000_000 + i,
+                    # every id duplicated once: dedup state must halve rows
+                    "redis_stream_id": f"170-{i // 2}",
+                }
+            )
+        )
+    (p / "a.json").write_text("\n".join(lines))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        msgs = read_json_stream(spark, str(p))
+        q = deltas_query(
+            msgs,
+            str(tmp_path / "r_out"),
+            str(tmp_path / "r_cp"),
+            dedup_within="10 minutes",
+        )
+        q.awaitTermination(120)
+        progs = [_json.loads(pr.json) for pr in q.recentProgress]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    assert spark.read.parquet(str(tmp_path / "r_out")).count() == 150
+    ops = [s for pr in progs for s in (pr.get("stateOperators") or [])]
+    assert ops, "no stateful operator progress recorded"
+    assert any(
+        "rocksdb" in k.lower() for s in ops for k in (s.get("customMetrics") or {})
+    ), "RocksDB provider did not engage"
