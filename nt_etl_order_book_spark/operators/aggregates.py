@@ -386,3 +386,83 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         dsum("l_quantity").alias("sum_qty"),
     )
+
+
+# Columns profiled by table_profile, with an engine-portable VARCHAR
+# rendering per type family: BIGINT-able ints render as plain integer
+# strings, strings render as themselves, timestamps render through a
+# DATE cast (ISO YYYY-MM-DD in both engines). Doubles are deliberately
+# excluded — float-to-string formatting is engine-specific and a
+# profile's min/max on measures belongs to agg_stats' typed output.
+PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "date"),
+)
+
+
+def _profile_sql() -> str:
+    parts = []
+    for name, kind in PROFILE_COLS:
+        expr = f"CAST({name} AS DATE)" if kind == "date" else name
+        parts.append(f"""
+      SELECT '{name}' AS col_name,
+             COUNT(*) AS n_rows,
+             CAST(COUNT(*) - COUNT({expr}) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+             CAST(MIN({expr}) AS VARCHAR) AS min_val,
+             CAST(MAX({expr}) AS VARCHAR) AS max_val
+      FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "table_profile",
+    _profile_sql(),
+    doc=(
+        "Table profiler (the DESCRIBE/SUMMARY surface): one row per "
+        "profiled lineitem column with row/null/exact-distinct counts "
+        "and min/max rendered through engine-portable VARCHAR casts "
+        "(ints plain, timestamps via DATE). The Spark side computes "
+        "ALL columns in one pass — a single multi-countDistinct "
+        "aggregate (Catalyst's Expand strategy) over one scan, then an "
+        "explode of the 1-row result into long form — instead of "
+        "N per-column scans; at 100 TB one Expand pass beats "
+        f"{len(PROFILE_COLS)} full-column scans and the output is "
+        "always exactly |columns| rows."
+    ),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_etl_order_book_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, kind in PROFILE_COLS:
+        c = F.col(name).cast("date") if kind == "date" else F.col(name)
+        aggs += [
+            F.count(c).alias(f"_nn_{name}"),
+            F.countDistinct(c).alias(f"_nd_{name}"),
+            F.min(c).cast("string").alias(f"_mn_{name}"),
+            F.max(c).cast("string").alias(f"_mx_{name}"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{name}")).cast("bigint").alias("n_nulls"),
+                F.col(f"_nd_{name}").cast("bigint").alias("n_distinct"),
+                F.col(f"_mn_{name}").alias("min_val"),
+                F.col(f"_mx_{name}").alias("max_val"),
+            )
+            for name, _ in PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select(
+        "p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_val", "p.max_val"
+    )

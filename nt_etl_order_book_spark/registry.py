@@ -158,6 +158,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "rag_chunk",            # new r5: overlapping-window RAG chunking
     "embed_centroid_stats",  # new r5: per-label cluster-tightness audit
     "shared_run_audit",     # new r5: exact shared-run verify of winnow pairs
+    "table_profile",        # new r5: per-column DESCRIBE/SUMMARY profiler
 )
 
 
