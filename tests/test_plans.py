@@ -195,3 +195,17 @@ def test_embed_centroid_stats_broadcasts_centroids(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_table_profile_single_scan_expand(spark, sf_dir):
+    # The profiler must compute all columns from ONE scan via the
+    # multi-countDistinct Expand strategy — N per-column scans would
+    # read the table N times at 100 TB. Two exchanges (partial/final
+    # distinct-aggregate phases) are the canonical shape.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    df = registry.queries()["table_profile"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    assert plan.count("(1) Scan parquet") == 1 and "(2) Scan parquet" not in plan
+    assert count_shuffles(df) <= 2
