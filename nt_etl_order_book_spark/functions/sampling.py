@@ -111,3 +111,127 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Modeling via Importance Resampling" — public NeurIPS paper).
+# The reference pipeline has no data-selection stage (its scope ends at
+# ingest, consumer.py:1); this is part of the training-data-pipeline
+# surface a 100 TB corpus engine needs on top.
+# ---------------------------------------------------------------------------
+
+# Hashed-feature space size. DSIR's estimator only needs feature counts in
+# a FIXED-width table: both the target and raw distributions collapse to
+# <= DSIR_BUCKETS rows no matter how large the corpus or vocabulary is, so
+# the two distribution frames broadcast at any scale (the paper uses 10^4
+# buckets over unigrams+bigrams; 1024 unigram buckets fit the fixture
+# vocabulary the same way).
+DSIR_BUCKETS = 1024
+# The "target" distribution: English documents stand in for the paper's
+# high-quality target corpus (e.g. Wikipedia); the "raw" distribution is
+# the whole corpus being scored.
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents
+    ),
+    dbc AS (
+      SELECT doc_id, lang, {_sql_hash_bucket('token', DSIR_BUCKETS)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, lang, bucket
+    ),
+    bstats AS (
+      SELECT bucket,
+             CAST(SUM(c) AS BIGINT) AS cr,
+             CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c ELSE 0 END)
+                  AS BIGINT) AS ct
+      FROM dbc GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tot_r,
+                   CAST(SUM(ct) AS BIGINT) AS tot_t FROM bstats)
+    SELECT d.doc_id,
+           d.lang,
+           CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(
+             d.c * (LN((b.ct + 1.0) / (tot.tot_t + {DSIR_BUCKETS}))
+                    - LN((b.cr + 1.0) / (tot.tot_r + {DSIR_BUCKETS})))
+             AS DECIMAL(38,18))) AS DOUBLE) / CAST(SUM(d.c) AS BIGINT),
+             6) AS dsir_avg_logratio
+    FROM dbc d
+    JOIN bstats b USING (bucket)
+    CROSS JOIN tot
+    GROUP BY d.doc_id, d.lang
+    """,
+    doc=(
+        "DSIR importance weights (hashed-unigram importance resampling, "
+        "Xie et al. 2023): per-document average log p_target/p_raw under "
+        "two add-1-smoothed hashed-feature distributions (target = "
+        f"lang='{DSIR_TARGET_LANG}' docs, raw = whole corpus), the score "
+        "real pipelines resample on to tilt a web crawl toward a quality "
+        "domain. The token stream explodes ONCE into a (doc, bucket) "
+        "partial aggregate; both distribution tables derive from those "
+        f"rows and are <= {DSIR_BUCKETS} rows by construction — they "
+        "broadcast at any corpus size, so the only data-sized shuffle is "
+        "the per-doc aggregate. Portable Horner-fold md5 bucketing (same "
+        "expression both engines); ln inputs are quotients of exact "
+        "BIGINT-derived doubles and the weighted term sum accumulates as "
+        "DECIMAL(38,18) — partition-order independent (registry "
+        "determinism discipline)."
+    ),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
+    )
+    # One (doc, bucket) partial aggregate: every downstream frame —
+    # target counts, raw counts, grand totals, per-doc scores — derives
+    # from these rows; the raw token stream shuffles exactly once.
+    dbc = (
+        toks.select("doc_id", "lang", hash_bucket(F.col("token"), DSIR_BUCKETS).alias("bucket"))
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    # BOTH distributions from one conditional aggregate over dbc's rows:
+    # a separate filtered branch would push the lang predicate below the
+    # (doc, bucket) aggregate and fork a second full token-stream
+    # exchange — conditional SUM keeps the dbc exchange reusable
+    # (ReusedExchange plan-gated in tests/test_plans.py).
+    bstats = dbc.groupBy("bucket").agg(
+        F.sum("c").cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("ct"),
+    )
+    tot = bstats.agg(
+        F.sum("cr").cast("bigint").alias("tot_r"),
+        F.sum("ct").cast("bigint").alias("tot_t"),
+    )
+    # Add-1 smoothing over the fixed bucket space: a bucket the target
+    # never emits still gets finite mass, so ln() never sees zero.
+    p_t = (F.col("ct") + F.lit(1.0)) / (F.col("tot_t") + F.lit(DSIR_BUCKETS))
+    p_r = (F.col("cr") + F.lit(1.0)) / (F.col("tot_r") + F.lit(DSIR_BUCKETS))
+    term = F.col("c") * (F.log(p_t) - F.log(p_r))
+    return (
+        dbc.join(F.broadcast(bstats), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(term.cast("decimal(38,18)")).cast("double")
+                / F.sum("c").cast("bigint"),
+                6,
+            ).alias("dsir_avg_logratio"),
+        )
+        .select("doc_id", "lang", "n_tokens", "dsir_avg_logratio")
+    )

@@ -159,6 +159,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "embed_centroid_stats",  # new r5: per-label cluster-tightness audit
     "shared_run_audit",     # new r5: exact shared-run verify of winnow pairs
     "table_profile",        # new r5: per-column DESCRIBE/SUMMARY profiler
+    "dsir_weights",         # new r5: DSIR hashed-ngram importance weights
 )
 
 

@@ -442,3 +442,23 @@ def test_rag_chunk_boundary_token_counts(spark):
     assert empty.chunk_md5 == hashlib.md5(b"").hexdigest()
     tail = max(by_doc[CHUNK_TOKENS + 1], key=lambda r: r.chunk_idx)
     assert (tail.start_tok, tail.n_tokens) == (CHUNK_STRIDE, CHUNK_TOKENS + 1 - CHUNK_STRIDE)
+
+
+def test_dsir_weights_tilt_toward_target_language(spark, sf_dir):
+    # The estimator's whole point: documents drawn from the target
+    # distribution (lang='en') must score a higher mean importance
+    # log-ratio than documents from any other language — hashed-feature
+    # smoothing can compress the gap but never invert it on a corpus
+    # where languages use disjoint vocabulary.
+    from nt_etl_order_book_spark import registry
+
+    rows = registry.all_specs()["dsir_weights"].fn(spark, sf_dir).collect()
+    assert rows
+    by_lang: dict[str, list[float]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.dsir_avg_logratio)
+    means = {lang: sum(v) / len(v) for lang, v in by_lang.items()}
+    assert "en" in means and len(means) > 1
+    for lang, m in means.items():
+        if lang != "en":
+            assert means["en"] > m, (means["en"], lang, m)
