@@ -665,3 +665,216 @@ def q_embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("c"), 6).alias("min_cos_to_centroid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the ADC-scan variant (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search", public paper; the
+# faiss IndexPQ shape). Complements IVF: IVF prunes WHICH rows are
+# scanned, PQ compresses WHAT a scan reads — at 100 TB the corpus scan
+# side of a query batch reads PQ_M small ints per vector (the codes)
+# instead of the raw float array, a ~32× byte reduction at these
+# parameters, and the two compose (IVF-PQ) by encoding residuals per cell.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces; PQ_M * PQ_DSUB = embedding dim (64)
+PQ_DSUB = 8
+PQ_K = 16  # centroids per subspace → 4-bit codes
+# ADC candidates per query that get an exact-cosine re-rank. ADC scores
+# are approximate (32-bit codes); re-ranking a small candidate set from
+# the raw vectors restores exactness for the survivors — the standard
+# two-stage PQ serving shape. 200 is calibrated on the ISOTROPIC fixture
+# (the worst case for any quantizer — true cosine gaps are ≈1σ of the
+# ADC error, so the candidate set has to be wide: measured recall@5
+# 0.82→0.86 over CAND 50→100 at sf0.01, 0.66→0.84 over 100→200 at
+# sf0.1). Re-rank cost is CAND×dim per query — negligible next to the
+# code scan at any corpus size. On clustered corpora (the realistic
+# case) the codebook concentrates and far narrower CANDs reach the same
+# recall — deployments tune DOWN from this adversarial setting, as with
+# N_PROBE. PQ_K stays at 16: larger K needs a larger k-means train
+# sample than the fixture provides (measured WORSE at K=32/64 on
+# sf0.01's 50-vector sample — empty/overfit cells).
+PQ_CAND = 200
+
+
+def _subvecs(vec: Column) -> Column:
+    """Split a PQ_M*PQ_DSUB vector into PQ_M double sub-vectors."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda s: F.transform(F.slice(vec, s * PQ_DSUB + 1, PQ_DSUB), lambda x: x.cast("double")),
+    )
+
+
+def _nearest_pos(sv: Column, cents: Column) -> Column:
+    """0-based ARRAY POSITION of the L2-nearest centroid — one HOF fold,
+    zero shuffle (the PQ twin of nearest_cell).
+
+    Positions, not centroid labels: codes index straight into the
+    query-side lookup table built from the SAME cents array, so the two
+    stay aligned by construction even when Lloyd leaves cells empty.
+    argmin ‖sv − c‖² ≡ argmin (‖c‖² − 2·sv·c) with ‖c‖² precomputed per
+    centroid — the row's own norm is constant across cells.
+    """
+    indexed = F.transform(cents, lambda c, i: F.struct(i.alias("pos"), c.alias("c")))
+    init = F.struct(F.lit(-1).alias("pos"), F.lit(float("inf")).alias("d"))
+
+    def step(acc: Column, e: Column) -> Column:
+        d = e["c"]["n2"] - F.lit(2.0) * dot(sv, e["c"]["cvec"])
+        better = (d < acc["d"]) | ((d == acc["d"]) & (e["pos"] < acc["pos"]))
+        return F.when(better, F.struct(e["pos"].alias("pos"), d.alias("d"))).otherwise(acc)
+
+    return F.aggregate(indexed, init, step)["pos"]
+
+
+def _pq_collapse(rows: DataFrame) -> DataFrame:
+    """(sub, pos, cvec) rows → 1-row `books` frame:
+    array (by sub) of array of struct<pos, cvec, n2>."""
+    return (
+        rows.select(
+            "sub",
+            F.struct(
+                F.col("pos"), F.col("cvec"), dot(F.col("cvec"), F.col("cvec")).alias("n2")
+            ).alias("c"),
+        )
+        .groupBy("sub")
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "cents"))).alias("bs"))
+        .select(F.transform(F.col("bs"), lambda b: b["cents"]).alias("books"))
+    )
+
+
+def pq_codebook(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Per-subspace L2 k-means codebooks as one broadcastable row.
+
+    Seeds = the first PQ_K vectors' sub-slices (same convention as
+    ivf_codebook); Lloyd refinement runs on the deterministic
+    1/TRAIN_MOD hash-sample, all PQ_M subspaces trained in ONE grouped
+    pass (keys (sub, pos, dim) — the update exchange carries at most
+    PQ_M×PQ_K×PQ_DSUB rows per partition, KBs at any corpus size).
+    Checkpointed per iteration like the IVF codebook (lineage cut).
+    """
+    seed = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").cast("int").alias("pos"),
+        F.posexplode(_subvecs(F.col("embedding"))).alias("sub", "cvec"),
+    )
+    books = _pq_collapse(seed)
+    train = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(TRAIN_MOD)) == 0).select(
+        F.posexplode(_subvecs(F.col("embedding"))).alias("sub", "sv")
+    )
+    for _ in range(iters):
+        assigned = train.crossJoin(F.broadcast(books)).select(
+            "sub",
+            "sv",
+            _nearest_pos(F.col("sv"), F.element_at(F.col("books"), F.col("sub") + 1)).alias("pos"),
+        )
+        rows = (
+            assigned.select("sub", "pos", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("sub", "pos", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub", "pos")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("sub", "pos", F.transform("dm", lambda s: s["m"]).alias("cvec"))
+        )
+        books = checkpoint_frame(_pq_collapse(rows), eager=False)
+    return books
+
+
+def pq_encode(emb: DataFrame, books: DataFrame) -> DataFrame:
+    """(vec_id, enorm, codes): each vector compressed to PQ_M positional
+    codes — the persisted form of a PQ index (PQ_M small ints + one
+    double per vector; at 100 TB THIS is what ADC scans read, not the
+    raw floats).
+
+    The trailing repartition is a SHUFFLE BARRIER (same defense as
+    winnow_hashes / minhash signatures): the ADC scan references `codes`
+    once per query in the scoring fan-out, and without a materialization
+    boundary CollapseProject inlines the whole PQ_M×PQ_K argmin encode
+    into every query pair — a per-row cost multiplied by the query-batch
+    size. The shuffled payload IS the compressed representation, exactly
+    what an index build writes.
+    """
+    enc = emb.crossJoin(F.broadcast(books)).select(
+        "vec_id",
+        norm(F.col("embedding")).alias("enorm"),
+        F.transform(
+            _subvecs(F.col("embedding")),
+            lambda sv, s: _nearest_pos(sv, F.element_at(F.col("books"), s + 1)),
+        ).alias("codes"),
+    )
+    return enc.repartition(emb.sparkSession.sparkContext.defaultParallelism, "vec_id")
+
+
+@register(
+    "ann_pq_topk",
+    None,  # codebook/code assignment is implementation-specific → rows-only;
+    # quantitative guard = tools/check.py --recall vs the exact oracle.
+    doc=(
+        f"ANN via product quantization + ADC scan (faiss IndexPQ shape): "
+        f"{PQ_M} subspaces × {PQ_K} L2-k-means centroids (4-bit codes, "
+        f"32 bits/vector vs 2048 raw), corpus encoded once behind a "
+        "shuffle barrier, queries build a per-subspace dot-product "
+        "lookup table against the SAME broadcast codebook, and the scan "
+        f"scores codes by {PQ_M} table lookups per pair (asymmetric "
+        f"distance). Top-{PQ_CAND} ADC candidates per query get an "
+        f"exact-cosine re-rank from the raw vectors → top-{TOP_K}. At "
+        "100 TB the scan side reads ~32× fewer bytes than raw floats "
+        "and composes with IVF cell pruning (IVF-PQ)."
+    ),
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebook(emb)
+    enc = pq_encode(emb, books)
+    # Query-side lookup table: lut[sub][pos] = dot(q_sub, centroid) over
+    # the SAME books array the codes index into — position-aligned by
+    # construction. N_QUERIES rows × PQ_M×PQ_K doubles: broadcasts.
+    q = emb.filter(F.col("vec_id") < N_QUERIES).crossJoin(F.broadcast(books)).select(
+        F.col("vec_id").alias("qid"),
+        norm(F.col("embedding")).alias("qnorm"),
+        F.transform(
+            _subvecs(F.col("embedding")),
+            lambda sv, s: F.transform(
+                F.element_at(F.col("books"), s + 1), lambda c: dot(sv, c["cvec"])
+            ),
+        ).alias("lut"),
+    )
+    # ADC scan: approximate dot = Σ_sub lut[sub][codes[sub]] — PQ_M array
+    # lookups per (query, vector) pair, no vector math.
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s + 1), F.element_at(F.col("codes"), s + 1) + 1
+        ),
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (adc / F.nullif(F.col("qnorm") * F.col("enorm"), F.lit(0.0))).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("approx_cos"), F.asc("vec_id"))
+    cands = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_CAND)
+        .select("qid", "vec_id")
+    )
+    # Exact re-rank: candidates (N_QUERIES×PQ_CAND rows) broadcast back
+    # onto the raw vectors; only survivors pay full-precision cosine.
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    rer = (
+        emb.join(F.broadcast(cands), "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    return topk_per_query(rer)

@@ -160,6 +160,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "shared_run_audit",     # new r5: exact shared-run verify of winnow pairs
     "table_profile",        # new r5: per-column DESCRIBE/SUMMARY profiler
     "dsir_weights",         # new r5: DSIR hashed-ngram importance weights
+    "ann_pq_topk",          # new r5: product-quantization ADC ANN (rows-only)
 )
 
 

@@ -232,3 +232,25 @@ def test_dsir_weights_single_explode_broadcast_distributions(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert "ReusedExchange" in final, final[:800]
+
+
+def test_pq_encode_barrier_bounds_adc_recompute(spark, sf_dir):
+    # pq_encode must end in a shuffle barrier so the PQ_M×PQ_K argmin
+    # encode runs once per corpus row, not once per (row, query) pair
+    # after CollapseProject inlines it into the ADC fan-out (the winnow
+    # O(n²) lesson). The barrier is the hashpartitioning(vec_id)
+    # exchange; the ADC scan and broadcast query side sit above it.
+    from nt_etl_order_book_spark.functions.similarity import pq_codebook, pq_encode
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+    from nt_etl_order_book_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = pq_encode(emb, pq_codebook(emb))
+    plan = formatted_plan(enc)
+    assert "hashpartitioning(vec_id" in plan, plan[:800]
+
+    df = registry.queries()["ann_pq_topk"](spark, sf_dir)
+    full = formatted_plan(df)
+    # The codes column must be produced BELOW the barrier exchange:
+    # exactly one Exchange carries `codes` into the ADC stage.
+    assert "hashpartitioning(vec_id" in full, full[:800]

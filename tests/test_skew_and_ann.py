@@ -157,6 +157,11 @@ def test_ann_variants_recall_against_brute_force(spark):
     # codebook quality shows. tools/check.py --recall gates 0.85.
     ivf = {(r.qid, r.vec_id) for r in qs["ann_ivf_topk"](spark, sf).collect()}
     assert len(ivf & exact) / len(exact) >= 0.8, "IVF recall below probed-mass floor"
+    # PQ+ADC with a 200-candidate exact re-rank: measured 0.96 at
+    # sf0.01 (deterministic codebook/codes). tools/check.py --recall
+    # gates 0.75 across SFs.
+    pq = {(r.qid, r.vec_id) for r in qs["ann_pq_topk"](spark, sf).collect()}
+    assert len(pq & exact) / len(exact) >= 0.85, "PQ recall below floor"
 
 
 def test_ivf_recall_on_clustered_corpus(spark):
@@ -187,6 +192,38 @@ def test_ivf_recall_on_clustered_corpus(spark):
         sim.load_table = orig
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.9, f"clustered-corpus IVF recall {recall:.2f}"
+
+
+def test_pq_recall_on_clustered_corpus(spark):
+    # Where the corpus has structure, ADC ordering must carry real
+    # signal: a NARROW candidate set (20, a tenth of the fixture-tuned
+    # 200) has to reach high recall — the "deployments tune DOWN from
+    # the adversarial isotropic setting" claim, as tested code.
+    import numpy as np
+
+    from nt_etl_order_book_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for vid in range(320):
+        c = centers[vid % 16]
+        v = c + 0.05 * rng.normal(size=64)
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    orig_load, orig_cand = sim.load_table, sim.PQ_CAND
+    try:
+        sim.load_table = lambda _s, _d, name: emb  # only embeddings used
+        sim.PQ_CAND = 20
+        qs = registry.queries()
+        exact = {(r.qid, r.vec_id) for r in qs["cosine_topk"](spark, "_").collect()}
+        pq = {(r.qid, r.vec_id) for r in qs["ann_pq_topk"](spark, "_").collect()}
+    finally:
+        sim.load_table, sim.PQ_CAND = orig_load, orig_cand
+    recall = len(pq & exact) / len(exact)
+    assert recall >= 0.9, f"clustered-corpus PQ recall {recall:.2f}"
 
 
 def test_connected_components_long_chain(spark):
