@@ -1,0 +1,157 @@
+"""Distributed BPE vocabulary induction (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units" — public paper).
+
+`subword_token_count` (text.py) APPLIES a BPE-ish pre-tokenizer; this
+module TRAINS the merge table itself — the corpus-scale half of building
+a tokenizer, and the op a training-data pipeline runs once per corpus
+release.
+
+Scale design: classic BPE trains on the WORD-FREQUENCY table, not the
+raw token stream — the corpus collapses to vocabulary-sized rows in one
+aggregate (the 100 TB move: everything after that first explode touches
+|vocab| rows, not |corpus| tokens). Each merge round is fully
+declarative: pair counts via a keyed aggregate, the argmax pair as a
+1-row TakeOrdered frame broadcast onto the word table, the greedy
+left-to-right merge as a per-row HOF fold. No driver-side data — the
+loop is a fixed N_BPE_MERGES rounds with a lineage-cutting checkpoint
+per round (the kmeans_refine pattern).
+
+Exactness: the merge table has no SQL oracle by contract (iterative
+algorithm), but tests/test_bpe.py proves the full table EQUAL to a
+pure-Python reference BPE (same greedy-merge and tiebreak rules) on the
+fixture corpus.
+
+Reference scope: the nt-etl-order-book reference has no tokenizer stage
+(727-LoC ingest ETL); this extends the LLM-pipeline surface per the
+build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.session import checkpoint_frame
+from nt_etl_order_book_spark.tables import load_table
+
+N_BPE_MERGES = 8
+# End-of-word sentinel (Sennrich): lets a merge distinguish word-final
+# subwords ("est</w>") from word-internal ones ("est").
+EOW = "</w>"
+
+
+def bpe_word_table(docs: DataFrame) -> DataFrame:
+    """(syms, freq): whitespace words with frequencies, split into
+    character symbols + the end-of-word sentinel.
+
+    THE scale step: after this one token-stream aggregate every merge
+    round runs over |vocab| rows.
+    """
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("w")
+    )
+    words = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    chars = F.filter(F.split(F.col("w"), ""), lambda s: s != "")
+    return words.select(
+        F.concat(chars, F.array(F.lit(EOW))).alias("syms"), "freq"
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency."""
+    return (
+        words.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i).alias("l"),
+                        F.element_at(F.col("syms"), i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+    )
+
+
+def _merge_pair(syms: Column, left: Column, right: Column) -> Column:
+    """Greedy left-to-right merge of (left, right) occurrences — one HOF
+    fold per word, zero shuffle. Overlaps resolve like reference BPE:
+    'aaa' under (a,a) → ('aa', 'a') because the merged symbol no longer
+    equals the left side."""
+    init = F.array().cast("array<string>")
+
+    def step(acc: Column, s: Column) -> Column:
+        last = F.when(F.size(acc) > 0, F.element_at(acc, -1))
+        mergeable = (last == left) & (s == right)  # NULL last → NULL → otherwise
+        return F.when(
+            mergeable,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(left, right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(syms, init, step)
+
+
+def bpe_train(docs: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
+    """Learn the first `n_merges` BPE merges; returns the merge table
+    (rank, left, right, merged, pair_count).
+
+    Tiebreak on equal counts: lexicographic (l, r) — deterministic on
+    any cluster, any partitioning (and mirrored by the pytest reference
+    implementation)."""
+    words = bpe_word_table(docs)
+    merge_rows: list[DataFrame] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .select(F.lit(rank).alias("rank"), "l", "r", "pair_count")
+        )
+        # The argmax pair stays a 1-row FRAME (TakeOrdered → broadcast):
+        # no driver collect anywhere in the loop.
+        best = checkpoint_frame(best, eager=False)
+        merge_rows.append(best)
+        words = (
+            words.crossJoin(F.broadcast(best.select("l", "r")))
+            .select(_merge_pair(F.col("syms"), F.col("l"), F.col("r")).alias("syms"), "freq")
+        )
+        # Lineage grows a full pair-count + merge pass per round; the
+        # checkpoint keeps Catalyst from re-optimizing (and re-running)
+        # the whole history under every later round (kmeans_refine
+        # pattern). The frame is |vocab|-sized.
+        words = checkpoint_frame(words, eager=False)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out.select(
+        "rank", "l", "r", F.concat(F.col("l"), F.col("r")).alias("merged"), "pair_count"
+    )
+
+
+@register(
+    "bpe_merges",
+    None,  # iterative algorithm → rows-only by contract; exactness is
+    # proven against a pure-Python reference BPE in tests/test_bpe.py.
+    doc=(
+        f"BPE tokenizer training (first {N_BPE_MERGES} merges, Sennrich "
+        "2016): corpus → word-frequency table (ONE token-stream "
+        "aggregate; every later round touches |vocab| rows only), then "
+        "per round a pair-count aggregate, a 1-row argmax frame "
+        "(count desc, pair lexicographic — no driver collect), and a "
+        "broadcast greedy HOF merge fold, checkpointed per round. "
+        "Returns the merge table (rank, left, right, merged, "
+        "pair_count)."
+    ),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs)

@@ -161,6 +161,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "table_profile",        # new r5: per-column DESCRIBE/SUMMARY profiler
     "dsir_weights",         # new r5: DSIR hashed-ngram importance weights
     "ann_pq_topk",          # new r5: product-quantization ADC ANN (rows-only)
+    "bpe_merges",           # new r5: BPE vocab induction (rows-only; pytest-exact)
 )
 
 
@@ -177,6 +178,7 @@ def all_specs() -> dict[str, QuerySpec]:
         windows,
     )
     from nt_etl_order_book_spark.functions import (  # noqa: F401
+        bpe,
         dedup,
         multimodal,
         packing,
