@@ -39,6 +39,15 @@ N_BPE_MERGES = 8
 # End-of-word sentinel (Sennrich): lets a merge distinguish word-final
 # subwords ("est</w>") from word-internal ones ("est").
 EOW = "</w>"
+# Words longer than this are excluded from training — the quadratic
+# guard: the greedy merge fold rebuilds its accumulator array per
+# symbol, O(len²) per word per round, so ONE un-spaced megabyte blob
+# (minified JS, base64, DNA dumps — all real in web crawls) would own a
+# task forever. Real tokenizer trainers bound word length the same way
+# (GPT-2's pre-tokenizer splits runs; SentencePiece caps sentence
+# pieces). 64 chars keeps every natural-language word and drops only
+# blob noise. The skewed-corpus gate asserts the cap bites.
+BPE_MAX_WORD_CHARS = 64
 
 
 def bpe_word_table(docs: DataFrame) -> DataFrame:
@@ -49,7 +58,12 @@ def bpe_word_table(docs: DataFrame) -> DataFrame:
     round runs over |vocab| rows.
     """
     toks = docs.select(
-        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("w")
+        F.explode(
+            F.filter(
+                F.split("text", " "),
+                lambda t: (t != "") & (F.length(t) <= BPE_MAX_WORD_CHARS),
+            )
+        ).alias("w")
     )
     words = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     chars = F.filter(F.split(F.col("w"), ""), lambda s: s != "")

@@ -24,7 +24,11 @@ def _greedy_merge(syms: tuple[str, ...], l: str, r: str) -> tuple[str, ...]:
 
 
 def _ref_bpe(texts: list[str], n_merges: int) -> list[tuple[int, str, str, str, int]]:
-    wc = Counter(w for t in texts for w in t.split(" ") if w != "")
+    from nt_etl_order_book_spark.functions.bpe import BPE_MAX_WORD_CHARS
+
+    wc = Counter(
+        w for t in texts for w in t.split(" ") if w != "" and len(w) <= BPE_MAX_WORD_CHARS
+    )
     vocab: dict[tuple[str, ...], int] = {}
     for w, f in wc.items():
         vocab[tuple(list(w) + [EOW])] = vocab.get(tuple(list(w) + [EOW]), 0) + f
@@ -71,3 +75,25 @@ def test_bpe_greedy_merge_overlap_semantics(spark):
         _merge_pair(F.col("syms"), F.lit("x"), F.lit("y")).alias("m")
     ).first()
     assert out2.m == ["a", "a", "a", EOW]
+
+
+def test_bpe_word_length_cap_bites(spark):
+    # One un-spaced 10k-char blob (minified-JS / base64 shape) must be
+    # EXCLUDED from training: the merge fold is O(len^2) per word per
+    # round, so without the cap this one row owns a task for hours.
+    # With it, training completes promptly and learns from the natural
+    # words only.
+    import time
+
+    from nt_etl_order_book_spark.functions.bpe import bpe_train
+
+    blob = "ab" * 5000
+    rows = [(i, f"the cat sat {blob}" if i == 0 else "the cat sat on the mat")
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.time()
+    merges = bpe_train(docs, n_merges=3).collect()
+    assert time.time() - t0 < 60
+    learned = {(m.l, m.r) for m in merges}
+    # the blob's ('a','b') pair would dominate every count if admitted
+    assert ("a", "b") not in learned
