@@ -744,6 +744,31 @@ def q_subword_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 BIGRAM_LAMBDA = 0.75
 
 
+def _bigram_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(big, cb, ch, c2, n2): the per-position bigram stream and every
+    count table the bigram-LM family derives from it — the token stream
+    explodes and shuffles ONCE (cb's exchange, reused at runtime by the
+    marginal/total branches); ch/c2/n2 are distinct-bigram sized.
+    Shared by bigram_logprob and pmi_collocations."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    ch = cb.groupBy("w1").agg(F.sum("c_big").cast("bigint").alias("c_hist"))
+    c2 = cb.groupBy("w2").agg(F.sum("c_big").cast("bigint").alias("c_next"))
+    n2 = cb.agg(F.sum("c_big").cast("bigint").alias("n_bigrams_total"))
+    return big, cb, ch, c2, n2
+
+
+
 @register(
     "bigram_logprob",
     f"""
@@ -792,21 +817,7 @@ BIGRAM_LAMBDA = 0.75
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    pairs = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    big = (
-        docs.filter(F.size(toks) >= 2)
-        .select("doc_id", F.explode(pairs).alias("p"))
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    )
-    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
-    ch = cb.groupBy("w1").agg(F.sum("c_big").cast("bigint").alias("c_hist"))
-    c2 = cb.groupBy("w2").agg(F.sum("c_big").cast("bigint").alias("c_next"))
-    n2 = cb.agg(F.sum("c_big").cast("bigint").alias("n_bigrams_total"))
+    big, cb, ch, c2, n2 = _bigram_tables(docs)
     p = F.lit(BIGRAM_LAMBDA) * (F.col("c_big").cast("double") / F.col("c_hist")) + F.lit(
         1 - BIGRAM_LAMBDA
     ) * (F.col("c_next").cast("double") / F.col("n_bigrams_total"))
@@ -823,6 +834,78 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_neg_logprob"),
         )
+    )
+
+
+# Collocation extraction floor/width: PMI is unstable on rare pairs
+# (a hapax bigram of two hapax words maxes the score), so the standard
+# practice is a minimum pair count.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+@register(
+    "pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, pz[1] AS w1, pz[2] AS w2 FROM (
+        SELECT doc_id, UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pz
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS c_big FROM big GROUP BY w1, w2),
+    ch AS (SELECT w1, CAST(SUM(c_big) AS BIGINT) AS c_hist FROM cb GROUP BY w1),
+    c2 AS (SELECT w2, CAST(SUM(c_big) AS BIGINT) AS c_next FROM cb GROUP BY w2),
+    n2 AS (SELECT CAST(SUM(c_big) AS BIGINT) AS n_bigrams FROM cb)
+    SELECT cb.w1, cb.w2,
+           CAST(cb.c_big AS BIGINT) AS pair_count,
+           ROUND(LN((CAST(cb.c_big AS DOUBLE) / ch.c_hist)
+                    / (CAST(c2.c_next AS DOUBLE) / n2.n_bigrams)), 6) AS pmi
+    FROM cb JOIN ch USING (w1) JOIN c2 USING (w2) CROSS JOIN n2
+    WHERE cb.c_big >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT {PMI_TOP_K}
+    """,
+    doc=(
+        f"Top-{PMI_TOP_K} bigram collocations by pointwise mutual "
+        "information (Church & Hanks 1990) — the lexical-association "
+        "extractor behind multi-word-expression vocab and boilerplate "
+        "phrase mining. Every count derives from the single bigram "
+        "aggregate (token stream explodes and shuffles once, the "
+        "bigram_logprob pattern; marginals are distinct-bigram sized); "
+        f"pairs below count {PMI_MIN_COUNT} are excluded (PMI is "
+        "degenerate on rare pairs). PMI computes as the ln of a "
+        "quotient of two exact BIGINT-ratio doubles — bit-identical "
+        "cross-engine AND overflow-safe at any corpus size (the naive "
+        "c·N product form would overflow BIGINT around 10^13 bigram "
+        "positions). Distributed top-k via TakeOrdered with "
+        "lexicographic tiebreaks, never a global single-partition sort."
+    ),
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    _big, cb, ch, c2, n2 = _bigram_tables(docs)
+    pmi = F.log(
+        (F.col("c_big").cast("double") / F.col("c_hist"))
+        / (F.col("c_next").cast("double") / F.col("n_bigrams_total"))
+    )
+    return (
+        cb.filter(F.col("c_big") >= PMI_MIN_COUNT)
+        .join(ch, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_big").cast("bigint").alias("pair_count"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_K)
     )
 
 

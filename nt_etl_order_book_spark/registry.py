@@ -162,6 +162,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "dsir_weights",         # new r5: DSIR hashed-ngram importance weights
     "ann_pq_topk",          # new r5: product-quantization ADC ANN (rows-only)
     "bpe_merges",           # new r5: BPE vocab induction (rows-only; pytest-exact)
+    "pmi_collocations",     # new r5: PMI collocation extraction
 )
 
 

@@ -254,3 +254,15 @@ def test_pq_encode_barrier_bounds_adc_recompute(spark, sf_dir):
     # The codes column must be produced BELOW the barrier exchange:
     # exactly one Exchange carries `codes` into the ADC stage.
     assert "hashpartitioning(vec_id" in full, full[:800]
+
+
+def test_pmi_collocations_distributed_topk(spark, sf_dir):
+    # Global top-k must plan as TakeOrderedAndProject (per-partition
+    # top-k + merge), never a single-partition global sort of the
+    # vocabulary-sized pair table.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    df = registry.queries()["pmi_collocations"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:600]
+    assert "rangepartitioning" not in plan, plan[:600]
