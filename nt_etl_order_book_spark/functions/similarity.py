@@ -878,3 +878,117 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return topk_per_query(rer)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication" — public paper): k-means
+# cluster the embedding space, call within-cluster pairs above a cosine
+# threshold semantic duplicates, and keep the cluster member FARTHEST
+# from its centroid (the paper's diversity-preserving survivor rule).
+# The learned-cluster twin of embed_cosine_dedup's metadata blocking —
+# it needs no label column, which is the realistic web-corpus case.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = DEDUP_COS_TAU  # same fixture calibration as embed_cosine_dedup
+
+
+def _nearest_cell_sim(vec: Column, cents: Column) -> Column:
+    """(cell, sim) of the best unit-norm centroid — nearest_cell's fold,
+    keeping the winning dot product (sim = ‖vec‖·cos_to_centroid)."""
+    init = F.struct(F.lit(-1).cast("long").alias("cell"), F.lit(-1e300).alias("sim"))
+
+    def step(acc: Column, c: Column) -> Column:
+        s = dot(vec, c["cvec"])
+        better = (s > acc["sim"]) | ((s == acc["sim"]) & (c["cell"] < acc["cell"]))
+        return F.when(better, F.struct(c["cell"].alias("cell"), s.alias("sim"))).otherwise(acc)
+
+    return F.aggregate(cents, init, step)
+
+
+@register(
+    "semdedup",
+    None,  # k-means-cell-dependent → rows-only; the survivor rule is
+    # exactness-tested on a constructed corpus in tests/test_skew_and_ann.py.
+    doc=(
+        "SemDeDup (Abbas et al. 2023): per-k-means-cell semantic-dup "
+        f"audit. Vectors assigned to {N_CELLS} spherical-k-means cells "
+        "by the zero-shuffle HOF argmin (ivf_codebook reused); within a "
+        f"cell, pairs with cosine ≥ {SEMDEDUP_TAU} are semantic dups "
+        "and the member FARTHEST from the centroid survives (the "
+        "paper's diversity rule; vec_id tiebreak). Returns per-cell "
+        "(n_vecs, n_dup_pruned, n_kept). Within-cell cost is cell² — "
+        f"cells over {MAX_BLOCK} rows are excluded (same quadratic "
+        "guard as embed_cosine_dedup); production scales N_CELLS with "
+        "the corpus so cells stay bounded, which is also what keeps "
+        "k-means assignment the only corpus-sized pass."
+    ),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents_arr = ivf_codebook(emb)
+    scored = emb.crossJoin(F.broadcast(cents_arr)).select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("enorm"),
+        _nearest_cell_sim(F.col("embedding"), F.col("cents")).alias("best"),
+    )
+    # cos to own centroid: centroids are unit vectors, so best.sim is
+    # ‖v‖·cos — one division, no second fold.
+    assigned = scored.select(
+        "vec_id",
+        "embedding",
+        "enorm",
+        F.col("best.cell").alias("cell"),
+        (F.col("best.sim") / F.nullif(F.col("enorm"), F.lit(0.0))).alias("ccos"),
+    )
+    big = (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > MAX_BLOCK)
+        .select("cell")
+    )
+    assigned = assigned.join(F.broadcast(big), "cell", "left_anti")
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+        F.col("enorm").alias("na"),
+        F.col("ccos").alias("ca"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+        F.col("enorm").alias("nb"),
+        F.col("ccos").alias("cb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+    # a is PRUNED when some same-cell partner b is a semantic dup and b
+    # sits farther from the centroid (loses the survivor rule to b);
+    # vec_id breaks exact ccos ties deterministically.
+    pruned = (
+        a.join(b, "cell")
+        .filter(F.col("a") != F.col("b"))
+        .filter(cos >= SEMDEDUP_TAU)
+        .filter(
+            (F.col("cb") < F.col("ca"))
+            | ((F.col("cb") == F.col("ca")) & (F.col("b") < F.col("a")))
+        )
+        .select("cell", F.col("a").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(pruned.select("vec_id", F.lit(1).alias("is_pruned")), "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.coalesce(F.col("is_pruned"), F.lit(0))).cast("bigint").alias("n_dup_pruned"),
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            "n_dup_pruned",
+            (F.col("n_vecs") - F.col("n_dup_pruned")).cast("bigint").alias("n_kept"),
+        )
+    )

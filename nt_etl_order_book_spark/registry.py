@@ -163,6 +163,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "ann_pq_topk",          # new r5: product-quantization ADC ANN (rows-only)
     "bpe_merges",           # new r5: BPE vocab induction (rows-only; pytest-exact)
     "pmi_collocations",     # new r5: PMI collocation extraction
+    "semdedup",             # new r5: SemDeDup cluster-blocked dedup (rows-only)
 )
 
 

@@ -226,6 +226,38 @@ def test_pq_recall_on_clustered_corpus(spark):
     assert recall >= 0.9, f"clustered-corpus PQ recall {recall:.2f}"
 
 
+def test_semdedup_survivor_rule_on_constructed_corpus(spark):
+    # 16 well-separated clusters (seeds = first 16 vectors, one per
+    # cluster), spread so in-cluster pairs sit well BELOW the patched
+    # 0.999 threshold, plus ONE planted bit-exact duplicate. Exactly one
+    # vector must be pruned: the higher vec_id of the dup pair (equal
+    # cos-to-centroid → vec_id tiebreak), nothing else anywhere.
+    import numpy as np
+
+    from nt_etl_order_book_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for vid in range(320):
+        v = centers[vid % 16] + 0.15 * rng.normal(size=64)
+        rows.append((vid, [float(x) for x in v]))
+    rows.append((320, rows[200][1]))  # exact duplicate of vec 200
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    orig_load, orig_tau = sim.load_table, sim.SEMDEDUP_TAU
+    try:
+        sim.load_table = lambda _s, _d, name: emb
+        sim.SEMDEDUP_TAU = 0.999
+        res = registry.all_specs()["semdedup"].fn(spark, "_").collect()
+    finally:
+        sim.load_table, sim.SEMDEDUP_TAU = orig_load, orig_tau
+    assert sum(r.n_vecs for r in res) == 321
+    assert sum(r.n_dup_pruned for r in res) == 1
+    assert sum(r.n_kept for r in res) == 320
+
+
 def test_connected_components_long_chain(spark):
     # A 60-node path graph has diameter 59: single-hop min-label
     # propagation would need 59 rounds (and silently return wrong
