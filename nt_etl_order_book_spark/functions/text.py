@@ -909,6 +909,94 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Head size for the Zipf fit: the power law holds in the frequency head;
+# the tail bends (finite-corpus effects) and would bias the slope. 100
+# head terms is the classic diagnostic window.
+ZIPF_TOP = 100
+
+
+@register(
+    "zipf_fit",
+    f"""
+    WITH tf AS (
+      SELECT token, COUNT(*) AS tf
+      FROM (SELECT UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+            FROM documents)
+      GROUP BY token
+      ORDER BY tf DESC, token ASC
+      LIMIT {ZIPF_TOP}
+    ),
+    ranked AS (
+      SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) AS rnk FROM tf
+    ),
+    xy AS (
+      SELECT LN(CAST(rnk AS DOUBLE)) AS x, LN(CAST(tf AS DOUBLE)) AS y FROM ranked
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+      FROM xy
+    )
+    SELECT n AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r_squared
+    FROM sums
+    """,
+    doc=(
+        f"Zipf's-law fit over the top-{ZIPF_TOP} terms: least-squares "
+        "slope and R² of ln(freq) vs ln(rank) — the vocabulary-health "
+        "diagnostic (natural language fits slope ≈ −1 with high R²; "
+        "boilerplate-heavy or synthetic corpora deviate). The head is "
+        "selected by distributed TakeOrdered, so the only "
+        f"vocabulary-sized work is the term-frequency aggregate; the "
+        f"rank window orders {ZIPF_TOP} rows. ln inputs are exact-"
+        "BIGINT-derived doubles and every component sum accumulates as "
+        "DECIMAL(38,18) (agg_stats pattern) — the 6-dp fit is "
+        "partition-order independent in both engines."
+    ),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(ZIPF_TOP)
+    )
+    ranked = tf.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("token")))
+    )
+    xy = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+    dec = "decimal(38,18)"
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    num = n * sxy - sx * sy
+    return sums.select(
+        n.alias("n_terms"),
+        F.round(num / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+        F.round(num * num / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).alias("r_squared"),
+    )
+
+
 @register(
     "length_profile_by_source",
     """

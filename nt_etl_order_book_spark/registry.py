@@ -164,6 +164,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "bpe_merges",           # new r5: BPE vocab induction (rows-only; pytest-exact)
     "pmi_collocations",     # new r5: PMI collocation extraction
     "semdedup",             # new r5: SemDeDup cluster-blocked dedup (rows-only)
+    "zipf_fit",             # new r5: Zipf slope/R² vocabulary diagnostic
 )
 
 
