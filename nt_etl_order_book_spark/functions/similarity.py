@@ -992,3 +992,151 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_vecs") - F.col("n_dup_pruned")).cast("bigint").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composition the two building blocks exist for (faiss
+# IndexIVFPQ; Jégou et al. 2011 §IV) — IVF prunes WHICH cells a query
+# scans, PQ compresses WHAT the scan reads, and the codes encode the
+# RESIDUAL (vector − its cell centroid) so the quantizer spends its
+# 32 bits on the within-cell remainder instead of re-describing the cell.
+# At 100 TB this is the deployed shape: the index is the cell-partitioned
+# residual-code table (write_ivf_index's layout, PQ_M bytes + a norm per
+# vector), a query batch touches N_PROBE/N_CELLS of it and reads ~32×
+# fewer bytes per touched row.
+# ---------------------------------------------------------------------------
+
+# ADC candidates re-ranked exactly per query. Same isotropic-fixture
+# calibration story as PQ_CAND: measured recall@5 at CAND 100→200 was
+# 0.78→0.92 (sf0.01) and 0.64→0.86 (sf0.1); the compounding of IVF's
+# probed-mass cap and ADC ordering error is exactly why IndexIVFPQ
+# deployments re-rank a generous candidate set from stored raw vectors.
+IVFPQ_CAND = 200
+
+
+def _cell_cvec(cents: Column, cell: Column) -> Column:
+    """Centroid vector for a cell id out of the broadcast codebook array."""
+    return F.element_at(F.filter(cents, lambda c: c["cell"] == cell), 1)["cvec"]
+
+
+@register(
+    "ann_ivfpq_topk",
+    None,  # codebooks/codes are implementation-specific → rows-only;
+    # quantitative guard = tools/check.py --recall.
+    doc=(
+        f"ANN via IVF-PQ (faiss IndexIVFPQ shape): spherical-k-means "
+        f"coarse quantizer routes each vector to a cell (zero-shuffle "
+        f"HOF argmin, shared with ann_ivf_topk), PQ codebooks train on "
+        f"the RESIDUALS (vector − centroid) and compress each vector to "
+        f"{PQ_M * 4} bits; a query probes its {N_PROBE}/{N_CELLS} "
+        "nearest cells and scores their codes as dot(q, centroid) + "
+        "ADC(residual codes) — cell pruning and byte compression "
+        f"compose. Top-{IVFPQ_CAND} candidates re-rank exact → "
+        f"top-{TOP_K}."
+    ),
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents_arr = ivf_codebook(emb)
+    assigned = ivf_assign(emb, cents_arr)  # vec_id, embedding, enorm, cell
+    # Residuals: the PQ training/encode input. vec_id rides along so
+    # pq_codebook's seed/sample conventions apply unchanged.
+    resid = assigned.crossJoin(F.broadcast(cents_arr)).select(
+        "vec_id",
+        "cell",
+        "enorm",
+        F.zip_with(
+            F.col("embedding"),
+            _cell_cvec(F.col("cents"), F.col("cell")),
+            lambda x, c: x.cast("double") - c,
+        ).alias("embedding"),
+    )
+    books = pq_codebook(resid)
+    # Residual codes + the ORIGINAL norm (the cosine denominator); the
+    # trailing repartition is pq_encode's barrier, same reason.
+    enc = resid.crossJoin(F.broadcast(books)).select(
+        "vec_id",
+        "cell",
+        "enorm",
+        F.transform(
+            _subvecs(F.col("embedding")),
+            lambda sv, s: _nearest_pos(sv, F.element_at(F.col("books"), s + 1)),
+        ).alias("codes"),
+    )
+    enc = enc.repartition(emb.sparkSession.sparkContext.defaultParallelism, "vec_id")
+    # Query side: probe cells exactly like ann_ivf_topk, but keep the
+    # query-centroid dot (the coarse term of the score) per probe, and
+    # build ONE residual LUT per query against the same broadcast books.
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        norm(F.col("embedding")).alias("qnorm"),
+    )
+    by_sim = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (-dot(F.col("qvec"), c["cvec"])).alias("neg_sim"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents_arr))
+        .crossJoin(F.broadcast(books))
+        .select(
+            "qid",
+            "qnorm",
+            F.explode(F.slice(by_sim, 1, N_PROBE)).alias("probe"),
+            F.transform(
+                _subvecs(F.col("qvec")),
+                lambda sv, s: F.transform(
+                    F.element_at(F.col("books"), s + 1), lambda c: dot(sv, c["cvec"])
+                ),
+            ).alias("lut"),
+        )
+        .select(
+            "qid",
+            "qnorm",
+            F.col("probe.cell").alias("cell"),
+            (-F.col("probe.neg_sim")).alias("q_dot_cent"),
+            "lut",
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s + 1), F.element_at(F.col("codes"), s + 1) + 1
+        ),
+    )
+    scored = (
+        enc.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                (F.col("q_dot_cent") + adc)
+                / F.nullif(F.col("qnorm") * F.col("enorm"), F.lit(0.0))
+            ).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("approx_cos"), F.asc("vec_id"))
+    cands = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVFPQ_CAND)
+        .select("qid", "vec_id")
+    )
+    qv = q.select("qid", "qvec")
+    rer = (
+        emb.join(F.broadcast(cands), "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    return topk_per_query(rer)

@@ -165,6 +165,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "pmi_collocations",     # new r5: PMI collocation extraction
     "semdedup",             # new r5: SemDeDup cluster-blocked dedup (rows-only)
     "zipf_fit",             # new r5: Zipf slope/R² vocabulary diagnostic
+    "ann_ivfpq_topk",       # new r5: IVF-PQ composed ANN (rows-only)
 )
 
 

@@ -226,6 +226,37 @@ def test_pq_recall_on_clustered_corpus(spark):
     assert recall >= 0.9, f"clustered-corpus PQ recall {recall:.2f}"
 
 
+def test_ivfpq_recall_on_clustered_corpus(spark):
+    # The composed index on a corpus with structure: coarse cells route,
+    # residual codes order — a narrow candidate set (20) must reach high
+    # recall. The isotropic floors live in tools/check.py --recall.
+    import numpy as np
+
+    from nt_etl_order_book_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(sim.N_CELLS, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for vid in range(320):
+        c = centers[vid % sim.N_CELLS]
+        v = c + 0.05 * rng.normal(size=64)
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    orig_load, orig_cand = sim.load_table, sim.IVFPQ_CAND
+    try:
+        sim.load_table = lambda _s, _d, name: emb
+        sim.IVFPQ_CAND = 20
+        qs = registry.queries()
+        exact = {(r.qid, r.vec_id) for r in qs["cosine_topk"](spark, "_").collect()}
+        got = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_topk"](spark, "_").collect()}
+    finally:
+        sim.load_table, sim.IVFPQ_CAND = orig_load, orig_cand
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"clustered-corpus IVF-PQ recall {recall:.2f}"
+
+
 def test_semdedup_survivor_rule_on_constructed_corpus(spark):
     # 16 well-separated clusters (seeds = first 16 vectors, one per
     # cluster), spread so in-cluster pairs sit well BELOW the patched

@@ -174,7 +174,14 @@ def dtype_audit(spark, con, qs, oracles, sf_dir: str, only: set[str]) -> int:
 # PQ on the isotropic corpus: ADC-ordering quality is the analog of
 # IVF's probed-mass bound — with PQ_CAND=200 re-ranked exactly, measured
 # 0.96 at sf0.01 / 0.84 at sf0.1; the floor guards both SFs.
-RECALL_FLOORS = {"ann_lsh_topk": 0.8, "ann_ivf_topk": 0.85, "ann_pq_topk": 0.75}
+RECALL_FLOORS = {
+    "ann_lsh_topk": 0.8,
+    "ann_ivf_topk": 0.85,
+    "ann_pq_topk": 0.75,
+    # IVF-PQ compounds the probed-mass cap with ADC ordering error:
+    # measured 0.92 / 0.86 at sf0.01 / sf0.1 with CAND=200.
+    "ann_ivfpq_topk": 0.75,
+}
 
 
 def recall_audit(spark, con, qs, oracles, sf_dir: str) -> int:
