@@ -1019,6 +1019,58 @@ def _cell_cvec(cents: Column, cell: Column) -> Column:
     return F.element_at(F.filter(cents, lambda c: c["cell"] == cell), 1)["cvec"]
 
 
+def ivfpq_residuals(emb: DataFrame, cents_arr: DataFrame) -> DataFrame:
+    """(vec_id, cell, enorm, embedding=residual): each vector minus its
+    cell centroid — the PQ training/encode input. vec_id rides along so
+    pq_codebook's seed/sample conventions apply unchanged; enorm is the
+    ORIGINAL norm (the cosine denominator downstream)."""
+    assigned = ivf_assign(emb, cents_arr)
+    return assigned.crossJoin(F.broadcast(cents_arr)).select(
+        "vec_id",
+        "cell",
+        "enorm",
+        F.zip_with(
+            F.col("embedding"),
+            _cell_cvec(F.col("cents"), F.col("cell")),
+            lambda x, c: x.cast("double") - c,
+        ).alias("embedding"),
+    )
+
+
+def ivfpq_encode(resid: DataFrame, books: DataFrame) -> DataFrame:
+    """(vec_id, cell, enorm, codes): the IVF-PQ index rows — residual
+    positional codes behind the same shuffle barrier as pq_encode."""
+    enc = resid.crossJoin(F.broadcast(books)).select(
+        "vec_id",
+        "cell",
+        "enorm",
+        F.transform(
+            _subvecs(F.col("embedding")),
+            lambda sv, s: _nearest_pos(sv, F.element_at(F.col("books"), s + 1)),
+        ).alias("codes"),
+    )
+    return enc.repartition(resid.sparkSession.sparkContext.defaultParallelism, "vec_id")
+
+
+def write_ivfpq_index(emb: DataFrame, cents_arr: DataFrame, books: DataFrame, path: str) -> None:
+    """Persist the IVF-PQ index: residual-code rows `partitionBy("cell")`
+    — write_ivf_index's directory layout with PQ_M small ints + one
+    norm per vector instead of the raw floats, so a probe read prunes
+    at the directory level AND reads ~32× fewer bytes per surviving
+    row. Same deliberately-STATIC overwrite (a rebuild replaces the
+    whole path; dynamic mode would leave stale cell dirs when codebook
+    drift empties a cell). The codebooks themselves are single-row
+    frames the caller persists/broadcasts separately — they are the
+    query-side state, not scan data."""
+    (
+        ivfpq_encode(ivfpq_residuals(emb, cents_arr), books)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 @register(
     "ann_ivfpq_topk",
     None,  # codebooks/codes are implementation-specific → rows-only;
@@ -1038,32 +1090,9 @@ def _cell_cvec(cents: Column, cell: Column) -> Column:
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents_arr = ivf_codebook(emb)
-    assigned = ivf_assign(emb, cents_arr)  # vec_id, embedding, enorm, cell
-    # Residuals: the PQ training/encode input. vec_id rides along so
-    # pq_codebook's seed/sample conventions apply unchanged.
-    resid = assigned.crossJoin(F.broadcast(cents_arr)).select(
-        "vec_id",
-        "cell",
-        "enorm",
-        F.zip_with(
-            F.col("embedding"),
-            _cell_cvec(F.col("cents"), F.col("cell")),
-            lambda x, c: x.cast("double") - c,
-        ).alias("embedding"),
-    )
+    resid = ivfpq_residuals(emb, cents_arr)
     books = pq_codebook(resid)
-    # Residual codes + the ORIGINAL norm (the cosine denominator); the
-    # trailing repartition is pq_encode's barrier, same reason.
-    enc = resid.crossJoin(F.broadcast(books)).select(
-        "vec_id",
-        "cell",
-        "enorm",
-        F.transform(
-            _subvecs(F.col("embedding")),
-            lambda sv, s: _nearest_pos(sv, F.element_at(F.col("books"), s + 1)),
-        ).alias("codes"),
-    )
-    enc = enc.repartition(emb.sparkSession.sparkContext.defaultParallelism, "vec_id")
+    enc = ivfpq_encode(resid, books)
     # Query side: probe cells exactly like ann_ivf_topk, but keep the
     # query-centroid dot (the coarse term of the score) per probe, and
     # build ONE residual LUT per query against the same broadcast books.

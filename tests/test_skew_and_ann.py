@@ -626,3 +626,45 @@ def test_shared_run_audit_planted_runs_measured_exactly(spark, tmp_path):
     for pair, length in want.items():
         assert got[pair].longest_run_tokens == length, pair
         assert got[pair].n_matching_grams == length - (WINNOW_K - 1), pair
+
+
+def test_ivfpq_index_write_prunes_and_round_trips(spark, sf_dir, tmp_path):
+    # The composed index persisted: cell-partitioned residual-code rows.
+    # A probe read must prune at the directory level, and the stored
+    # codes must equal the in-memory encode exactly (deterministic
+    # codebooks ⇒ deterministic codes).
+    import os
+
+    from nt_etl_order_book_spark.functions.similarity import (
+        N_CELLS,
+        ivf_codebook,
+        ivfpq_encode,
+        ivfpq_residuals,
+        pq_codebook,
+        write_ivfpq_index,
+    )
+    from nt_etl_order_book_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_codebook(emb)
+    resid = ivfpq_residuals(emb, cents)
+    books = pq_codebook(resid)
+    idx = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(emb, cents, books, idx)
+
+    cells = {int(d.split("=")[1]) for d in os.listdir(idx) if d.startswith("cell=")}
+    assert cells and all(0 <= c < N_CELLS for c in cells)
+
+    probe_cells = sorted(cells)[:2]
+    rd = spark.read.parquet(idx).filter(F.col("cell").isin(probe_cells))
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:80]
+
+    got = {(r.vec_id, r.cell, tuple(r.codes)) for r in rd.collect()}
+    want = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in ivfpq_encode(resid, books)
+        .filter(F.col("cell").isin(probe_cells))
+        .collect()
+    }
+    assert got == want and got
