@@ -1452,3 +1452,50 @@ def q_shared_run_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("run_grams") + F.lit(WINNOW_K - 1)).cast("bigint").alias("longest_run_tokens"),
         F.sum("run_grams").cast("bigint").alias("n_matching_grams"),
     )
+
+
+# Rank-error budget for the GK quantile sketch: approx_percentile's
+# guarantee is |rank(approx) − target_rank| <= n / accuracy.
+QSKETCH_ACCURACY = 100
+
+
+@register(
+    "approx_quantile_audit",
+    None,  # sketch state is merge-order-dependent (per-partition GK
+    # summaries merge in task-completion order), so the approximate
+    # value is not engine-portable → rows-only; the rank-error bound is
+    # asserted quantitatively in tests/test_operators.py.
+    doc=(
+        "Quantile-sketch audit: per-source median of n_chars from "
+        "Spark's GK approx_percentile (the sketch a 100 TB profile "
+        "actually runs — one pass, bounded memory, mergeable partials) "
+        f"next to the exact interpolated median (agg_median pattern) "
+        "and the absolute error. The exact path costs a full sort per "
+        "group; the sketch path is the scale answer, and this op is the "
+        "regression harness that keeps its error inside the "
+        f"n/{QSKETCH_ACCURACY} rank guarantee (test-asserted)."
+    ),
+)
+def q_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    approx = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.approx_percentile("n_chars", F.lit(0.5), F.lit(QSKETCH_ACCURACY))
+        .cast("bigint")
+        .alias("approx_p50"),
+    )
+    # Exact interpolated median via the agg_median window pattern —
+    # per-group sort, the cost the sketch exists to avoid.
+    exact = docs.groupBy("source").agg(
+        F.percentile(F.col("n_chars"), F.lit(0.5)).alias("exact_p50")
+    )
+    return (
+        approx.join(exact, "source")
+        .select(
+            "source",
+            "n_docs",
+            "approx_p50",
+            F.round(F.col("exact_p50"), 6).alias("exact_p50"),
+            F.round(F.abs(F.col("approx_p50") - F.col("exact_p50")), 6).alias("abs_err"),
+        )
+    )

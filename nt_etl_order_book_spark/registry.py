@@ -166,6 +166,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "semdedup",             # new r5: SemDeDup cluster-blocked dedup (rows-only)
     "zipf_fit",             # new r5: Zipf slope/R² vocabulary diagnostic
     "ann_ivfpq_topk",       # new r5: IVF-PQ composed ANN (rows-only)
+    "approx_quantile_audit",  # new r5: GK quantile sketch vs exact (rows-only)
 )
 
 

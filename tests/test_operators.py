@@ -487,3 +487,28 @@ def test_zipf_fit_recovers_power_law_on_constructed_corpus(spark):
     assert row.n_terms == 50
     assert -1.05 <= row.zipf_slope <= -0.95, row.zipf_slope
     assert row.r_squared >= 0.99, row.r_squared
+
+
+def test_approx_quantile_audit_respects_rank_error_bound(spark):
+    # GK guarantee: the sketch's p50 sits within n/accuracy RANKS of the
+    # true median. On uniform 0..n-1 values, ranks are values, so the
+    # returned value must land inside [true - n/acc, true + n/acc].
+    # (The fixture's 25-doc groups are trivially exact; this corpus is
+    # where the bound is actually exercised.)
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import text as textmod
+    from nt_etl_order_book_spark.functions.text import QSKETCH_ACCURACY
+
+    n = 20_000
+    docs = spark.range(n).selectExpr(
+        "id as doc_id", "'s0' as source", "cast(id as long) as n_chars"
+    )
+    orig = textmod.load_table
+    try:
+        textmod.load_table = lambda _s, _d, name: docs
+        row = registry.all_specs()["approx_quantile_audit"].fn(spark, "_").first()
+    finally:
+        textmod.load_table = orig
+    assert row.n_docs == n
+    slack = n / QSKETCH_ACCURACY
+    assert abs(row.approx_p50 - row.exact_p50) <= slack, (row.approx_p50, row.exact_p50)
