@@ -131,8 +131,17 @@ def bpe_train(docs: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
             .select(F.lit(rank).alias("rank"), "l", "r", "pair_count")
         )
         # The argmax pair stays a 1-row FRAME (TakeOrdered → broadcast):
-        # no driver collect anywhere in the loop.
+        # data never collects to the driver. The count() below is the
+        # one driver-side VALUE in the loop — a 0-or-1 control signal,
+        # needed because a fully-merged vocabulary (every word a single
+        # symbol) supplies no pairs: without the stop, the empty `best`
+        # would cross-join the word table to zero rows and later rounds
+        # would silently compute on nothing. Training then legitimately
+        # ends early with fewer than n_merges rows (reference BPE
+        # trainers stop the same way).
         best = checkpoint_frame(best, eager=False)
+        if best.count() == 0:
+            break
         merge_rows.append(best)
         words = (
             words.crossJoin(F.broadcast(best.select("l", "r")))

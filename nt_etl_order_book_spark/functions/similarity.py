@@ -238,15 +238,13 @@ def nearest_cell(vec: Column, cents: Column) -> Column:
     computed — a third of the fold work. Replaces the round-1
     broadcast-join×N_CELLS + Window.partitionBy(vec_id) ranking, which
     shuffled corpus×N_CELLS expanded rows just to pick a max.
+
+    Delegates to _nearest_cell_sim (defined with semdedup, which also
+    needs the winning dot) so the tiebreak/init sentinel lives in ONE
+    fold — a divergence there would silently disagree on cell
+    boundaries between IVF assignment and the SemDeDup census.
     """
-    init = F.struct(F.lit(-1).cast("long").alias("cell"), F.lit(-1e300).alias("sim"))
-
-    def step(acc: Column, c: Column) -> Column:
-        s = dot(vec, c["cvec"])
-        better = (s > acc["sim"]) | ((s == acc["sim"]) & (c["cell"] < acc["cell"]))
-        return F.when(better, F.struct(c["cell"].alias("cell"), s.alias("sim"))).otherwise(acc)
-
-    return F.aggregate(cents, init, step)["cell"]
+    return _nearest_cell_sim(vec, cents)["cell"]
 
 
 def kmeans_refine(train: DataFrame, cents_arr: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
@@ -804,6 +802,57 @@ def pq_encode(emb: DataFrame, books: DataFrame) -> DataFrame:
     return enc.repartition(emb.sparkSession.sparkContext.defaultParallelism, "vec_id")
 
 
+def _query_lut(vec: Column, books: Column) -> Column:
+    """lut[sub][pos] = dot(vec_sub, centroid) over the SAME books array
+    the codes index into — position-aligned by construction. Shared by
+    the PQ and IVF-PQ query sides (a tuning change must hit both)."""
+    return F.transform(
+        _subvecs(vec),
+        lambda sv, s: F.transform(F.element_at(books, s + 1), lambda c: dot(sv, c["cvec"])),
+    )
+
+
+def _adc(lut: Column, codes: Column) -> Column:
+    """Asymmetric-distance score: Σ_sub lut[sub][codes[sub]] — PQ_M
+    array lookups per (query, vector) pair, no vector math."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at(lut, s + 1), F.element_at(codes, s + 1) + 1),
+    )
+
+
+def _topk_candidates(scored: DataFrame, cand: int) -> DataFrame:
+    """Top `cand` (qid, vec_id) by approx_cos, vec_id tiebreak."""
+    w = Window.partitionBy("qid").orderBy(F.desc("approx_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cand)
+        .select("qid", "vec_id")
+    )
+
+
+def _exact_rerank(emb: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact-cosine re-rank of a small candidate set against the raw
+    vectors (broadcast both tiny sides) → top-K. Shared PQ/IVF-PQ tail:
+    only ADC survivors pay full-precision math."""
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    rer = (
+        emb.join(F.broadcast(cands), "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    return topk_per_query(rer)
+
+
+
 @register(
     "ann_pq_topk",
     None,  # codebook/code assignment is implementation-specific → rows-only;
@@ -825,28 +874,11 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_codebook(emb)
     enc = pq_encode(emb, books)
-    # Query-side lookup table: lut[sub][pos] = dot(q_sub, centroid) over
-    # the SAME books array the codes index into — position-aligned by
-    # construction. N_QUERIES rows × PQ_M×PQ_K doubles: broadcasts.
+    # N_QUERIES rows × PQ_M×PQ_K doubles: broadcasts.
     q = emb.filter(F.col("vec_id") < N_QUERIES).crossJoin(F.broadcast(books)).select(
         F.col("vec_id").alias("qid"),
         norm(F.col("embedding")).alias("qnorm"),
-        F.transform(
-            _subvecs(F.col("embedding")),
-            lambda sv, s: F.transform(
-                F.element_at(F.col("books"), s + 1), lambda c: dot(sv, c["cvec"])
-            ),
-        ).alias("lut"),
-    )
-    # ADC scan: approximate dot = Σ_sub lut[sub][codes[sub]] — PQ_M array
-    # lookups per (query, vector) pair, no vector math.
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("lut"), s + 1), F.element_at(F.col("codes"), s + 1) + 1
-        ),
+        _query_lut(F.col("embedding"), F.col("books")).alias("lut"),
     )
     scored = (
         enc.crossJoin(F.broadcast(q))
@@ -854,30 +886,13 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            (adc / F.nullif(F.col("qnorm") * F.col("enorm"), F.lit(0.0))).alias("approx_cos"),
+            (
+                _adc(F.col("lut"), F.col("codes"))
+                / F.nullif(F.col("qnorm") * F.col("enorm"), F.lit(0.0))
+            ).alias("approx_cos"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("approx_cos"), F.asc("vec_id"))
-    cands = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= PQ_CAND)
-        .select("qid", "vec_id")
-    )
-    # Exact re-rank: candidates (N_QUERIES×PQ_CAND rows) broadcast back
-    # onto the raw vectors; only survivors pay full-precision cosine.
-    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    rer = (
-        emb.join(F.broadcast(cands), "vec_id")
-        .join(F.broadcast(qv), "qid")
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
-        )
-    )
-    return topk_per_query(rer)
+    return _exact_rerank(emb, _topk_candidates(scored, PQ_CAND))
 
 
 # ---------------------------------------------------------------------------
@@ -942,21 +957,27 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.cell").alias("cell"),
         (F.col("best.sim") / F.nullif(F.col("enorm"), F.lit(0.0))).alias("ccos"),
     )
+    # Quadratic guard: oversized cells are excluded from PAIRING only —
+    # the inventory below still reports them (capped = true, zero
+    # prunes) so Σ n_vecs always reconciles with the corpus. Dropping
+    # the rows outright (the embed_cosine_dedup shape, whose output IS
+    # pairs) would silently undercount here, where the output is a
+    # per-cell census.
     big = (
         assigned.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("bsz"))
         .filter(F.col("bsz") > MAX_BLOCK)
         .select("cell")
     )
-    assigned = assigned.join(F.broadcast(big), "cell", "left_anti")
-    a = assigned.select(
+    pairable = assigned.join(F.broadcast(big), "cell", "left_anti")
+    a = pairable.select(
         "cell",
         F.col("vec_id").alias("a"),
         F.col("embedding").alias("va"),
         F.col("enorm").alias("na"),
         F.col("ccos").alias("ca"),
     )
-    b = assigned.select(
+    b = pairable.select(
         "cell",
         F.col("vec_id").alias("b"),
         F.col("embedding").alias("vb"),
@@ -980,16 +1001,19 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         assigned.join(pruned.select("vec_id", F.lit(1).alias("is_pruned")), "vec_id", "left")
+        .join(F.broadcast(big.select("cell", F.lit(True).alias("capped"))), "cell", "left")
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
             F.sum(F.coalesce(F.col("is_pruned"), F.lit(0))).cast("bigint").alias("n_dup_pruned"),
+            F.coalesce(F.first("capped"), F.lit(False)).alias("capped"),
         )
         .select(
             "cell",
             "n_vecs",
             "n_dup_pruned",
             (F.col("n_vecs") - F.col("n_dup_pruned")).cast("bigint").alias("n_kept"),
+            "capped",
         )
     )
 
@@ -1117,12 +1141,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "qnorm",
             F.explode(F.slice(by_sim, 1, N_PROBE)).alias("probe"),
-            F.transform(
-                _subvecs(F.col("qvec")),
-                lambda sv, s: F.transform(
-                    F.element_at(F.col("books"), s + 1), lambda c: dot(sv, c["cvec"])
-                ),
-            ).alias("lut"),
+            _query_lut(F.col("qvec"), F.col("books")).alias("lut"),
         )
         .select(
             "qid",
@@ -1132,14 +1151,6 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lut",
         )
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("lut"), s + 1), F.element_at(F.col("codes"), s + 1) + 1
-        ),
-    )
     scored = (
         enc.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
@@ -1147,25 +1158,9 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "vec_id",
             (
-                (F.col("q_dot_cent") + adc)
+                (F.col("q_dot_cent") + _adc(F.col("lut"), F.col("codes")))
                 / F.nullif(F.col("qnorm") * F.col("enorm"), F.lit(0.0))
             ).alias("approx_cos"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("approx_cos"), F.asc("vec_id"))
-    cands = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= IVFPQ_CAND)
-        .select("qid", "vec_id")
-    )
-    qv = q.select("qid", "qvec")
-    rer = (
-        emb.join(F.broadcast(cands), "vec_id")
-        .join(F.broadcast(qv), "qid")
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
-        )
-    )
-    return topk_per_query(rer)
+    return _exact_rerank(emb, _topk_candidates(scored, IVFPQ_CAND))

@@ -942,9 +942,9 @@ ZIPF_TOP = 100
       FROM xy
     )
     SELECT n AS n_terms,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS zipf_slope,
            ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r_squared
+                 / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r_squared
     FROM sums
     """,
     doc=(
@@ -990,10 +990,15 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     num = n * sxy - sx * sy
+    # nullif: a degenerate head (one term, or all-equal frequencies ⇒
+    # zero y-variance) makes a 0/0 — Spark doubles would yield NaN while
+    # DuckDB yields NULL; pin BOTH engines to NULL.
     return sums.select(
         n.alias("n_terms"),
-        F.round(num / (n * sxx - sx * sx), 6).alias("zipf_slope"),
-        F.round(num * num / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).alias("r_squared"),
+        F.round(num / F.nullif(n * sxx - sx * sx, F.lit(0.0)), 6).alias("zipf_slope"),
+        F.round(
+            num * num / F.nullif((n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)), 6
+        ).alias("r_squared"),
     )
 
 

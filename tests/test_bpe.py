@@ -97,3 +97,17 @@ def test_bpe_word_length_cap_bites(spark):
     learned = {(m.l, m.r) for m in merges}
     # the blob's ('a','b') pair would dominate every count if admitted
     assert ("a", "b") not in learned
+
+
+def test_bpe_train_stops_cleanly_when_pairs_run_out(spark):
+    # Single-char words fully merge in two rounds ((a,</w>) and
+    # (b,</w>)); the third round has NO pairs left. Training must stop
+    # early with 2 rows instead of emptying the word table and padding
+    # the merge table with ghost rounds.
+    from nt_etl_order_book_spark.functions.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "b a b")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=5).orderBy("rank").collect()
+    assert [(m.rank, m.merged) for m in merges] == [(1, f"a{EOW}"), (2, f"b{EOW}")]

@@ -512,3 +512,24 @@ def test_approx_quantile_audit_respects_rank_error_bound(spark):
     assert row.n_docs == n
     slack = n / QSKETCH_ACCURACY
     assert abs(row.approx_p50 - row.exact_p50) <= slack, (row.approx_p50, row.exact_p50)
+
+
+def test_zipf_fit_degenerate_head_yields_null_not_nan(spark):
+    # All-equal frequencies (every token hapax) → zero y-variance → the
+    # r_squared quotient is 0/0. Both engines must agree on NULL (Spark
+    # would otherwise emit NaN and break the driver's value-hash).
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import text as textmod
+
+    docs = spark.createDataFrame(
+        [(1, "u1 u2 u3 u4 u5"), (2, "u6 u7 u8")], "doc_id long, text string"
+    )
+    orig = textmod.load_table
+    try:
+        textmod.load_table = lambda _s, _d, name: docs
+        row = registry.all_specs()["zipf_fit"].fn(spark, "_").first()
+    finally:
+        textmod.load_table = orig
+    assert row.n_terms == 8
+    assert row.zipf_slope == 0.0  # x-variance exists; slope of a flat line
+    assert row.r_squared is None  # 0/0 → NULL, never NaN

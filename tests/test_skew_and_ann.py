@@ -668,3 +668,22 @@ def test_ivfpq_index_write_prunes_and_round_trips(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_semdedup_capped_cells_stay_in_inventory(spark):
+    # With MAX_BLOCK forced below typical cell size, oversized cells
+    # must still appear in the census (capped=true, zero prunes) so
+    # Σ n_vecs reconciles with the corpus — the guard suppresses
+    # PAIRING, never rows.
+    from nt_etl_order_book_spark.functions import similarity as sim
+
+    orig = sim.MAX_BLOCK
+    try:
+        sim.MAX_BLOCK = 20
+        res = registry.all_specs()["semdedup"].fn(spark, "/root/testdata/sf0.01").collect()
+    finally:
+        sim.MAX_BLOCK = orig
+    assert sum(r.n_vecs for r in res) == 500
+    capped = [r for r in res if r.capped]
+    assert capped, "expected at least one cell above the forced cap"
+    assert all(r.n_dup_pruned == 0 and r.n_kept == r.n_vecs for r in capped)
