@@ -1504,3 +1504,93 @@ def q_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("approx_p50") - F.col("exact_p50")), 6).alias("abs_err"),
         )
     )
+
+
+@register(
+    "ccnet_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents
+    ),
+    tf_l AS (SELECT lang, token, COUNT(*) AS tf FROM toks GROUP BY lang, token),
+    n_l  AS (SELECT lang, CAST(SUM(tf) AS BIGINT) AS lang_tokens FROM tf_l GROUP BY lang),
+    per_doc AS (
+      SELECT t.doc_id, t.lang,
+             COUNT(*) AS n_tokens,
+             ROUND(CAST(SUM(CAST(-LN(CAST(f.tf AS DOUBLE) / n_l.lang_tokens)
+                                 AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_nll
+      FROM toks t
+      JOIN tf_l f ON t.lang = f.lang AND t.token = f.token
+      JOIN n_l ON t.lang = n_l.lang
+      GROUP BY t.doc_id, t.lang
+    ),
+    tiled AS (
+      SELECT *,
+             NTILE(3) OVER (PARTITION BY lang ORDER BY avg_nll ASC, doc_id ASC) AS tile
+      FROM per_doc
+    )
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(avg_nll AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_avg_nll
+    FROM tiled
+    GROUP BY lang, bucket
+    """,
+    doc=(
+        "CCNet-style perplexity bucketing (Wenzek et al. 2020): each "
+        "document scored by average surprisal under its OWN language's "
+        "unigram LM, then split into per-language head/middle/tail "
+        "terciles (NTILE(3) — integer tiling, deterministic with the "
+        "(score, doc_id) ordering in both engines, no float boundary "
+        "compare) — the standard crawl-curation stage that keeps 'head' "
+        "for training and drops or down-weights 'tail'. One token-stream "
+        "explode feeds the per-language LM and the per-doc scores; the "
+        "per-language vocab join is un-hinted (AQE broadcasts when it "
+        "fits, the domain_kl_divergence pattern); -ln terms accumulate "
+        "as DECIMAL(38,18) per the determinism discipline."
+    ),
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
+    )
+    tf_l = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_l = tf_l.groupBy("lang").agg(F.sum("tf").cast("bigint").alias("lang_tokens"))
+    nll = -F.log(F.col("tf").cast("double") / F.col("lang_tokens"))
+    per_doc = (
+        toks.join(tf_l, ["lang", "token"])
+        .join(F.broadcast(n_l), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(nll.cast("decimal(38,18)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_nll"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("avg_nll"), F.asc("doc_id"))
+    tiled = per_doc.withColumn("tile", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tile") == 1, "head").when(F.col("tile") == 2, "middle").otherwise("tail")
+    )
+    return (
+        tiled.select("lang", bucket.alias("bucket"), "n_tokens", "avg_nll")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("avg_nll").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_avg_nll"),
+        )
+    )

@@ -167,6 +167,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "zipf_fit",             # new r5: Zipf slope/R² vocabulary diagnostic
     "ann_ivfpq_topk",       # new r5: IVF-PQ composed ANN (rows-only)
     "approx_quantile_audit",  # new r5: GK quantile sketch vs exact (rows-only)
+    "ccnet_buckets",        # new r5: CCNet perplexity head/middle/tail terciles
 )
 
 

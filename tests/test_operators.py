@@ -533,3 +533,21 @@ def test_zipf_fit_degenerate_head_yields_null_not_nan(spark):
     assert row.n_terms == 8
     assert row.zipf_slope == 0.0  # x-variance exists; slope of a flat line
     assert row.r_squared is None  # 0/0 → NULL, never NaN
+
+
+def test_ccnet_buckets_are_balanced_and_ordered(spark, sf_dir):
+    # NTILE(3) must split each language into near-equal thirds (sizes
+    # within 1), and the tercile semantics must hold: mean surprisal
+    # strictly increases head -> middle -> tail for every language.
+    from nt_etl_order_book_spark import registry
+
+    rows = registry.all_specs()["ccnet_buckets"].fn(spark, sf_dir).collect()
+    by_lang: dict[str, dict[str, object]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}, lang
+        sizes = [buckets[b].n_docs for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        nlls = [buckets[b].mean_avg_nll for b in ("head", "middle", "tail")]
+        assert nlls[0] < nlls[1] < nlls[2], (lang, nlls)
