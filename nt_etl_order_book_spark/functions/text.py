@@ -1594,3 +1594,112 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_avg_nll"),
         )
     )
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS true_lang,
+             GREATEST({', '.join('(' + s + ')' for s in _sql_lang_scores('text').values())}) AS _best,
+             {', '.join(f'({s}) AS score_{lang}' for lang, s in _sql_lang_scores('text').items())}
+      FROM documents
+    ),
+    preds AS (
+      SELECT true_lang,
+             CASE WHEN _best = 0 THEN 'unknown'
+                  {' '.join(f"WHEN score_{lang} = _best THEN '{lang}'" for lang in LANG_MARKERS)}
+             END AS pred_lang
+      FROM scored
+    )
+    SELECT true_lang, pred_lang,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY true_lang), 6) AS row_frac
+    FROM preds
+    GROUP BY true_lang, pred_lang
+    """,
+    doc=(
+        "Confusion matrix for the lang_id heuristic against the corpus's "
+        "labeled lang column — the evaluation harness any classifier "
+        "stage in the pipeline needs (swap in fastText behind the same "
+        "contract and this query grades it unchanged). One scan, one "
+        "(true, pred) aggregate; row_frac normalizes per true language "
+        "via a window over the aggregate's own (tiny) output. The ratio "
+        "is a quotient of exact BIGINTs — identical bits cross-engine."
+    ),
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = _lang_scores(F.col("text"))
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, "unknown")
+    for lang in LANG_MARKERS:  # insertion order = tiebreak priority (lang_id parity)
+        pred = pred.when(scores[lang] == best, lang)
+    counts = (
+        docs.select(F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("true_lang")
+    return counts.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias("row_frac"),
+    )
+
+
+# License markers a compliance pass looks for — literal phrases, not
+# regex, so the `occurrences` length-arithmetic trick keeps both engines
+# bit-identical (and cheap: no regex engine in the scan loop).
+LICENSE_MARKERS: dict[str, str] = {
+    "cc_by": "creative commons",
+    "mit": "mit license",
+    "apache": "apache license",
+    "gpl": "general public license",
+    "public_domain": "public domain",
+}
+
+
+@register(
+    "license_tag",
+    f"""
+    WITH flags AS (
+      SELECT source,
+             {', '.join(f"CASE WHEN {sql_occurrences('lower(text)', m)} > 0 THEN 1 ELSE 0 END AS f_{tag}" for tag, m in LICENSE_MARKERS.items())}
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           {', '.join(f'CAST(SUM(f_{tag}) AS BIGINT) AS n_{tag}' for tag in LICENSE_MARKERS)},
+           CAST(SUM(CASE WHEN {' + '.join(f'f_{tag}' for tag in LICENSE_MARKERS)} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_untagged
+    FROM flags
+    GROUP BY source
+    """,
+    doc=(
+        "License-marker compliance audit per source domain: flags docs "
+        "mentioning Creative Commons / MIT / Apache / GPL / public-domain "
+        "phrases (the pre-filter a code/text corpus runs before license-"
+        "aware sampling; a real deployment swaps in a classifier behind "
+        "the same census contract). Literal-phrase occurrence counting "
+        "via length arithmetic — no regex in the scan loop, identical in "
+        "both engines; one scan, one per-source aggregate."
+    ),
+)
+def q_license_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    flags = docs.select(
+        "source",
+        *[
+            F.when(occurrences(low, m) > 0, 1).otherwise(0).alias(f"f_{tag}")
+            for tag, m in LICENSE_MARKERS.items()
+        ],
+    )
+    none_hit = sum(F.col(f"f_{tag}") for tag in LICENSE_MARKERS) == 0
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(f"f_{tag}").cast("bigint").alias(f"n_{tag}") for tag in LICENSE_MARKERS],
+        F.sum(F.when(none_hit, 1).otherwise(0)).cast("bigint").alias("n_untagged"),
+    )

@@ -168,6 +168,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_topk",       # new r5: IVF-PQ composed ANN (rows-only)
     "approx_quantile_audit",  # new r5: GK quantile sketch vs exact (rows-only)
     "ccnet_buckets",        # new r5: CCNet perplexity head/middle/tail terciles
+    "lang_id_confusion",    # new r5: classifier-evaluation confusion matrix
+    "license_tag",          # new r5: license-marker compliance census
 )
 
 

@@ -551,3 +551,66 @@ def test_ccnet_buckets_are_balanced_and_ordered(spark, sf_dir):
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
         nlls = [buckets[b].mean_avg_nll for b in ("head", "middle", "tail")]
         assert nlls[0] < nlls[1] < nlls[2], (lang, nlls)
+
+
+def test_lang_id_confusion_fracs_sum_and_diagonal_on_marked_corpus(spark, sf_dir):
+    # Fixture half: row_frac must sum to 1 per true language (the
+    # synthetic corpus is NOT real language text, so no accuracy claim
+    # there — the matrix exists exactly to expose that). Constructed
+    # half: on docs that DO carry the marker words, the matrix must be
+    # perfectly diagonal.
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import text as textmod
+
+    rows = registry.all_specs()["lang_id_confusion"].fn(spark, sf_dir).collect()
+    by_true: dict[str, list] = {}
+    for r in rows:
+        by_true.setdefault(r.true_lang, []).append(r)
+    for lang, rs in by_true.items():
+        assert abs(sum(r.row_frac for r in rs) - 1.0) < 1e-6, lang
+
+    marked = spark.createDataFrame(
+        [
+            (1, "en", "the cat and the dog of note"),
+            (2, "es", "el gato que vio la casa el dia"),
+            (3, "fr", "le chat et la maison le soir"),
+            (4, "de", "der hund und die katze der nacht"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    orig = textmod.load_table
+    try:
+        textmod.load_table = lambda _s, _d, name: marked
+        diag = registry.all_specs()["lang_id_confusion"].fn(spark, "_").collect()
+    finally:
+        textmod.load_table = orig
+    assert {(r.true_lang, r.pred_lang, r.row_frac) for r in diag} == {
+        ("en", "en", 1.0), ("es", "es", 1.0), ("fr", "fr", 1.0), ("de", "de", 1.0),
+    }
+
+
+def test_license_tag_counts_on_constructed_docs(spark):
+    # Exact marker semantics: phrase present → counted once per doc (not
+    # per occurrence), multi-license docs count in every column, and
+    # untagged = docs hitting no marker.
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import text as textmod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "Licensed under the MIT License for all uses"),
+            (2, "s", "dual: MIT license and Apache License 2.0 apply"),
+            (3, "s", "released into the Public Domain public domain twice"),
+            (4, "s", "no licensing words at all"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    orig = textmod.load_table
+    try:
+        textmod.load_table = lambda _s, _d, name: docs
+        row = registry.all_specs()["license_tag"].fn(spark, "_").first()
+    finally:
+        textmod.load_table = orig
+    assert (row.n_docs, row.n_mit, row.n_apache, row.n_public_domain, row.n_untagged) == (
+        4, 2, 1, 1, 1,
+    )
