@@ -308,3 +308,81 @@ def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "resample_ffill",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS h0, date_trunc('day', MAX(ts)) AS h1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 DAY)) AS gts FROM bounds
+    )
+    SELECT g.user_id, g.gts, e.value AS ffill_value
+    FROM grid g ASOF LEFT JOIN ev e
+      ON g.user_id = e.user_id AND g.gts >= e.ts
+    """,
+    doc=(
+        "Time-series resampling with forward fill: a daily grid per "
+        "user from its first to last event day, each grid point carrying "
+        "the most recent event value at or before it (NULL before the "
+        "first event — the day-boundary grid start precedes it). The "
+        "gap-filling half of every OHLC/telemetry downsampler. "
+        "Implementation reuses the join_asof union+window trick: grid "
+        "rows union with (per-(user, ts) deduped, max-event_id) events, "
+        "one keyed window does last(value, ignorenulls) with events "
+        "ordered BEFORE grid points at equal ts — one shuffle, no range "
+        "join, no NestedLoop. Grid size is span/day per key (bounded by "
+        "retention, independent of event volume); the DuckDB oracle is "
+        "a native ASOF LEFT JOIN against the same deduped events."
+    ),
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_raw = load_table(spark, sf_dir, "events")
+    # Same-timestamp events collapse to the max-event_id row so the
+    # as-of pick is deterministic (mirrors the oracle's ROW_NUMBER).
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    ev = (
+        ev_raw.select("user_id", "ts", "value", "event_id")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    bounds = ev_raw.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("h0"),
+        F.date_trunc("day", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 day"))).alias("gts"),
+    )
+    unioned = grid.select(
+        "user_id", F.col("gts").alias("ts"), F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"), F.col("gts"),
+    ).unionByName(
+        ev.select(
+            "user_id", "ts", "value", F.lit(0).alias("is_grid"),
+            F.lit(None).cast(grid.schema["gts"].dataType).alias("gts"),
+        )
+    )
+    # Events sort before grid points at equal ts (is_grid ascending), so
+    # a grid point on an exact event timestamp picks that event up.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("ffill_value", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select("user_id", "gts", "ffill_value")
+    )

@@ -170,6 +170,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "ccnet_buckets",        # new r5: CCNet perplexity head/middle/tail terciles
     "lang_id_confusion",    # new r5: classifier-evaluation confusion matrix
     "license_tag",          # new r5: license-marker compliance census
+    "resample_ffill",       # new r5: daily-grid resample + forward fill
 )
 
 

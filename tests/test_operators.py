@@ -614,3 +614,34 @@ def test_license_tag_counts_on_constructed_docs(spark):
     assert (row.n_docs, row.n_mit, row.n_apache, row.n_public_domain, row.n_untagged) == (
         4, 2, 1, 1, 1,
     )
+
+
+def test_resample_ffill_edges(spark):
+    # Pinned semantics on a constructed stream: (a) the day-boundary
+    # grid start precedes the first event -> NULL; (b) a grid point on
+    # an exact event timestamp picks that event up; (c) same-timestamp
+    # events collapse to the max-event_id value; (d) values forward-fill
+    # across empty days.
+    import datetime as dt
+
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.operators import windows as winmod
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 12, 0, 0), 7, 10.0),   # midday day 1
+        (2, T(2024, 1, 3, 0, 0, 0), 7, 30.0),    # exactly on the day-3 grid point
+        (3, T(2024, 1, 3, 0, 0, 0), 7, 31.0),    # same ts, higher event_id wins
+        (4, T(2024, 1, 5, 6, 0, 0), 7, 50.0),    # gap: day 4 has no events
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    orig = winmod.load_table
+    try:
+        winmod.load_table = lambda _s, _d, name: ev
+        out = {
+            r.gts.day: r.ffill_value
+            for r in registry.all_specs()["resample_ffill"].fn(spark, "_").collect()
+        }
+    finally:
+        winmod.load_table = orig
+    assert out == {1: None, 2: 10.0, 3: 31.0, 4: 31.0, 5: 31.0}

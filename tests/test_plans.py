@@ -266,3 +266,14 @@ def test_pmi_collocations_distributed_topk(spark, sf_dir):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan[:600]
     assert "rangepartitioning" not in plan, plan[:600]
+
+
+def test_resample_ffill_no_range_join(spark, sf_dir):
+    # The as-of semantics must come from the union+window trick, never a
+    # NestedLoop range join; budget = dedup window + bounds aggregate +
+    # the ffill window.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    df = registry.queries()["resample_ffill"](spark, sf_dir)
+    assert "NestedLoop" not in formatted_plan(df)
+    assert count_shuffles(df) <= 4
