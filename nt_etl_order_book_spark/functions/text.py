@@ -131,31 +131,55 @@ def _sql_lang_scores(expr: str) -> dict[str, str]:
     }
 
 
+# The ONE argmax/tiebreak definition both the classifier (lang_id) and
+# its evaluator (lang_id_confusion) build on: the confusion matrix is
+# only meaningful if its predictions match lang_id's bit-for-bit, so
+# the score columns, the GREATEST, and the tiebreak-sensitive CASE
+# ordering must not exist in two hand-kept copies.
+_SQL_LANG_BEST = (
+    "GREATEST(" + ", ".join("(" + s + ")" for s in _sql_lang_scores("text").values()) + ")"
+)
+_SQL_LANG_SCORE_COLS = ", ".join(
+    f"({s}) AS score_{lang}" for lang, s in _sql_lang_scores("text").items()
+)
+_SQL_LANG_PRED_CASE = (
+    "CASE WHEN _best = 0 THEN 'unknown' "
+    + " ".join(f"WHEN score_{lang} = _best THEN '{lang}'" for lang in LANG_MARKERS)
+    + " END"
+)
+
+
+def _pred_lang_expr() -> Column:
+    """Predicted-language Column over `text` — marker-occurrence argmax
+    with LANG_MARKERS insertion order as tiebreak (mirrors the CASE)."""
+    scores = _lang_scores(F.col("text"))
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, "unknown")
+    for lang in LANG_MARKERS:
+        pred = pred.when(scores[lang] == best, lang)
+    return pred
+
+
 @register(
     "lang_id",
     f"""
     WITH scored AS (
       SELECT doc_id, lang AS true_lang,
-             GREATEST({', '.join('(' + s + ')' for s in _sql_lang_scores('text').values())}) AS _best,
-             {', '.join(f'({s}) AS score_{lang}' for lang, s in _sql_lang_scores('text').items())}
+             {_SQL_LANG_BEST} AS _best,
+             {_SQL_LANG_SCORE_COLS}
       FROM documents
     )
     SELECT doc_id, true_lang,
-           CASE WHEN _best = 0 THEN 'unknown'
-                {' '.join(f"WHEN score_{lang} = _best THEN '{lang}'" for lang in LANG_MARKERS)}
-           END AS pred_lang
+           {_SQL_LANG_PRED_CASE} AS pred_lang
     FROM scored
     """,
     doc="Heuristic language ID: marker-word occurrence scoring with first-match argmax (stopword n-gram heuristic).",
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    scores = _lang_scores(F.col("text"))
-    best = F.greatest(*scores.values())
-    pred = F.when(best == 0, "unknown")
-    for lang in LANG_MARKERS:  # insertion order = tie-break priority, mirrors CASE order
-        pred = pred.when(scores[lang] == best, lang)
-    return docs.select("doc_id", F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+    return docs.select(
+        "doc_id", F.col("lang").alias("true_lang"), _pred_lang_expr().alias("pred_lang")
+    )
 
 
 @register(
@@ -1601,15 +1625,13 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH scored AS (
       SELECT doc_id, lang AS true_lang,
-             GREATEST({', '.join('(' + s + ')' for s in _sql_lang_scores('text').values())}) AS _best,
-             {', '.join(f'({s}) AS score_{lang}' for lang, s in _sql_lang_scores('text').items())}
+             {_SQL_LANG_BEST} AS _best,
+             {_SQL_LANG_SCORE_COLS}
       FROM documents
     ),
     preds AS (
       SELECT true_lang,
-             CASE WHEN _best = 0 THEN 'unknown'
-                  {' '.join(f"WHEN score_{lang} = _best THEN '{lang}'" for lang in LANG_MARKERS)}
-             END AS pred_lang
+             {_SQL_LANG_PRED_CASE} AS pred_lang
       FROM scored
     )
     SELECT true_lang, pred_lang,
@@ -1623,7 +1645,10 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Confusion matrix for the lang_id heuristic against the corpus's "
         "labeled lang column — the evaluation harness any classifier "
         "stage in the pipeline needs (swap in fastText behind the same "
-        "contract and this query grades it unchanged). One scan, one "
+        "contract and this query grades it unchanged). Predictions come "
+        "from the SAME argmax/tiebreak definition lang_id registers "
+        "(shared _pred_lang_expr / SQL fragments — the evaluator cannot "
+        "desynchronize from the classifier it grades). One scan, one "
         "(true, pred) aggregate; row_frac normalizes per true language "
         "via a window over the aggregate's own (tiny) output. The ratio "
         "is a quotient of exact BIGINTs — identical bits cross-engine."
@@ -1631,13 +1656,8 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    scores = _lang_scores(F.col("text"))
-    best = F.greatest(*scores.values())
-    pred = F.when(best == 0, "unknown")
-    for lang in LANG_MARKERS:  # insertion order = tiebreak priority (lang_id parity)
-        pred = pred.when(scores[lang] == best, lang)
     counts = (
-        docs.select(F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+        docs.select(F.col("lang").alias("true_lang"), _pred_lang_expr().alias("pred_lang"))
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -1652,13 +1672,21 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # License markers a compliance pass looks for — literal phrases, not
 # regex, so the `occurrences` length-arithmetic trick keeps both engines
-# bit-identical (and cheap: no regex engine in the scan loop).
+# bit-identical (and cheap: no regex engine in the scan loop). Matched
+# SPACE-PADDED against space-padded lowered text (the LANG_MARKERS
+# boundary convention): "submit license" must not count as MIT and
+# "nonpublic domain" must not count as public-domain. The tradeoff —
+# punctuation-adjacent mentions ("MIT License.") are missed — is the
+# same one LANG_MARKERS accepts, and a real deployment swaps in a
+# classifier behind this census contract anyway.
+_SQL_PADDED_LOWER = "(' ' || lower(text) || ' ')"
+
 LICENSE_MARKERS: dict[str, str] = {
-    "cc_by": "creative commons",
-    "mit": "mit license",
-    "apache": "apache license",
-    "gpl": "general public license",
-    "public_domain": "public domain",
+    "cc_by": " creative commons ",
+    "mit": " mit license ",
+    "apache": " apache license ",
+    "gpl": " general public license ",
+    "public_domain": " public domain ",
 }
 
 
@@ -1667,7 +1695,7 @@ LICENSE_MARKERS: dict[str, str] = {
     f"""
     WITH flags AS (
       SELECT source,
-             {', '.join(f"CASE WHEN {sql_occurrences('lower(text)', m)} > 0 THEN 1 ELSE 0 END AS f_{tag}" for tag, m in LICENSE_MARKERS.items())}
+             {', '.join(f"CASE WHEN {sql_occurrences(_SQL_PADDED_LOWER, m)} > 0 THEN 1 ELSE 0 END AS f_{tag}" for tag, m in LICENSE_MARKERS.items())}
       FROM documents
     )
     SELECT source,
@@ -1689,7 +1717,7 @@ LICENSE_MARKERS: dict[str, str] = {
 )
 def q_license_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    low = F.lower(F.col("text"))
+    low = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     flags = docs.select(
         "source",
         *[

@@ -365,12 +365,21 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 day"))).alias("gts"),
     )
+    # Event values ride in a STRUCT so a genuinely-NULL value still
+    # counts as "a row": last(ignorenulls) must skip only the grid
+    # placeholders, never fill PAST a null-valued event — the same
+    # composite-row hazard asof_join's docstring documents (the ASOF
+    # oracle returns the last ROW's value, null or not).
+    wrapped = F.struct(F.col("value").alias("value"))
     unioned = grid.select(
-        "user_id", F.col("gts").alias("ts"), F.lit(None).cast("double").alias("value"),
-        F.lit(1).alias("is_grid"), F.col("gts"),
+        "user_id",
+        F.col("gts").alias("ts"),
+        F.lit(None).cast("struct<value:double>").alias("ev_row"),
+        F.lit(1).alias("is_grid"),
+        F.col("gts"),
     ).unionByName(
         ev.select(
-            "user_id", "ts", "value", F.lit(0).alias("is_grid"),
+            "user_id", "ts", wrapped.alias("ev_row"), F.lit(0).alias("is_grid"),
             F.lit(None).cast(grid.schema["gts"].dataType).alias("gts"),
         )
     )
@@ -382,7 +391,7 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        unioned.withColumn("ffill_value", F.last("value", ignorenulls=True).over(w))
+        unioned.withColumn("ffill_value", F.last("ev_row", ignorenulls=True).over(w)["value"])
         .filter(F.col("is_grid") == 1)
         .select("user_id", "gts", "ffill_value")
     )

@@ -602,6 +602,10 @@ def test_license_tag_counts_on_constructed_docs(spark):
             (2, "s", "dual: MIT license and Apache License 2.0 apply"),
             (3, "s", "released into the Public Domain public domain twice"),
             (4, "s", "no licensing words at all"),
+            # word-boundary negatives (review finding): substrings inside
+            # other words must NOT count.
+            (5, "s", "please submit license paperwork today"),
+            (6, "s", "nonpublic domain data goes here"),
         ],
         "doc_id long, source string, text string",
     )
@@ -612,7 +616,7 @@ def test_license_tag_counts_on_constructed_docs(spark):
     finally:
         textmod.load_table = orig
     assert (row.n_docs, row.n_mit, row.n_apache, row.n_public_domain, row.n_untagged) == (
-        4, 2, 1, 1, 1,
+        6, 2, 1, 1, 3,
     )
 
 
@@ -633,6 +637,8 @@ def test_resample_ffill_edges(spark):
         (2, T(2024, 1, 3, 0, 0, 0), 7, 30.0),    # exactly on the day-3 grid point
         (3, T(2024, 1, 3, 0, 0, 0), 7, 31.0),    # same ts, higher event_id wins
         (4, T(2024, 1, 5, 6, 0, 0), 7, 50.0),    # gap: day 4 has no events
+        (5, T(2024, 1, 6, 6, 0, 0), 7, None),    # NULL value: must NOT fill past
+        (6, T(2024, 1, 8, 0, 0, 0), 7, 80.0),    # extends the grid through day 8
     ]
     ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
     orig = winmod.load_table
@@ -644,4 +650,9 @@ def test_resample_ffill_edges(spark):
         }
     finally:
         winmod.load_table = orig
-    assert out == {1: None, 2: 10.0, 3: 31.0, 4: 31.0, 5: 31.0}
+    # Day 7's as-of row IS event 5 (value NULL): ASOF semantics return
+    # that row's NULL, not event 4's 50.0 — filling through would be the
+    # composite-row bug the struct wrap prevents.
+    assert out == {
+        1: None, 2: 10.0, 3: 31.0, 4: 31.0, 5: 31.0, 6: 50.0, 7: None, 8: 80.0,
+    }
