@@ -1551,32 +1551,43 @@ def q_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN n_l ON t.lang = n_l.lang
       GROUP BY t.doc_id, t.lang
     ),
-    tiled AS (
-      SELECT *,
-             NTILE(3) OVER (PARTITION BY lang ORDER BY avg_nll ASC, doc_id ASC) AS tile
-      FROM per_doc
+    cuts AS (
+      SELECT lang,
+             quantile_cont(avg_nll, 1.0/3) AS t1,
+             quantile_cont(avg_nll, 2.0/3) AS t2
+      FROM per_doc GROUP BY lang
     )
-    SELECT lang,
-           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+    SELECT p.lang,
+           CASE WHEN p.avg_nll <= c.t1 THEN 'head'
+                WHEN p.avg_nll <= c.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(CAST(SUM(CAST(avg_nll AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
              AS mean_avg_nll
-    FROM tiled
-    GROUP BY lang, bucket
+    FROM per_doc p JOIN cuts c USING (lang)
+    GROUP BY p.lang, bucket
     """,
     doc=(
         "CCNet-style perplexity bucketing (Wenzek et al. 2020): each "
         "document scored by average surprisal under its OWN language's "
-        "unigram LM, then split into per-language head/middle/tail "
-        "terciles (NTILE(3) — integer tiling, deterministic with the "
-        "(score, doc_id) ordering in both engines, no float boundary "
-        "compare) — the standard crawl-curation stage that keeps 'head' "
-        "for training and drops or down-weights 'tail'. One token-stream "
-        "explode feeds the per-language LM and the per-doc scores; the "
-        "per-language vocab join is un-hinted (AQE broadcasts when it "
-        "fits, the domain_kl_divergence pattern); -ln terms accumulate "
-        "as DECIMAL(38,18) per the determinism discipline."
+        "unigram LM, then split at the per-language tercile CUTOFFS "
+        "(exact interpolated 1/3 and 2/3 percentiles, broadcast back "
+        "onto the scores) — the standard crawl-curation stage that "
+        "keeps 'head' for training and drops or down-weights 'tail'. "
+        "Percentile AGGREGATES, not a ranking window: an NTILE over "
+        "partitionBy(lang) would drag every document of a language "
+        "into ONE task (one hot language = one straggler sorting most "
+        "of the corpus — the window-skew cliff), while the percentile "
+        "aggregate combines per-partition partial states and ships "
+        "two doubles per language. Boundary docs (score == cutoff) go "
+        "to the lower bucket in both engines: scores are 6-dp-rounded "
+        "doubles and both engines interpolate percentiles with the "
+        "same index arithmetic, so the comparisons agree bit-for-bit. "
+        "One token-stream explode feeds the per-language LM and the "
+        "per-doc scores; the vocab join is un-hinted (AQE, the "
+        "domain_kl_divergence pattern); -ln terms accumulate as "
+        "DECIMAL(38,18) per the determinism discipline."
     ),
 )
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1600,13 +1611,18 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
-    w = Window.partitionBy("lang").orderBy(F.asc("avg_nll"), F.asc("doc_id"))
-    tiled = per_doc.withColumn("tile", F.ntile(3).over(w))
+    cuts = per_doc.groupBy("lang").agg(
+        F.percentile(F.col("avg_nll"), F.lit(1.0 / 3)).alias("t1"),
+        F.percentile(F.col("avg_nll"), F.lit(2.0 / 3)).alias("t2"),
+    )
     bucket = (
-        F.when(F.col("tile") == 1, "head").when(F.col("tile") == 2, "middle").otherwise("tail")
+        F.when(F.col("avg_nll") <= F.col("t1"), "head")
+        .when(F.col("avg_nll") <= F.col("t2"), "middle")
+        .otherwise("tail")
     )
     return (
-        tiled.select("lang", bucket.alias("bucket"), "n_tokens", "avg_nll")
+        per_doc.join(F.broadcast(cuts), "lang")
+        .select("lang", bucket.alias("bucket"), "n_tokens", "avg_nll")
         .groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

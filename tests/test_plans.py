@@ -277,3 +277,17 @@ def test_resample_ffill_no_range_join(spark, sf_dir):
     df = registry.queries()["resample_ffill"](spark, sf_dir)
     assert "NestedLoop" not in formatted_plan(df)
     assert count_shuffles(df) <= 4
+
+
+def test_ccnet_buckets_has_no_ranking_window(spark, sf_dir):
+    # The tercile split must come from percentile AGGREGATES (partial
+    # states per partition, two doubles per language broadcast back) —
+    # never a per-language ranking window, which drags every document
+    # of a hot language into one task.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    df = registry.queries()["ccnet_buckets"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan[:600]
+    assert plan_has_partial_aggregate(df)
+    assert plan_uses_broadcast_join(df)
