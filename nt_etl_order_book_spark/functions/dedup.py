@@ -930,3 +930,68 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv.alias("survivor_doc_id"),
         (F.col("doc_id") == surv).cast("int").alias("is_survivor"),
     )
+
+
+# Shingle width for the novelty audit: 8-gram overlap is the
+# memorization-risk granularity (Lee et al. 2022 use 50-token windows
+# for exact dedup; 8 tokens is the finer census that still avoids
+# stopword-bigram noise).
+NOVELTY_N = 8
+
+
+@register(
+    "ngram_novelty",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        [md5(array_to_string(toks[i:i+{NOVELTY_N - 1}], ' '))
+         FOR i IN range(1, GREATEST(len(toks) - {NOVELTY_N - 1}, 0) + 1)])) AS g
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents)
+      WHERE len(toks) >= {NOVELTY_N}
+    ),
+    freq AS (SELECT g, COUNT(*) AS docs_with FROM sh GROUP BY g)
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.docs_with = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.docs_with = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty_frac
+    FROM sh s JOIN freq f USING (g)
+    GROUP BY s.doc_id
+    """,
+    doc=(
+        f"Per-document n-gram novelty (memorization/overlap audit): the "
+        f"fraction of a doc's distinct {NOVELTY_N}-gram shingles that "
+        "appear in NO other document — low novelty flags boilerplate, "
+        "templated spam, and near-copies that slipped past pair-based "
+        "dedup; the census a training run consults before trusting a "
+        "source. Shingles travel as md5 DIGESTS (text never shuffles), "
+        "one explode feeds both the corpus document-frequency table and "
+        "the per-doc census (same exchange, reused at runtime), and the "
+        "novelty ratio is a quotient of exact BIGINTs. Docs shorter "
+        f"than {NOVELTY_N} tokens have no shingles and no row — "
+        "identical in both engines."
+    ),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - NOVELTY_N, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, NOVELTY_N))),
+    )
+    sh = (
+        docs.filter(F.size(toks) >= NOVELTY_N)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    )
+    freq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("docs_with"))
+    novel = F.when(F.col("docs_with") == 1, 1).otherwise(0)
+    return (
+        sh.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias("novelty_frac"),
+        )
+    )

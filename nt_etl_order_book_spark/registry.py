@@ -171,6 +171,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "lang_id_confusion",    # new r5: classifier-evaluation confusion matrix
     "license_tag",          # new r5: license-marker compliance census
     "resample_ffill",       # new r5: daily-grid resample + forward fill
+    "ngram_novelty",        # new r5: per-doc memorization/overlap census
 )
 
 

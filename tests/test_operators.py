@@ -656,3 +656,36 @@ def test_resample_ffill_edges(spark):
     assert out == {
         1: None, 2: 10.0, 3: 31.0, 4: 31.0, 5: 31.0, 6: 50.0, 7: None, 8: 80.0,
     }
+
+
+def test_ngram_novelty_exact_on_constructed_corpus(spark):
+    # Three docs: A and B share one 8-gram exactly (the planted window);
+    # C is fully unique; D is too short for any shingle and must emit no
+    # row. Novelty fractions computed by hand.
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import dedup as dedupmod
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 {shared} a2"),   # 10 tokens → 3 windows, 1 is the shared 8-gram
+            (2, f"b1 b2 {shared}"),   # 10 tokens → 3 windows, 1 shared
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),  # 9 tokens → 2 windows, all novel
+            (4, "too short for one"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = dedupmod.load_table
+    try:
+        dedupmod.load_table = lambda _s, _d, name: docs
+        out = {
+            r.doc_id: (r.n_shingles, r.n_novel, r.novelty_frac)
+            for r in registry.all_specs()["ngram_novelty"].fn(spark, "_").collect()
+        }
+    finally:
+        dedupmod.load_table = orig
+    assert out == {
+        1: (3, 2, 0.666667),
+        2: (3, 2, 0.666667),
+        3: (2, 2, 1.0),
+    }
