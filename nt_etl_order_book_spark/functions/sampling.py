@@ -88,27 +88,54 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRAT_K = 20
+# Sub-partitions per stratum for the two-phase top-k: the first window
+# ranks within (lang, salt) so a hot stratum splits across _STRAT_SALTS
+# tasks; survivors are <= _STRAT_SALTS × _STRAT_K rows per stratum.
+_STRAT_SALTS = 64
+
+
 @register(
     "stratified_sample",
-    """
+    f"""
     WITH ranked AS (
       SELECT doc_id, lang, n_chars,
              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
       FROM documents
     )
-    SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 20
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= {_STRAT_K}
     """,
     doc=(
-        "Stratified downsample: deterministic top-20 docs per language, "
-        "ordered by content hash (uniform within stratum, no RNG)."
+        f"Stratified downsample: deterministic top-{_STRAT_K} docs per "
+        "language, ordered by content hash (uniform within stratum, no "
+        "RNG). TWO-PHASE top-k: the first window ranks within (lang, "
+        f"doc_id % {_STRAT_SALTS}) — a hot stratum (one language = most "
+        "of a web corpus) splits across that many tasks instead of "
+        "dragging into one sort — and keeps each sub-partition's "
+        f"top-{_STRAT_K}; any stratum-global top-{_STRAT_K} row is "
+        "top-k within its own sub-partition, so the survivor set "
+        f"(≤ {_STRAT_SALTS}×{_STRAT_K} rows per stratum) provably "
+        "contains the answer and the second, tiny window reproduces the "
+        "single-window result EXACTLY (the oracle IS the single-window "
+        "form; equivalence is the hash check)."
     ),
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(F.md5(F.col("text")), F.asc("doc_id"))
+    key = F.md5(F.col("text"))
+    salted = docs.select(
+        "doc_id", "lang", "n_chars", key.alias("_k"),
+        F.pmod(F.col("doc_id"), F.lit(_STRAT_SALTS)).alias("_salt"),
+    )
+    w1 = Window.partitionBy("lang", "_salt").orderBy(F.asc("_k"), F.asc("doc_id"))
+    survivors = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= _STRAT_K)
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.asc("_k"), F.asc("doc_id"))
     return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _STRAT_K)
         .select("doc_id", "lang", "n_chars")
     )
 

@@ -291,3 +291,21 @@ def test_ccnet_buckets_has_no_ranking_window(spark, sf_dir):
     assert "Window" not in plan, plan[:600]
     assert plan_has_partial_aggregate(df)
     assert plan_uses_broadcast_join(df)
+
+
+def test_stratified_sample_two_phase_topk(spark, sf_dir):
+    # Two Window nodes: the first partitioned by (lang, salt) so a hot
+    # stratum fans across _STRAT_SALTS tasks, the second over the
+    # bounded survivor set. The single-window form is the ORACLE, so
+    # the driver's hash check is the equivalence proof.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    import re
+
+    df = registry.queries()["stratified_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.MULTILINE)) == 2, plan[:800]
+    assert "pmod" in plan, plan[:400]
+    # Spark's rank-filter pushdown gives each Window a WindowGroupLimit:
+    # per-partition top-k short-circuits before the full sort.
+    assert "WindowGroupLimit" in plan
