@@ -67,12 +67,36 @@ def write_partitioned(df: DataFrame, path: str, *, ts_col: str = "timestamp",
     )
 
 
-def read_json_messages(spark: SparkSession, path: str) -> DataFrame:
+def read_json_messages(
+    spark: SparkSession, path: str, *, keep_corrupt: bool = False
+) -> DataFrame:
     """Batch JSON source with the explicit message schema (never
-    inferSchema on the ingest path — SURVEY §1.2)."""
+    inferSchema on the ingest path — SURVEY §1.2).
+
+    With ``keep_corrupt`` the reader runs in PERMISSIVE mode and lands
+    malformed lines in a ``_corrupt_record`` column instead of silently
+    nulling them out: at ingest scale a poisoned line must neither kill
+    the job (FAILFAST) nor vanish (the default's all-null row is
+    indistinguishable from real nulls) — the quarantine column lets a
+    foreachBatch sink route bad rows to a dead-letter table. The
+    reference has no such guard (consumer.py:39-84 assumes clean JSON);
+    this is the production-hardening Spark gives for free."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
     from nt_etl_order_book_spark.sources.orderbook import StructTypeUnion
 
-    return spark.read.schema(StructTypeUnion().schema).json(path)
+    schema = StructTypeUnion().schema
+    if not keep_corrupt:
+        return spark.read.schema(schema).json(path)
+    with_quarantine = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    return (
+        spark.read.schema(with_quarantine)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
 
 
 def init_schema(spark: SparkSession, *, location: str | None = None) -> None:
