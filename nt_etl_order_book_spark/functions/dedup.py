@@ -976,14 +976,13 @@ NOVELTY_N = 8
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - NOVELTY_N, F.lit(0))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, NOVELTY_N))),
-    )
-    sh = (
-        docs.filter(F.size(toks) >= NOVELTY_N)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
-    )
+    # One shingle construction for the whole dedup family: reuse
+    # shingles() (ngram_jaccard / decontamination use it too) so window
+    # arithmetic can't silently diverge; md5 post-explode still means
+    # only digests reach the exchange.
+    sh = shingles(
+        docs.filter(F.size(toks) >= NOVELTY_N), "doc_id", "text", n=NOVELTY_N
+    ).select("doc_id", F.md5(F.col("shingle")).alias("g"))
     freq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("docs_with"))
     novel = F.when(F.col("docs_with") == 1, 1).otherwise(0)
     return (

@@ -1578,9 +1578,13 @@ def q_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Percentile AGGREGATES, not a ranking window: an NTILE over "
         "partitionBy(lang) would drag every document of a language "
         "into ONE task (one hot language = one straggler sorting most "
-        "of the corpus — the window-skew cliff), while the percentile "
-        "aggregate combines per-partition partial states and ships "
-        "two doubles per language. Boundary docs (score == cutoff) go "
+        "of the corpus — the window-skew cliff). The percentile "
+        "aggregate's partial state is a count map over DISTINCT scores "
+        "— and scores are 6-dp-rounded surprisals in a small numeric "
+        "range, so the state is bounded by the value grid (millions of "
+        "entries at most), independent of document count: the hot "
+        "language's merge task handles a bounded map, not a "
+        "corpus-sized sort. Boundary docs (score == cutoff) go "
         "to the lower bucket in both engines: scores are 6-dp-rounded "
         "doubles and both engines interpolate percentiles with the "
         "same index arithmetic, so the comparisons agree bit-for-bit. "

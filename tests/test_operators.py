@@ -535,22 +535,70 @@ def test_zipf_fit_degenerate_head_yields_null_not_nan(spark):
     assert row.r_squared is None  # 0/0 → NULL, never NaN
 
 
-def test_ccnet_buckets_are_balanced_and_ordered(spark, sf_dir):
-    # NTILE(3) must split each language into near-equal thirds (sizes
-    # within 1), and the tercile semantics must hold: mean surprisal
-    # strictly increases head -> middle -> tail for every language.
+def test_ccnet_buckets_ordered_and_complete(spark, sf_dir):
+    # Cutoff-based terciles: every bucket that exists is strictly
+    # ordered by mean surprisal, the head always exists (scores <= t1 is
+    # never empty), and every scored doc lands in exactly one bucket.
+    # Balance is NOT an invariant here — ties at a cutoff legitimately
+    # collapse into the lower bucket (pinned by the constructed-tie test
+    # below); the fixture happens to be tie-free so all three buckets
+    # appear near-equal, but the assertion must not depend on that luck.
     from nt_etl_order_book_spark import registry
+
+    from nt_etl_order_book_spark.tables import load_table
 
     rows = registry.all_specs()["ccnet_buckets"].fn(spark, sf_dir).collect()
     by_lang: dict[str, dict[str, object]] = {}
     for r in rows:
         by_lang.setdefault(r.lang, {})[r.bucket] = r
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    expected = {
+        r.lang: r.n
+        for r in docs.filter(F.size(toks) >= 1)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    order = {"head": 0, "middle": 1, "tail": 2}
     for lang, buckets in by_lang.items():
-        assert set(buckets) == {"head", "middle", "tail"}, lang
-        sizes = [buckets[b].n_docs for b in ("head", "middle", "tail")]
-        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
-        nlls = [buckets[b].mean_avg_nll for b in ("head", "middle", "tail")]
-        assert nlls[0] < nlls[1] < nlls[2], (lang, nlls)
+        assert set(buckets) <= {"head", "middle", "tail"} and "head" in buckets, lang
+        assert sum(b.n_docs for b in buckets.values()) == expected[lang], lang
+        present = sorted(buckets, key=order.__getitem__)
+        nlls = [buckets[b].mean_avg_nll for b in present]
+        assert nlls == sorted(nlls) and len(set(nlls)) == len(nlls), (lang, nlls)
+
+
+def test_ccnet_buckets_ties_collapse_to_lower_bucket(spark):
+    # Pinned cutoff semantics on a constructed corpus: scores tied AT a
+    # cutoff all take the lower bucket. One lang, 9 docs, three distinct
+    # surprisal scores with counts (4, 4, 1) ascending: the 2/3 cutoff
+    # lands exactly ON the tied middle score, so all 4 middle-scored
+    # docs collapse into 'middle' and the split is deliberately
+    # unbalanced (4, 4, 1) — the behavior the balance-style NTILE
+    # assertion would wrongly reject.
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import text as textmod
+
+    # Vocabulary frequency drives surprisal: token counts c×16 > r×4 >
+    # m×2, so scores ascend c-docs < r-docs < m-doc, with the four
+    # r-docs tied exactly.
+    rows = (
+        [(i, "en", "c c c c") for i in range(4)]
+        + [(4, "en", "m m")]
+        + [(i, "en", "r") for i in range(5, 9)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    orig = textmod.load_table
+    try:
+        textmod.load_table = lambda _s, _d, name: docs
+        out = {
+            r.bucket: r.n_docs
+            for r in registry.all_specs()["ccnet_buckets"].fn(spark, "_").collect()
+        }
+    finally:
+        textmod.load_table = orig
+    assert out == {"head": 4, "middle": 4, "tail": 1}
 
 
 def test_lang_id_confusion_fracs_sum_and_diagonal_on_marked_corpus(spark, sf_dir):
