@@ -395,3 +395,58 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_grid") == 1)
         .select("user_id", "gts", "ffill_value")
     )
+
+
+@register(
+    "ohlc_bars",
+    """
+    WITH keyed AS (
+      SELECT user_id,
+             date_trunc('hour', ts) AS bar_ts,
+             value,
+             epoch_us(ts) * 1000 + event_id AS k
+      FROM events
+    )
+    SELECT user_id, bar_ts,
+           arg_min(value, k) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, k) AS close,
+           COUNT(*) AS n_events
+    FROM keyed
+    GROUP BY user_id, bar_ts
+    """,
+    doc=(
+        "Hourly OHLC bars per user: open/close via min_by/max_by on a "
+        "UNIQUE composite key (epoch-µs scaled + event_id — two events "
+        "on the same microsecond cannot make open/close "
+        "partition-order-dependent), high/low plain extremes. The "
+        "canonical financial downsampler, ONE hash aggregate with "
+        "map-side partial combine — no window, no sort; at any scale "
+        "the shuffle carries one partial bar per (user, hour) per "
+        "partition. The aggregation twin of resample_ffill's "
+        "gap-filling grid."
+    ),
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Unique tiebreak key: epoch microseconds leaves headroom for
+    # event_id in the low bits only if scaled; *1000 then + event_id is
+    # collision-free while event counts per microsecond < 1000 (fixture
+    # ids are globally unique anyway — the key only needs uniqueness).
+    # NTZ → timestamp cast is exact under the UTC session discipline
+    # (the win_range_frame pattern); unix_micros needs TIMESTAMP.
+    k = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000) + F.col("event_id")
+    keyed = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+        "value",
+        k.alias("k"),
+    )
+    return keyed.groupBy("user_id", "bar_ts").agg(
+        F.min_by("value", "k").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "k").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

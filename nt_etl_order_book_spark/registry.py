@@ -172,6 +172,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "license_tag",          # new r5: license-marker compliance census
     "resample_ffill",       # new r5: daily-grid resample + forward fill
     "ngram_novelty",        # new r5: per-doc memorization/overlap census
+    "ohlc_bars",            # new r5: hourly OHLC downsampler (min_by/max_by)
 )
 
 

@@ -737,3 +737,32 @@ def test_ngram_novelty_exact_on_constructed_corpus(spark):
         2: (3, 2, 0.666667),
         3: (2, 2, 1.0),
     }
+
+
+def test_ohlc_bars_same_timestamp_tiebreak(spark):
+    # Two events in the same hour with IDENTICAL timestamps: open must
+    # be the lower event_id's value and close the higher's (the unique
+    # composite key), high/low the extremes; a second hour opens fresh.
+    import datetime as dt
+
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.operators import windows as winmod
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 10, 0, 5), 7, 30.0),
+        (2, T(2024, 1, 1, 10, 0, 5), 7, 10.0),  # same ts, higher id → close
+        (3, T(2024, 1, 1, 10, 30, 0), 7, 99.0),
+        (4, T(2024, 1, 1, 11, 0, 1), 7, 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    orig = winmod.load_table
+    try:
+        winmod.load_table = lambda _s, _d, name: ev
+        out = {
+            r.bar_ts.hour: (r.open, r.high, r.low, r.close, r.n_events)
+            for r in registry.all_specs()["ohlc_bars"].fn(spark, "_").collect()
+        }
+    finally:
+        winmod.load_table = orig
+    assert out == {10: (30.0, 99.0, 10.0, 99.0, 3), 11: (5.0, 5.0, 5.0, 5.0, 1)}
