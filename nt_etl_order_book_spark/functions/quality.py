@@ -1,0 +1,152 @@
+"""Document quality signals: character entropy and compressibility.
+
+Two classic pretraining-corpus quality filters that complement the
+Gopher-rule battery in functions/text.py:
+
+- `char_entropy` — Shannon entropy of the character distribution per
+  document (nats). Machine-generated spam, keyboard mash, and
+  single-character floods sit far below natural text. Computed fully
+  NARROW: a higher-order-function fold builds the per-doc character
+  histogram in place, so no character ever leaves its row — zero
+  shuffles at any corpus size. Cost is O(len x alphabet) per doc (the
+  fold rebuilds a bounded map per step); for unicode-heavy corpora
+  whose alphabet is not small, the fallback is the explode +
+  groupBy(doc_id, ch) form, which shuffles (doc_id, ch) pairs.
+- `compression_ratio` — zlib-deflate ratio per document, the
+  "compressibility" dedup/quality heuristic (highly repetitive text
+  compresses too well, high-entropy noise barely at all). zlib lives
+  Python-side, so this is an Arrow-batched mapInPandas — narrow, no
+  shuffle — and rows-only by contract (no SQL oracle can run zlib);
+  tests pin exact byte counts against direct zlib calls.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.tables import load_table
+
+# Below this many nats of character entropy a "document" is almost
+# certainly degenerate (natural English prose sits near ~2.8-3.0).
+LOW_ENTROPY_NATS = 2.0
+
+
+@register(
+    "char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, LENGTH(text) AS L,
+             UNNEST([text[i] FOR i IN range(1, LENGTH(text) + 1)]) AS ch
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    c AS (
+      SELECT doc_id, L, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, L, ch
+    ),
+    e AS (
+      SELECT doc_id,
+             -CAST(SUM(CAST((CAST(c AS DOUBLE) / L) * LN(CAST(c AS DOUBLE) / L)
+                            AS DECIMAL(38,18))) AS DOUBLE) AS ent
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(ent, 6) AS entropy_nats,
+           CASE WHEN ent < {thr} THEN 1 ELSE 0 END AS low_entropy
+    FROM e
+    """.replace("{thr}", repr(LOW_ENTROPY_NATS)),
+    doc=(
+        "Per-document character-level Shannon entropy (nats) with a "
+        "degenerate-text flag. The histogram is built by ONE aggregate "
+        "fold over split(text, '') — a per-row map update, so the "
+        "operator is completely narrow: no explode, no shuffle, text "
+        "never leaves its partition. Entropy terms (p ln p, p an exact "
+        "ratio of BIGINTs) accumulate as DECIMAL(38,18), making the sum "
+        "independent of map iteration order — the oracle builds the "
+        "same counts via explode + GROUP BY and lands on the identical "
+        "6-dp value; the flag compares the UNROUNDED double, which the "
+        "exact-decimal sum makes bit-identical cross-engine. Empty "
+        "documents are excluded in both engines (a character "
+        "distribution does not exist for them)."
+    ),
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    staged = docs.select(
+        "doc_id",
+        F.length("text").alias("L"),
+        F.expr(
+            "aggregate(split(text, ''), cast(map() as map<string,bigint>), "
+            "(acc, ch) -> map_concat(map_filter(acc, (k, v) -> k != ch), "
+            "map(ch, coalesce(acc[ch], 0L) + 1L)))"
+        ).alias("cnts"),
+    )
+    ent = staged.select(
+        "doc_id",
+        (
+            # The per-step re-cast keeps the accumulator at (38,18):
+            # Spark types decimal + decimal as (38,17) otherwise.
+            -F.expr(
+                "cast(aggregate(map_values(cnts), cast(0 as decimal(38,18)), "
+                "(s, c) -> cast(s + cast((cast(c as double) / L) * ln(cast(c as double) / L) "
+                "as decimal(38,18)) as decimal(38,18))) as double)"
+            )
+        ).alias("ent"),
+    )
+    return ent.select(
+        "doc_id",
+        F.round("ent", 6).alias("entropy_nats"),
+        F.when(F.col("ent") < LOW_ENTROPY_NATS, 1).otherwise(0).cast("int").alias("low_entropy"),
+    )
+
+
+# zlib compression level pinned so the byte counts are reproducible.
+ZLIB_LEVEL = 6
+
+
+@register(
+    "compression_ratio",
+    None,
+    doc=(
+        "Per-document zlib-deflate compressibility: raw UTF-8 bytes, "
+        "compressed bytes at pinned level 6, and the raw/compressed "
+        "ratio. The classic cheap proxy pair of filters: ratio far "
+        "above the corpus band = boilerplate/repetition, far below = "
+        "binary junk or ciphertext. Runs as Arrow-batched mapInPandas "
+        "(zlib is Python stdlib; no JVM twin exists) — narrow, "
+        "shuffle-free, scales with the scan. Rows-only by contract "
+        "(no SQL engine runs zlib); tests pin exact byte counts "
+        "against direct zlib.compress calls and the "
+        "repetitive-vs-random ordering invariant."
+    ),
+)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it: Iterator) -> Iterator:
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            raw_bytes = raw.str.len().astype("int64")
+            comp_bytes = raw.map(lambda b: len(zlib.compress(b, ZLIB_LEVEL))).astype("int64")
+            # floor(x + 0.5) rounding convention: pandas .round() is
+            # half-even, SQL half-away — keep the repo-wide discipline.
+            import numpy as np
+
+            ratio = np.floor(raw_bytes / comp_bytes * 10_000 + 0.5) / 10_000
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw_bytes,
+                    "zlib_bytes": comp_bytes,
+                    "ratio": ratio,
+                }
+            )
+
+    return docs.mapInPandas(
+        batches, "doc_id long, raw_bytes long, zlib_bytes long, ratio double"
+    )

@@ -1,0 +1,183 @@
+"""Event-flow analytics: funnels, cohort retention, robust anomaly scan.
+
+The product-analytics trio every events warehouse serves. All three are
+pure hash-aggregate / broadcast plans — no windows, no per-key ordered
+passes — so they scale as "one or two shuffles of keys strictly
+narrower than the input rows":
+
+- `funnel_conversion` — conditional MIN per user (one shuffle of
+  (user, 3 timestamps) partial states), then a single global combine.
+- `retention_cohorts` — distinct (user, week) grid, cohort = MIN week
+  per user; both aggregates and the self-join share the user_id
+  hash partitioning, so AQE plans one exchange for the fan-in.
+- `anomaly_zscore` — exact median/MAD need two ordered passes by
+  definition; each pass reduces to a 5-row stats table that BROADCASTS
+  back, so the three scans are narrow and join-shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.tables import load_table
+
+# Funnel step definitions: strictly-ordered first-touch timestamps.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t1) AS n_step1,
+           CAST(SUM(CASE WHEN t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_step2,
+           CAST(SUM(CASE WHEN t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS n_step3
+    FROM u
+    """,
+    doc=(
+        "Strict-order conversion funnel view -> click -> purchase: a "
+        "user advances to a step only if its FIRST occurrence is after "
+        "the first occurrence of the previous step (first-touch "
+        "attribution). One conditional-MIN hash aggregate per user — "
+        "map-side combine ships 3 partial timestamps per (user, "
+        "partition) — then a 1-row global fold. No window, no join, no "
+        "second scan: the shape survives any event volume because the "
+        "shuffle carries users, not events. NULL-safe by construction: "
+        "a missing step keeps t_k NULL and every comparison against it "
+        "is false in both engines."
+    ),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t1, t2, t3 = (
+        F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i+1}")
+        for i, s in enumerate(FUNNEL_STEPS)
+    )
+    u = ev.groupBy("user_id").agg(t1, t2, t3)
+    step2 = F.col("t2") > F.col("t1")
+    step3 = step2 & (F.col("t3") > F.col("t2"))
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_step1"),
+        F.sum(F.when(step2, 1).otherwise(0)).alias("n_step2"),
+        F.sum(F.when(step3, 1).otherwise(0)).alias("n_step3"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(wk) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', c.cohort_week, w.wk) // 7 AS BIGINT) AS week_index,
+           COUNT(*) AS n_users
+    FROM wk w JOIN cohort c ON w.user_id = c.user_id
+    GROUP BY c.cohort_week, week_index
+    """,
+    doc=(
+        "Weekly cohort retention matrix: cohort = ISO week of a user's "
+        "first event, cell (cohort, k) = users from that cohort active "
+        "k weeks later. The distinct (user, week) grid is the ONLY "
+        "event-volume-sized shuffle; the cohort MIN, the self-join, and "
+        "the final count all hash on user_id over that already-reduced "
+        "grid (users x active-weeks rows), so AQE reuses the "
+        "partitioning instead of re-exchanging. week_index is an exact "
+        "integer day-difference / 7 — both engines truncate Monday-"
+        "anchored weeks, so the division is always whole."
+    ),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    joined = wk.join(cohort, "user_id")
+    week_index = (
+        F.datediff(F.to_date("wk"), F.to_date("cohort_week")) / F.lit(7)
+    ).cast("bigint")
+    return (
+        joined.select("cohort_week", week_index.alias("week_index"))
+        .groupBy("cohort_week", "week_index")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# Scale constant for a normal-consistent robust sigma from the MAD.
+MAD_SIGMA = 1.4826
+
+
+@register(
+    "anomaly_zscore",
+    f"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, median(ABS(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           ROUND(m.med, 6) AS med,
+           ROUND(d.mad, 6) AS mad,
+           CAST(SUM(CASE WHEN ABS(e.value - m.med) / ({MAD_SIGMA} * d.mad) > 3.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(ABS(e.value - m.med) / ({MAD_SIGMA} * d.mad)), 6) AS max_abs_z
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type, m.med, d.mad
+    """,
+    doc=(
+        "Robust anomaly scan per message type: median/MAD z-scores "
+        "(z = |x - med| / (1.4826 * MAD)), count of |z| > 3 and the "
+        "worst offender. Median-based, so the detector itself is not "
+        "poisoned by the outliers it hunts — the standard telemetry "
+        "guard on a feed's value channel. Exact medians force two "
+        "ordered passes (median of deviations needs the median first); "
+        "each pass collapses to a |event_type|-row stats table that "
+        "broadcasts back onto the scan, so the plan is three narrow "
+        "scans + two broadcast joins, zero fact-side shuffles beyond "
+        "the percentile aggregations of (type, value) pairs. At 100 TB "
+        "swap exact median for percentile_approx and it becomes two "
+        "scans; the exact form is what the oracle hash-checks."
+    ),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    z = (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .withColumn("absz", F.abs(F.col("value") - F.col("med")) / (F.lit(MAD_SIGMA) * F.col("mad")))
+    )
+    return z.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("absz") > 3.0, 1).otherwise(0)).alias("n_outliers"),
+        F.round(F.max("absz"), 6).alias("max_abs_z"),
+    ).select(
+        "event_type",
+        "n",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "n_outliers",
+        "max_abs_z",
+    )

@@ -1,0 +1,216 @@
+"""Time-series / market-analytics operators over the events stream.
+
+The reference pipeline lands order-book ticks into Postgres for exactly
+this kind of downstream consumption (reference: postgres_client.py
+write path); these are the canonical downsampling and risk statistics a
+market data store serves, re-expressed as Spark plans over the `events`
+fixture (user_id ~ market, value ~ price).
+
+Scale discipline shared by the family:
+
+- Path-dependent statistics (returns, running peaks, inter-arrival
+  gaps) need a per-key ordered pass — one window shuffle. Every window
+  here is keyed as finely as the semantics allow (``(user, day)`` for
+  intraday returns, ``(user, event_type)`` for gaps) so a single task
+  never serializes more than one key-slice; only `max_drawdown` is
+  inherently whole-history-per-key (running peak is a prefix scan) and
+  its docstring says so.
+- Aggregation after the window re-shuffles strictly narrower keys
+  (grouping columns + one double), never rows.
+- Double sums accumulate in exact DECIMAL (registry discipline) so
+  results are partition-order independent and oracle-hashable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.operators.aggregates import DEC, sql_dsum
+from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.tables import load_table
+
+
+@register(
+    "realized_volatility",
+    """
+    WITH r AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             LN(value / LAG(value) OVER (
+                PARTITION BY user_id, date_trunc('day', ts)
+                ORDER BY ts, event_id)) AS r
+      FROM events WHERE value > 0
+    )
+    SELECT user_id, day,
+           ROUND(CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE), 6) AS rv,
+           COUNT(r) AS n_ret
+    FROM r GROUP BY user_id, day
+    """,
+    doc=(
+        "Daily realized variance per market: sum of squared intraday "
+        "log returns, the canonical high-frequency volatility estimator "
+        "(Andersen-Bollerslev RV). Returns are computed WITHIN a "
+        "(user, day) window — day-boundary returns are excluded by "
+        "definition, which also bounds the window task: one task never "
+        "sorts more than one market-day of ticks, so a hot market "
+        "cannot skew the stage at 100 TB. Order inside the window is "
+        "(ts, event_id) — unique, so LAG is deterministic. The r^2 "
+        "terms accumulate as DECIMAL(38,18); a day with a single tick "
+        "yields NULL rv / 0 returns in both engines (SUM of empty)."
+    ),
+)
+def q_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    r = F.log(F.col("value") / F.lag("value").over(w))
+    ret = ev.select("user_id", day.alias("day"), r.alias("r"))
+    return ret.groupBy("user_id", "day").agg(
+        F.round(F.sum((F.col("r") * F.col("r")).cast("decimal(38,18)")).cast("double"), 6).alias("rv"),
+        F.count("r").alias("n_ret"),
+    )
+
+
+@register(
+    "max_drawdown",
+    """
+    WITH dd AS (
+      SELECT user_id,
+             (MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - value)
+             / MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS dd
+      FROM events WHERE value > 0
+    )
+    SELECT user_id, ROUND(MAX(dd), 6) AS max_drawdown, COUNT(*) AS n_events
+    FROM dd GROUP BY user_id
+    """,
+    doc=(
+        "Maximum drawdown per market: running peak over the (ts, "
+        "event_id)-ordered price path, drawdown = (peak - value)/peak, "
+        "report the worst. Inherently a per-key prefix scan — the ONE "
+        "operator in this family whose window must see a key's whole "
+        "history in order, so per-task work is bounded by events per "
+        "market within the table's retention, not shardable further "
+        "without a two-pass carry-in scheme; deployments bound it by "
+        "scoping the scan to the retention window they care about. "
+        "Peak is a running MAX of doubles (exact, order-fixed by the "
+        "unique sort key), so no decimal accumulation is needed until "
+        "the final MAX, which is also exact."
+    ),
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("value").over(w)
+    dd = (peak - F.col("value")) / peak
+    return (
+        ev.select("user_id", dd.alias("dd"))
+        .groupBy("user_id")
+        .agg(F.round(F.max("dd"), 6).alias("max_drawdown"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "interarrival_stats",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           quantile_cont(gap_us, 0.5) AS p50_us,
+           quantile_cont(gap_us, 0.9) AS p90_us,
+           quantile_cont(gap_us, 0.99) AS p99_us,
+           MAX(gap_us) AS max_us
+    FROM g GROUP BY event_type
+    """,
+    doc=(
+        "Inter-arrival-time profile per message type: microsecond gaps "
+        "between consecutive events of the same type within a market's "
+        "stream, summarized as exact interpolated percentiles. The "
+        "staleness/liveness monitor for a feed — the batch twin of the "
+        "reference's sequence-gap alerting (kalshi_ws_client seq "
+        "tracking): seq_gap_check finds DROPPED messages, this measures "
+        "DELAY between the ones that arrived. Window key is (user, "
+        "event_type) — finer than the output grain, so the ordered pass "
+        "shards across markets; only (event_type, gap) pairs reach the "
+        "percentile sort. Exact percentiles are what the oracle can "
+        "hash; at 100 TB swap in percentile_approx and accept the "
+        "sketch bound (the length_profile_by_source trade-off)."
+    ),
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = tus - F.lag(tus).over(w)
+    return (
+        ev.select("event_type", gap.alias("gap_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.expr("percentile(gap_us, 0.5)").alias("p50_us"),
+            F.expr("percentile(gap_us, 0.9)").alias("p90_us"),
+            F.expr("percentile(gap_us, 0.99)").alias("p99_us"),
+            F.max("gap_us").alias("max_us"),
+        )
+    )
+
+
+@register(
+    "hypertable_rollup",
+    f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           {sql_dsum('value')} AS sum_value,
+           COUNT(*) AS n_events,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+    doc=(
+        "Hypertable-style hierarchical rollup: the hourly continuous "
+        "aggregate is materialized first, then the daily level is "
+        "derived by RE-AGGREGATING the hourly partials (sum of decimal "
+        "partial sums, sum of counts, min of mins, max of maxes) — "
+        "never by re-scanning raw rows. This is the TimescaleDB "
+        "continuous-aggregate / OLAP-cube refresh pattern: at 100 TB "
+        "the raw scan happens once for the finest grain and every "
+        "coarser grain costs only |hours| rows. Correctness hinges on "
+        "the partials being decomposable — exact DECIMAL partial sums "
+        "make the two-level sum bit-identical to the oracle's direct "
+        "daily aggregate (decimal addition is associative; double "
+        "addition would NOT be). The daily re-shuffle moves one row "
+        "per (type, hour)."
+    ),
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    return hourly.groupBy(
+        "event_type", F.date_trunc("day", F.col("hour")).alias("day")
+    ).agg(
+        F.sum("sum_dec").cast("double").alias("sum_value"),
+        F.sum("n_events").alias("n_events"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )

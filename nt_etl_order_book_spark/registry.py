@@ -173,6 +173,15 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "resample_ffill",       # new r5: daily-grid resample + forward fill
     "ngram_novelty",        # new r5: per-doc memorization/overlap census
     "ohlc_bars",            # new r5: hourly OHLC downsampler (min_by/max_by)
+    "realized_volatility",  # new r5: daily realized variance (intraday log returns)
+    "max_drawdown",         # new r5: running-peak drawdown per market
+    "interarrival_stats",   # new r5: inter-arrival gap percentiles per type
+    "hypertable_rollup",    # new r5: hourly->daily continuous-aggregate cascade
+    "funnel_conversion",    # new r5: strict-order first-touch funnel
+    "retention_cohorts",    # new r5: weekly cohort retention matrix
+    "anomaly_zscore",       # new r5: median/MAD robust outlier scan
+    "char_entropy",         # new r5: per-doc character entropy (narrow HOF fold)
+    "compression_ratio",    # new r5: zlib compressibility signal (rows-only)
 )
 
 
@@ -182,9 +191,11 @@ def all_specs() -> dict[str, QuerySpec]:
     from nt_etl_order_book_spark.operators import (  # noqa: F401
         aggregates,
         composites,
+        eventflow,
         joins,
         setops,
         skew,
+        timeseries,
         transforms,
         windows,
     )
@@ -193,6 +204,7 @@ def all_specs() -> dict[str, QuerySpec]:
         dedup,
         multimodal,
         packing,
+        quality,
         sampling,
         scalar,
         similarity,

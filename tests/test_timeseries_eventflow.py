@@ -1,0 +1,246 @@
+"""Constructed-input correctness + plan gates for the r5 time-series,
+event-flow, and quality families (timeseries.py / eventflow.py /
+quality.py). The fixture-vs-DuckDB hash check lives in tools/check.py;
+these tests pin the SEMANTICS on inputs the fixture can't express
+(day boundaries, strict funnel ordering, planted outliers, degenerate
+text) and the plan shapes the 100 TB claims rest on."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import zlib
+
+import pytest
+
+from nt_etl_order_book_spark import registry
+from nt_etl_order_book_spark.functions import quality as qualmod
+from nt_etl_order_book_spark.operators import eventflow as flowmod
+from nt_etl_order_book_spark.operators import timeseries as tsmod
+from nt_etl_order_book_spark.plans.explain import (
+    count_shuffles,
+    formatted_plan,
+    plan_has_partial_aggregate,
+    plan_uses_broadcast_join,
+    scan_read_schema,
+)
+
+T = dt.datetime
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def _run(module, name, spark, frame):
+    orig = module.load_table
+    try:
+        module.load_table = lambda _s, _d, _n: frame
+        return registry.all_specs()[name].fn(spark, "_").collect()
+    finally:
+        module.load_table = orig
+
+
+# ---------------------------------------------------------------- timeseries
+
+
+def test_realized_volatility_intraday_only_and_single_tick_day(spark):
+    # Day 1: 100 -> 110 (one return). Day 2: single tick — the
+    # day-boundary 110 -> 50 move must NOT appear as a return.
+    rows = [
+        (1, T(2024, 1, 1, 9), 7, "view", 100.0),
+        (2, T(2024, 1, 1, 10), 7, "view", 110.0),
+        (3, T(2024, 1, 2, 9), 7, "view", 50.0),
+    ]
+    out = {r.day.day: (r.rv, r.n_ret) for r in _run(tsmod, "realized_volatility", spark, _events(spark, rows))}
+    assert out[1][1] == 1
+    assert out[1][0] == pytest.approx(math.log(1.1) ** 2, abs=1e-6)
+    assert out[2] == (None, 0)  # single-tick day: NULL rv, zero returns
+
+
+def test_max_drawdown_running_peak(spark):
+    # Path 100 -> 120 -> 60 -> 90: worst drawdown is (120-60)/120 = 0.5
+    # (the later recovery to 90 must not mask it).
+    rows = [
+        (1, T(2024, 1, 1, 9), 7, "view", 100.0),
+        (2, T(2024, 1, 1, 10), 7, "view", 120.0),
+        (3, T(2024, 1, 1, 11), 7, "view", 60.0),
+        (4, T(2024, 1, 1, 12), 7, "view", 90.0),
+    ]
+    [r] = _run(tsmod, "max_drawdown", spark, _events(spark, rows))
+    assert (r.user_id, r.max_drawdown, r.n_events) == (7, 0.5, 4)
+
+
+def test_interarrival_gaps_scoped_to_user_and_type(spark):
+    # User 7 clicks at t0, +10s, +30s -> gaps 10s, 20s. User 8's click
+    # and user 7's views must not contaminate the click gap stream.
+    t0 = T(2024, 1, 1, 9)
+    rows = [
+        (1, t0, 7, "click", 1.0),
+        (2, t0 + dt.timedelta(seconds=10), 7, "click", 1.0),
+        (3, t0 + dt.timedelta(seconds=30), 7, "click", 1.0),
+        (4, t0 + dt.timedelta(seconds=1), 7, "view", 1.0),
+        (5, t0 + dt.timedelta(seconds=2), 8, "click", 1.0),
+    ]
+    out = {r.event_type: r for r in _run(tsmod, "interarrival_stats", spark, _events(spark, rows))}
+    clk = out["click"]
+    assert (clk.n_gaps, clk.max_us) == (2, 20_000_000)
+    assert clk.p50_us == pytest.approx(15_000_000.0)  # interpolated median
+    assert out["view"].n_gaps == 0
+
+
+def test_hypertable_rollup_cascade_equals_direct_daily(spark, sf_dir):
+    # The two-level (hourly -> daily) cascade must be bit-identical to a
+    # direct daily aggregate — the decomposability claim, checked
+    # in-engine (the DuckDB oracle re-proves it cross-engine).
+    from pyspark.sql import functions as F
+
+    from nt_etl_order_book_spark.operators.aggregates import DEC
+    from nt_etl_order_book_spark.tables import load_table
+
+    cascade = registry.all_specs()["hypertable_rollup"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    direct = ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    key = lambda r: (r.event_type, r.day)  # noqa: E731
+    assert sorted(map(tuple, cascade.collect()), key=str) == sorted(
+        map(tuple, direct.collect()), key=str
+    )
+
+
+# ----------------------------------------------------------------- eventflow
+
+
+def test_funnel_requires_strict_first_touch_order(spark):
+    t0 = T(2024, 1, 1, 9)
+    s = lambda k: t0 + dt.timedelta(seconds=k)  # noqa: E731
+    rows = [
+        # user 1: view -> click -> purchase (full funnel)
+        (1, s(1), 1, "view", 1.0), (2, s(2), 1, "click", 1.0), (3, s(3), 1, "purchase", 1.0),
+        # user 2: click BEFORE first view — never reaches step 2
+        (4, s(1), 2, "click", 1.0), (5, s(2), 2, "view", 1.0),
+        # user 3: view only
+        (6, s(1), 3, "view", 1.0),
+        # user 4: purchase fired before the click — step 2 yes, step 3 no
+        (7, s(1), 4, "purchase", 1.0), (8, s(2), 4, "view", 1.0), (9, s(3), 4, "click", 1.0),
+    ]
+    [r] = _run(flowmod, "funnel_conversion", spark, _events(spark, rows))
+    assert (r.n_users, r.n_step1, r.n_step2, r.n_step3) == (4, 4, 2, 1)
+
+
+def test_retention_cohort_week_indexing(spark):
+    # 2024-01-01 is a Monday. User 1 active weeks 0 and 2 of its
+    # cohort; user 2's cohort starts the following week.
+    rows = [
+        (1, T(2024, 1, 2), 1, "view", 1.0),     # week of 2024-01-01
+        (2, T(2024, 1, 17), 1, "view", 1.0),    # week of 2024-01-15 -> index 2
+        (3, T(2024, 1, 10), 2, "view", 1.0),    # week of 2024-01-08
+    ]
+    out = {(r.cohort_week.date().isoformat(), r.week_index): r.n_users
+           for r in _run(flowmod, "retention_cohorts", spark, _events(spark, rows))}
+    assert out == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1, ("2024-01-08", 0): 1}
+
+
+def test_anomaly_zscore_flags_planted_outlier(spark):
+    t0 = T(2024, 1, 1, 9)
+    vals = [8.0, 9.0, 10.0, 11.0, 12.0] * 4 + [1000.0]
+    rows = [(i, t0 + dt.timedelta(seconds=i), 7, "x", v) for i, v in enumerate(vals)]
+    [r] = _run(flowmod, "anomaly_zscore", spark, _events(spark, rows))
+    assert (r.med, r.mad, r.n_outliers) == (10.0, 1.0, 1)
+    assert r.max_abs_z == pytest.approx(990.0 / 1.4826, abs=1e-6)
+
+
+# ------------------------------------------------------------------- quality
+
+
+def test_char_entropy_exact_on_constructed_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcdefghijklmnopqrstuvwxyz")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.entropy_nats, r.low_entropy)
+           for r in _run(qualmod, "char_entropy", spark, docs)}
+    assert out[1] == (0.0, 1)                       # single symbol: zero entropy
+    assert out[2][0] == pytest.approx(math.log(2), abs=1e-6) and out[2][1] == 1
+    assert out[3][0] == pytest.approx(math.log(26), abs=1e-6) and out[3][1] == 0
+
+
+def test_compression_ratio_pins_exact_zlib_bytes(spark, sf_dir):
+    from nt_etl_order_book_spark.tables import load_table
+
+    got = {r.doc_id: r for r in registry.all_specs()["compression_ratio"].fn(spark, sf_dir).collect()}
+    sample = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(5).collect()
+    assert sample
+    for row in sample:
+        raw = row.text.encode("utf-8")
+        exp_comp = len(zlib.compress(raw, qualmod.ZLIB_LEVEL))
+        r = got[row.doc_id]
+        assert (r.raw_bytes, r.zlib_bytes) == (len(raw), exp_comp)
+        assert r.ratio == math.floor(len(raw) / exp_comp * 10_000 + 0.5) / 10_000
+
+
+def test_compression_ratio_orders_repetitive_above_random(spark):
+    import random
+
+    rng = random.Random(7)
+    rep = "spam ham " * 200
+    rnd = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(len(rep)))
+    docs = spark.createDataFrame([(1, rep), (2, rnd)], "doc_id long, text string")
+    out = {r.doc_id: r.ratio for r in _run(qualmod, "compression_ratio", spark, docs)}
+    assert out[1] > 3 * out[2]  # boilerplate compresses far better
+
+
+# ----------------------------------------------------------------- plan gates
+
+
+def test_realized_volatility_window_sharded_by_day(spark, sf_dir):
+    df = registry.queries()["realized_volatility"](spark, sf_dir)
+    # one window exchange + one aggregate exchange, nothing quadratic
+    assert count_shuffles(df) <= 2
+    cols = scan_read_schema(df)
+    assert "props" not in cols and "event_type" not in cols
+    # the window partition key must include the day shard, not just user
+    assert "day" in formatted_plan(df) or "date_trunc" in formatted_plan(df).lower()
+
+
+def test_hypertable_rollup_two_level_aggregate(spark, sf_dir):
+    df = registry.queries()["hypertable_rollup"](spark, sf_dir)
+    assert plan_has_partial_aggregate(df)
+    assert count_shuffles(df) == 2  # hourly exchange + daily exchange
+
+
+def test_anomaly_zscore_stats_broadcast_back(spark, sf_dir):
+    df = registry.queries()["anomaly_zscore"](spark, sf_dir)
+    assert plan_uses_broadcast_join(df)
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    df = registry.queries()["funnel_conversion"](spark, sf_dir)
+    assert plan_has_partial_aggregate(df)
+    # user-grain exchange + the 1-row global fold's single-partition pass
+    assert count_shuffles(df) <= 2
+
+
+def test_char_entropy_is_fully_narrow(spark, sf_dir):
+    df = registry.queries()["char_entropy"](spark, sf_dir)
+    assert count_shuffles(df) == 0
+    cols = scan_read_schema(df)
+    assert "lang" not in cols and "source" not in cols
+
+
+def test_compression_ratio_is_fully_narrow(spark, sf_dir):
+    df = registry.queries()["compression_ratio"](spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
+def test_retention_cohorts_bounded_exchanges(spark, sf_dir):
+    df = registry.queries()["retention_cohorts"](spark, sf_dir)
+    # distinct grid + cohort agg + join + final agg, all on the same
+    # user_id hash partitioning where AQE can reuse it
+    assert count_shuffles(df) <= 4
