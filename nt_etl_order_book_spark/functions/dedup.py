@@ -994,3 +994,60 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias("novelty_frac"),
         )
     )
+
+
+# delta_dedup's batch split: every BATCH_MOD-th doc plays the "tonight's
+# crawl increment"; the rest are the already-ingested corpus.
+BATCH_MOD = 10
+
+
+@register(
+    "delta_dedup",
+    f"""
+    WITH incoming AS (
+      SELECT doc_id, source, n_chars, md5(text) AS digest
+      FROM documents WHERE doc_id % {BATCH_MOD} = 0
+    ),
+    corpus AS (
+      SELECT DISTINCT md5(text) AS digest
+      FROM documents WHERE doc_id % {BATCH_MOD} <> 0
+    ),
+    batch_first AS (
+      SELECT doc_id, source, n_chars, digest FROM incoming
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) = 1
+    )
+    SELECT b.doc_id, b.source, b.n_chars
+    FROM batch_first b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.digest = b.digest)
+    """,
+    doc=(
+        "Incremental (delta) exact dedup: tonight's ingest batch is "
+        "deduped first WITHIN itself (min-doc_id canonical per digest "
+        "via one min_by aggregate) and then ANTI-JOINED against the "
+        "existing corpus's digest set — the nightly-increment pattern "
+        "every growing corpus needs, and the exact twin of "
+        "bloom_filter_dedup's approximate membership check. Both sides "
+        "reduce to 16-byte digests before any shuffle: text never "
+        "leaves the scan, the anti-join moves |batch| + |corpus| "
+        "digests, and at 100 TB the corpus side is a compacted digest "
+        "table you maintain incrementally, not a re-scan (the bloom "
+        "variant trades that table for a constant-size bit array + "
+        "false positives)."
+    ),
+)
+def q_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text"))
+    incoming = docs.filter(F.col("doc_id") % BATCH_MOD == 0).select(
+        "doc_id", "source", "n_chars", digest.alias("digest")
+    )
+    corpus = docs.filter(F.col("doc_id") % BATCH_MOD != 0).select(digest.alias("digest"))
+    batch_first = (
+        incoming.groupBy("digest")
+        .agg(F.min_by(F.struct("doc_id", "source", "n_chars"), "doc_id").alias("r"))
+        .select("digest", "r.doc_id", "r.source", "r.n_chars")
+    )
+    return (
+        batch_first.join(corpus, "digest", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )

@@ -191,3 +191,55 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"ignoreNullFields": "false"},
         ).alias("packed"),
     )
+
+
+# Q18's quantity threshold, tuned to the fixture's p99 order size so
+# the result set stays selective (~1% of orders) at every SF.
+LARGE_ORDER_QTY = 250.0
+
+
+@register(
+    "composite_large_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {sql_dsum('l_quantity')} > {LARGE_ORDER_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+    doc=(
+        "TPC-H Q18 shape (large-volume customers): aggregate lineitem "
+        "to order grain, HAVING-filter to the ~1% of orders above the "
+        "quantity threshold, then join the small survivor set to "
+        "orders/customer and TakeOrdered the top 100 by price. The "
+        "plan's point at scale: the HAVING collapses the fact table "
+        "BEFORE any join — what reaches the joins is the filtered "
+        "order-grain aggregate, so the joins are survivor-sized, and "
+        "the final top-100 is a TakeOrderedAndProject (per-partition "
+        "heap + driver merge), never a global sort. Unique o_orderkey "
+        "tiebreak keeps the LIMIT set deterministic under price ties."
+    ),
+)
+def q_composite_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

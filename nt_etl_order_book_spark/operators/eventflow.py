@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nt_etl_order_book_spark.operators.aggregates import dsum, sql_dsum
 from nt_etl_order_book_spark.registry import register
 from nt_etl_order_book_spark.tables import load_table
 
@@ -180,4 +181,47 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 6).alias("mad"),
         "n_outliers",
         "max_abs_z",
+    )
+
+
+# Fixed-bound value binning for the heatmap: 10 buckets of width 50
+# covering the feed's [0, 500) value envelope; the last bucket absorbs
+# the tail. Fixed bounds (not quantiles) keep the cell ids stable
+# across batches — the property a monitoring heatmap needs.
+HEAT_BUCKET_W = 50.0
+HEAT_N_BUCKETS = 10
+
+
+@register(
+    "event_heatmap",
+    f"""
+    SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+           CAST(LEAST(FLOOR(value / {HEAT_BUCKET_W}), {HEAT_N_BUCKETS - 1}) AS INT) AS vbucket,
+           COUNT(*) AS n,
+           {{dsum}} AS sum_value
+    FROM events
+    GROUP BY hour_of_day, vbucket
+    """.format(dsum=sql_dsum("value")),
+    doc=(
+        "2-D activity heatmap: hour-of-day x fixed-width value bucket, "
+        "cell = event count + decimal-exact value mass. The canonical "
+        "ops-dashboard pre-aggregation: ONE hash aggregate whose output "
+        "is bounded at 24 x 10 cells regardless of input volume, so "
+        "map-side combine reduces any 100 TB scan to 240 partial states "
+        "per partition before the (tiny) shuffle. Bucketing is a "
+        "portable floor-divide (LEAST caps the tail bucket) — no "
+        "width_bucket builtin dependence, identical in both engines."
+    ),
+)
+def q_event_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vbucket = F.least(
+        F.floor(F.col("value") / HEAT_BUCKET_W), F.lit(HEAT_N_BUCKETS - 1)
+    ).cast("int")
+    return ev.groupBy(
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        vbucket.alias("vbucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sum_value"),
     )

@@ -182,6 +182,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "anomaly_zscore",       # new r5: median/MAD robust outlier scan
     "char_entropy",         # new r5: per-doc character entropy (narrow HOF fold)
     "compression_ratio",    # new r5: zlib compressibility signal (rows-only)
+    "composite_large_orders",  # new r5: TPC-H Q18 shape (HAVING before joins)
+    "delta_dedup",          # new r5: incremental batch-vs-corpus exact dedup
+    "event_heatmap",        # new r5: hour x value-bucket 2-D pre-aggregation
+    "heavy_hitters",        # new r5: Misra-Gries candidates + exact recount
 )
 
 
@@ -206,6 +210,7 @@ def all_specs() -> dict[str, QuerySpec]:
         packing,
         quality,
         sampling,
+        sketches,
         scalar,
         similarity,
         text,

@@ -244,3 +244,91 @@ def test_retention_cohorts_bounded_exchanges(spark, sf_dir):
     # distinct grid + cohort agg + join + final agg, all on the same
     # user_id hash partitioning where AQE can reuse it
     assert count_shuffles(df) <= 4
+
+
+# ------------------------------------------------------------ batch 2 ops
+
+
+def test_delta_dedup_constructed_collisions(spark):
+    from nt_etl_order_book_spark.functions import dedup as dedupmod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup", "s", 3),        # corpus holds "dup"
+            (10, "dup", "s", 3),       # batch copy of corpus doc -> dropped
+            (20, "new", "s", 3),       # batch-internal dup pair: 20 is canonical
+            (30, "new", "s", 3),       #   -> dropped
+            (40, "unique", "s", 6),    # genuinely new -> kept
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    orig = dedupmod.load_table
+    try:
+        dedupmod.load_table = lambda _s, _d, _n: docs
+        out = sorted(
+            r.doc_id
+            for r in registry.all_specs()["delta_dedup"].fn(spark, "_").collect()
+        )
+    finally:
+        dedupmod.load_table = orig
+    assert out == [20, 40]
+
+
+def test_heavy_hitters_sketch_equals_exact_on_skewed_corpus(spark):
+    # Vocabulary (2000) far exceeds the MG counter budget (256), so the
+    # sketch must actually prune — and still find exactly the planted
+    # heavy tokens with exact counts.
+    from nt_etl_order_book_spark.functions import sketches as skmod
+
+    body = [f"tok{i}" for i in range(2000)]          # 2000 singletons
+    hot = ["hot1"] * 500 + ["hot2"] * 300            # planted heavy hitters
+    toks = body + hot                                # n = 2800, thr = ceil(14)
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks[i::8])) for i in range(8)], "doc_id long, text string"
+    ).repartition(8)
+    orig = skmod.load_table
+    try:
+        skmod.load_table = lambda _s, _d, _n: docs
+        out = {r.token: r.cnt for r in registry.all_specs()["heavy_hitters"].fn(spark, "_").collect()}
+    finally:
+        skmod.load_table = orig
+    assert out == {"hot1": 500, "hot2": 300}
+
+
+def test_event_heatmap_tail_bucket_caps(spark):
+    rows = [
+        (1, T(2024, 1, 1, 7, 30), 1, "view", 25.0),    # hour 7, bucket 0
+        (2, T(2024, 1, 1, 7, 45), 1, "view", 499.0),   # hour 7, bucket 9
+        (3, T(2024, 1, 1, 23, 5), 2, "view", 5000.0),  # beyond range -> capped 9
+    ]
+    out = {(r.hour_of_day, r.vbucket): (r.n, r.sum_value)
+           for r in _run(flowmod, "event_heatmap", spark, _events(spark, rows))}
+    assert out == {(7, 0): (1, 25.0), (7, 9): (1, 499.0), (23, 9): (1, 5000.0)}
+
+
+def test_large_orders_having_collapses_before_joins(spark, sf_dir):
+    df = registry.queries()["composite_large_orders"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-100 is never a global sort
+    # the lineitem aggregate + HAVING must sit BELOW the joins: the
+    # order-grain aggregate appears before any join consumes lineitem
+    assert plan_has_partial_aggregate(df)
+
+
+def test_heavy_hitters_bounded_exchanges_and_broadcast(spark, sf_dir):
+    df = registry.queries()["heavy_hitters"](spark, sf_dir)
+    assert plan_uses_broadcast_join(df)
+    assert count_shuffles(df) <= 4  # candidate distinct + recount + total fold
+
+
+def test_delta_dedup_shuffles_digests_not_text(spark, sf_dir):
+    df = registry.queries()["delta_dedup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    import re
+
+    # formatted mode puts Exchange args on their own line:
+    #   Arguments: hashpartitioning(digest#6, 8), ENSURE_REQUIREMENTS, ...
+    exchange_keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert exchange_keys, "expected at least one hash exchange"
+    for args in exchange_keys:
+        assert "text" not in args  # only digests/ids move
