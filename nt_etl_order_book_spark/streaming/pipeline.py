@@ -464,3 +464,51 @@ def session_bursts(
             "n_deltas",
         )
     )
+
+
+def windowed_ohlc(
+    deltas: DataFrame,
+    *,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming OHLC bars per (event-time window, ticker): the live
+    twin of the batch `ohlc_bars` downsampler, over delta-message
+    prices. open/close use min_by/max_by on a TOTAL-ORDER key —
+    (ingestion ms, numeric-parsed redis stream id) — so two messages in
+    the same millisecond still pick a deterministic open/close (the
+    lexicographic-sid trap from analytics._sid_sort_key applies here
+    too). min_by/max_by are declarative aggregates, so state per
+    (window, ticker) is four scalars + the count, mergeable across
+    partitions — no per-message state, no custom stateful operator
+    needed, and late data folds in correctly until the watermark
+    closes the window.
+    """
+    from nt_etl_order_book_spark.analytics import _sid_sort_key
+
+    with_time = deltas.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+    k = F.struct(
+        F.col("timestamp").alias("ms"),
+        _sid_sort_key(F.col("redis_stream_id")).alias("sid"),
+    )
+    keyed = with_time.withColumn("k", k)
+    return (
+        keyed.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), "ticker")
+        .agg(
+            F.min_by("price_dollars", "k").alias("open"),
+            F.max("price_dollars").alias("high"),
+            F.min("price_dollars").alias("low"),
+            F.max_by("price_dollars", "k").alias("close"),
+            F.count(F.lit(1)).alias("n_msgs"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "ticker",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_msgs",
+        )
+    )

@@ -625,3 +625,50 @@ def test_rocksdb_state_store_config_swap(spark, tmp_path):
     assert any(
         "rocksdb" in k.lower() for s in ops for k in (s.get("customMetrics") or {})
     ), "RocksDB provider did not engage"
+
+
+def test_windowed_ohlc_stream_and_batch_parity(spark, tmp_path):
+    # Streaming OHLC bars: same-millisecond messages must pick
+    # open/close by the numeric redis-stream-id order ('-9' < '-10'),
+    # and the availableNow replay must equal the batch run exactly
+    # (min_by/max_by on a total-order key is order-independent).
+    from nt_etl_order_book_spark.streaming.pipeline import windowed_ohlc
+
+    p = tmp_path / "ticks"
+    p.mkdir()
+    base = 1_700_000_000_000
+    rows = [
+        # window 1, KXM-A: open 0.40 (sid -9 beats -10 numerically at
+        # the same ms), high 0.60, low 0.30, close 0.30
+        {"timestamp": base, "ticker": "KXM-A", "price_dollars": 0.40,
+         "redis_stream_id": "5000-9"},
+        {"timestamp": base, "ticker": "KXM-A", "price_dollars": 0.60,
+         "redis_stream_id": "5000-10"},
+        {"timestamp": base + 30_000, "ticker": "KXM-A", "price_dollars": 0.30,
+         "redis_stream_id": "5001-0"},
+        # window 2 opens fresh
+        {"timestamp": base + 61_000, "ticker": "KXM-A", "price_dollars": 0.55,
+         "redis_stream_id": "5002-0"},
+    ]
+    (p / "ticks.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "timestamp long, ticker string, price_dollars double, redis_stream_id string"
+    stream = spark.readStream.schema(schema).json(str(p))
+    q = (
+        windowed_ohlc(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_tbl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    key = lambda r: (r.window_start, r.ticker)  # noqa: E731
+    val = lambda r: (r.open, r.high, r.low, r.close, r.n_msgs)  # noqa: E731
+    got = {key(r): val(r) for r in spark.sql("select * from ohlc_tbl").collect()}
+    batch = {key(r): val(r)
+             for r in windowed_ohlc(spark.read.schema(schema).json(str(p))).collect()}
+    assert got == batch  # exact stream/batch parity
+    assert len(got) == 2
+    bars = sorted(got.items())
+    assert bars[0][1] == (0.40, 0.60, 0.30, 0.30, 3)
+    assert bars[1][1] == (0.55, 0.55, 0.55, 0.55, 1)
