@@ -135,9 +135,9 @@ MAD_SIGMA = 1.4826
            COUNT(*) AS n,
            ROUND(m.med, 6) AS med,
            ROUND(d.mad, 6) AS mad,
-           CAST(SUM(CASE WHEN ABS(e.value - m.med) / ({MAD_SIGMA} * d.mad) > 3.0
+           CAST(SUM(CASE WHEN ABS(e.value - m.med) / nullif({MAD_SIGMA} * d.mad, 0.0) > 3.0
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           ROUND(MAX(ABS(e.value - m.med) / ({MAD_SIGMA} * d.mad)), 6) AS max_abs_z
+           ROUND(MAX(ABS(e.value - m.med) / nullif({MAD_SIGMA} * d.mad, 0.0)), 6) AS max_abs_z
     FROM events e
     JOIN med m ON e.event_type = m.event_type
     JOIN mad d ON e.event_type = d.event_type
@@ -168,7 +168,15 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (
         ev.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")
-        .withColumn("absz", F.abs(F.col("value") - F.col("med")) / (F.lit(MAD_SIGMA) * F.col("mad")))
+        # nullif: a constant-valued type has MAD 0 — Spark's ANSI-mode
+        # double division THROWS on /0 where DuckDB yields NULL, so a
+        # degenerate distribution would crash the query, not just skew
+        # it. NULL z folds to 0 outliers / NULL max in both engines.
+        .withColumn(
+            "absz",
+            F.abs(F.col("value") - F.col("med"))
+            / F.nullif(F.lit(MAD_SIGMA) * F.col("mad"), F.lit(0.0)),
+        )
     )
     return z.groupBy("event_type", "med", "mad").agg(
         F.count(F.lit(1)).alias("n"),

@@ -332,3 +332,13 @@ def test_delta_dedup_shuffles_digests_not_text(spark, sf_dir):
     assert exchange_keys, "expected at least one hash exchange"
     for args in exchange_keys:
         assert "text" not in args  # only digests/ids move
+
+
+def test_anomaly_zscore_constant_type_yields_null_not_crash(spark):
+    # A constant-valued type has MAD 0: Spark's ANSI double division
+    # would THROW on /0 (DuckDB yields NULL) — the nullif guard must
+    # make both engines agree on NULL z / zero outliers.
+    t0 = T(2024, 1, 1, 9)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 7, "const", 5.0) for i in range(10)]
+    [r] = _run(flowmod, "anomaly_zscore", spark, _events(spark, rows))
+    assert (r.med, r.mad, r.n_outliers, r.max_abs_z) == (5.0, 0.0, 0, None)
