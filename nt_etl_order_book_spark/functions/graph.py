@@ -1,0 +1,144 @@
+"""Graph analytics over the document near-dup graph: PageRank.
+
+Complements `dedup_components` (connected components = cluster
+membership) with an IMPORTANCE measure over the same kind of graph:
+which documents sit at the center of a duplication neighborhood. The
+standard use downstream of dedup: rank cluster members to pick
+canonical survivors, or surface hub documents whose boilerplate leaks
+into many others.
+
+Scale shape — the loop body is the textbook distributed PageRank:
+
+- the edge list is built once (paragraph-digest inverted index,
+  hot-paragraph cap, both directions of each undirected pair), then
+  every iteration is one keyed join (ranks onto edge sources) + one
+  aggregate (contributions onto destinations). Nothing driver-side;
+  K is a fixed constant so lineage stays shallow (no checkpoint
+  needed — contrast the data-dependent round count of
+  dedup.connected_components, which does checkpoint).
+- determinism: contribution sums accumulate as DECIMAL(38,18) (the
+  registry discipline), so ranks are bit-identical under any
+  partitioning — which is what lets a fixed-K PageRank be ORACLED
+  exactly as unrolled SQL CTEs, one per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nt_etl_order_book_spark.functions.dedup import _sql_paragraphs, paragraphs
+from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.tables import load_table
+
+DAMP = 0.85
+PR_ITERS = 3
+# Hot-paragraph guard: a boilerplate chunk shared by thousands of docs
+# would contribute O(df^2) edges; cap the digest's doc-frequency the
+# same way the other pair-ops cap hot shingles/fingerprints.
+PR_PARA_CAP = 50
+
+
+def _sql_pagerank_iters(k: int) -> str:
+    """r1..rk CTEs: one unrolled PageRank step each (DuckDB side)."""
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT e.dst AS node,
+             CAST(0.15 AS DOUBLE) / n.n
+               + CAST(0.85 AS DOUBLE)
+                 * CAST(SUM(CAST(r.r / d.deg AS DECIMAL(38,18))) AS DOUBLE) AS r
+      FROM edges e
+      JOIN r{i - 1} r ON r.node = e.src
+      JOIN deg d ON d.node = e.src
+      CROSS JOIN n
+      GROUP BY e.dst, n.n
+    )""")
+    return ",".join(steps)
+
+
+@register(
+    "pagerank_docs",
+    f"""
+    WITH {_sql_paragraphs()},
+    dp AS (SELECT DISTINCT doc_id, md5(par) AS h FROM pars),
+    pf AS (
+      SELECT h FROM dp GROUP BY h
+      HAVING COUNT(*) BETWEEN 2 AND {PR_PARA_CAP}
+    ),
+    pe AS (SELECT doc_id, h FROM dp WHERE h IN (SELECT h FROM pf)),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM pe a JOIN pe b USING (h)
+      WHERE a.doc_id <> b.doc_id
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.n AS r FROM deg CROSS JOIN n),
+    {_sql_pagerank_iters(PR_ITERS)}
+    SELECT d.node AS doc_id, ROUND(r{PR_ITERS}.r, 12) AS rank, d.deg
+    FROM r{PR_ITERS} JOIN deg d ON d.node = r{PR_ITERS}.node
+    """,
+    doc=(
+        "PageRank (damping 0.85, 3 fixed iterations) over the "
+        "paragraph-sharing graph: undirected edge between two docs that "
+        "share a paragraph digest whose corpus doc-frequency is within "
+        "[2, cap] (the hot-boilerplate guard all pair-ops here use). "
+        "Each iteration is one keyed join + one aggregate; contribution "
+        "sums accumulate as DECIMAL(38,18), making ranks bit-identical "
+        "under any partitioning — so the DuckDB oracle can check the "
+        "iterative algorithm EXACTLY via unrolled per-iteration CTEs. "
+        "Every node of the pair graph has degree >= 1 in both "
+        "directions, so there is no dangling-mass term. Ranking the "
+        "dup graph is the canonical-survivor / hub-boilerplate audit "
+        "that follows dedup_components clustering."
+    ),
+)
+def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dp = paragraphs(docs).select("doc_id", F.md5(F.col("par")).alias("h")).distinct()
+    kept = (
+        dp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= PR_PARA_CAP))
+        .select("h")
+    )
+    pe = dp.join(kept, "h", "left_semi")
+    a = pe.select("h", F.col("doc_id").alias("src"))
+    b = pe.select("h", F.col("doc_id").alias("dst"))
+    edges = (
+        a.join(b, "h")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("src", "node")
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    # edges annotated with source degree once; every iteration reuses it
+    edges_d = edges.join(deg, edges.src == deg.node).select("src", "dst", "deg")
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contribs = edges_d.join(ranks, edges_d.src == ranks.node).select(
+            F.col("dst"), (F.col("r") / F.col("deg")).alias("c")
+        )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("r"),
+            )
+        )
+    # 12-dp output round: the double -> DECIMAL(38,18) quantization of
+    # each contribution can differ by one unit in the 18th place across
+    # engines (a double near 1e-4 has no exact 18-dp form and the two
+    # engines round the tie differently), accumulating to ~1e-17 over K
+    # iterations — far below the 1e-12 grain, so rounding restores
+    # bit-equality without hiding real divergence.
+    return ranks.join(deg, "node").select(
+        F.col("node").alias("doc_id"), F.round("r", 12).alias("rank"), "deg"
+    )

@@ -186,6 +186,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "delta_dedup",          # new r5: incremental batch-vs-corpus exact dedup
     "event_heatmap",        # new r5: hour x value-bucket 2-D pre-aggregation
     "heavy_hitters",        # new r5: Misra-Gries candidates + exact recount
+    "pagerank_docs",        # new r5: fixed-K PageRank over the dup graph (oracled)
 )
 
 
@@ -206,6 +207,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from nt_etl_order_book_spark.functions import (  # noqa: F401
         bpe,
         dedup,
+        graph,
         multimodal,
         packing,
         quality,

@@ -342,3 +342,44 @@ def test_anomaly_zscore_constant_type_yields_null_not_crash(spark):
     rows = [(i, t0 + dt.timedelta(seconds=i), 7, "const", 5.0) for i in range(10)]
     [r] = _run(flowmod, "anomaly_zscore", spark, _events(spark, rows))
     assert (r.med, r.mad, r.n_outliers, r.max_abs_z) == (5.0, 0.0, 0, None)
+
+
+# ------------------------------------------------------------------ pagerank
+
+
+def test_pagerank_path_graph_exact(spark):
+    # Path graph 1 - 2 - 3 via shared 25-token paragraphs (X, Y): the
+    # middle doc must outrank the symmetric endpoints, and all three
+    # ranks must match the analytic 3-iteration PageRank.
+    from nt_etl_order_book_spark.functions import graph as gmod
+
+    X = " ".join(f"x{i}" for i in range(25))
+    Y = " ".join(f"y{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, X), (2, X + " " + Y), (3, Y)], "doc_id long, text string"
+    )
+    orig = gmod.load_table
+    try:
+        gmod.load_table = lambda _s, _d, _n: docs
+        out = {r.doc_id: (r.rank, r.deg)
+               for r in registry.all_specs()["pagerank_docs"].fn(spark, "_").collect()}
+    finally:
+        gmod.load_table = orig
+    a, b = 1 / 3, 1 / 3  # endpoint rank, middle rank
+    for _ in range(gmod.PR_ITERS):
+        a, b = 0.15 / 3 + 0.85 * (b / 2), 0.15 / 3 + 0.85 * (2 * a)
+    assert out[1][1] == 1 and out[2][1] == 2 and out[3][1] == 1
+    assert out[1][0] == out[3][0] == pytest.approx(a, abs=1e-9)
+    assert out[2][0] == pytest.approx(b, abs=1e-9)
+    assert out[2][0] > out[1][0]
+
+
+def test_pagerank_shuffles_ids_not_text(spark, sf_dir):
+    df = registry.queries()["pagerank_docs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    import re
+
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keys
+    for args in keys:
+        assert "text" not in args  # digests and doc ids only
