@@ -243,3 +243,56 @@ def q_composite_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "share_of_total",
+    f"""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+      FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, revenue,
+           ROUND(revenue / SUM(CAST(revenue AS DECIMAL(30,6))) OVER (PARTITION BY region), 6)
+             AS region_share
+    FROM rev
+    """,
+    doc=(
+        "Percent-of-total report: nation revenue and its share within "
+        "the region — the window-over-aggregate shape every reporting "
+        "layer needs (ratio-to-report). The expensive part is the Q5 "
+        "star aggregate; the share window then runs over the tiny "
+        "(region, nation) result, so its shuffle moves 25 rows "
+        "regardless of fact volume. The denominator accumulates the "
+        "already-decimal-exact revenues as DECIMAL again so the window "
+        "sum is frame-order independent; share rounds at 6 dp."
+    ),
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # Same star-aggregate body as composite_regional_revenue (minus
+    # n_orders); the share window runs over its 25-row result.
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum(revenue).alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    share = F.col("revenue") / F.sum(F.col("revenue").cast("decimal(30,6)")).over(w).cast("double")
+    return rev.select("region", "nation", "revenue", F.round(share, 6).alias("region_share"))

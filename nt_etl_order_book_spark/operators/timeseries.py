@@ -214,3 +214,71 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
+
+
+@register(
+    "roll_spread",
+    """
+    WITH d1 AS (
+      SELECT user_id, ts, event_id,
+             value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+      FROM events WHERE value > 0
+    ),
+    dp AS (
+      SELECT user_id, d,
+             LAG(d) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dprev
+      FROM d1
+    ),
+    m AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(d * dprev AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(d AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(dprev AS DECIMAL(38,18))) AS DOUBLE) AS sy
+      FROM dp WHERE d IS NOT NULL AND dprev IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n AS n_pairs,
+           ROUND((sxy - sx * sy / n) / n, 6) AS autocov,
+           CASE WHEN (sxy - sx * sy / n) / n < 0.0
+                THEN ROUND(2.0 * SQRT(-((sxy - sx * sy / n) / n)), 6) END AS roll_spread
+    FROM m
+    """,
+    doc=(
+        "Roll (1984) effective-spread estimator per market: s = "
+        "2*sqrt(-cov(dp_t, dp_t-1)) from the first-order autocovariance "
+        "of consecutive price CHANGES — bid-ask bounce makes adjacent "
+        "changes negatively correlated, and the strength of that "
+        "bounce reveals the spread without ever seeing quotes. The "
+        "classic trades-only microstructure measure an order-book "
+        "store serves when the ladder isn't retained. Positive-"
+        "autocovariance markets yield NULL spread (the estimator is "
+        "undefined there) but still report the autocovariance. One "
+        "ordered pass builds (dp, lagged dp) pairs; the covariance "
+        "comes from decimal-exact component sums (the agg_stats "
+        "pattern), so the 6-dp result is partition-order independent."
+    ),
+)
+def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = F.col("value") - F.lag("value").over(w)
+    dp = (
+        ev.select("user_id", "ts", "event_id", d.alias("d"))
+        .withColumn("dprev", F.lag("d").over(w))
+        .drop("ts", "event_id")
+    )
+    pairs = dp.filter(F.col("d").isNotNull() & F.col("dprev").isNotNull())
+    m = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("d") * F.col("dprev")).cast("decimal(38,18)")).cast("double").alias("sxy"),
+        F.sum(F.col("d").cast("decimal(38,18)")).cast("double").alias("sx"),
+        F.sum(F.col("dprev").cast("decimal(38,18)")).cast("double").alias("sy"),
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n")
+    return m.select(
+        "user_id",
+        F.col("n").alias("n_pairs"),
+        F.round(cov, 6).alias("autocov"),
+        F.when(cov < 0.0, F.round(F.lit(2.0) * F.sqrt(-cov), 6)).alias("roll_spread"),
+    )

@@ -187,6 +187,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "event_heatmap",        # new r5: hour x value-bucket 2-D pre-aggregation
     "heavy_hitters",        # new r5: Misra-Gries candidates + exact recount
     "pagerank_docs",        # new r5: fixed-K PageRank over the dup graph (oracled)
+    "share_of_total",       # new r5: ratio-to-report window over the Q5 aggregate
+    "roll_spread",          # new r5: Roll (1984) effective-spread estimator
 )
 
 

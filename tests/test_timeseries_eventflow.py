@@ -383,3 +383,50 @@ def test_pagerank_shuffles_ids_not_text(spark, sf_dir):
     assert keys
     for args in keys:
         assert "text" not in args  # digests and doc ids only
+
+
+# ----------------------------------------------------- roll spread / shares
+
+
+def test_roll_spread_bounce_and_trend(spark):
+    # User 7: pure bid-ask bounce 10,12,10,12,... -> strongly negative
+    # autocovariance, spread defined. User 8: accelerating uptrend ->
+    # positive autocovariance, estimator undefined (NULL) but autocov
+    # still reported. Expected values replicate the component-sum
+    # formula the operator implements.
+    t0 = T(2024, 1, 1, 9)
+    bounce = [10.0, 12.0] * 6                       # d alternates +2/-2
+    trend = [10.0, 11.0, 13.0, 16.0, 20.0, 25.0]    # d: 1,2,3,4,5 (rising)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 7, "x", v) for i, v in enumerate(bounce)]
+    rows += [(100 + i, t0 + dt.timedelta(seconds=i), 8, "x", v) for i, v in enumerate(trend)]
+    out = {r.user_id: r for r in _run(tsmod, "roll_spread", spark, _events(spark, rows))}
+
+    def expected(prices):
+        d = [b - a for a, b in zip(prices, prices[1:])]
+        pairs = list(zip(d[1:], d[:-1]))
+        n = len(pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        cov = (sxy - sx * sy / n) / n
+        return n, cov
+
+    n7, cov7 = expected(bounce)
+    assert out[7].n_pairs == n7 and cov7 < 0
+    assert out[7].autocov == pytest.approx(cov7, abs=1e-6)
+    assert out[7].roll_spread == pytest.approx(2 * math.sqrt(-cov7), abs=1e-6)
+    n8, cov8 = expected(trend)
+    assert out[8].n_pairs == n8 and cov8 > 0
+    assert out[8].autocov == pytest.approx(cov8, abs=1e-6)
+    assert out[8].roll_spread is None  # undefined under positive autocov
+
+
+def test_share_of_total_sums_to_one_per_region(spark, sf_dir):
+    rows = registry.queries()["share_of_total"](spark, sf_dir).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r.region_share)
+    assert by_region
+    for region, shares in by_region.items():
+        assert sum(shares) == pytest.approx(1.0, abs=1e-5), region
+        assert all(0.0 <= s <= 1.0 for s in shares)
