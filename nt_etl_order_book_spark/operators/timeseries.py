@@ -282,3 +282,135 @@ def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov, 6).alias("autocov"),
         F.when(cov < 0.0, F.round(F.lit(2.0) * F.sqrt(-cov), 6)).alias("roll_spread"),
     )
+
+
+@register(
+    "order_flow_imbalance",
+    """
+    WITH d1 AS (
+      SELECT user_id, ts, event_id,
+             value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+      FROM events WHERE value > 0
+    ),
+    s1 AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END AS raw_sign
+      FROM d1
+    ),
+    s2 AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             LAST_VALUE(raw_sign IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM s1
+    )
+    SELECT user_id, day,
+           CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+           CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+           ROUND(CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                      - SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                          + SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END), 0), 6) AS ofi
+    FROM s2 GROUP BY user_id, day
+    """,
+    doc=(
+        "Daily order-flow imbalance per market via the tick rule "
+        "(Lee-Ready's price-test half): classify each print +1 on an "
+        "uptick, -1 on a downtick, and CARRY FORWARD the last real "
+        "sign through zero-ticks (last_value ignore-nulls over the "
+        "unique (ts, event_id) order — carry crosses day boundaries, "
+        "as the convention requires). OFI = (up - down)/(up + down) "
+        "per (market, day): the classic buy/sell pressure signal "
+        "derivable from trades alone. Two ordered passes over the same "
+        "per-market window partitioning (lag + running last — Spark "
+        "plans ONE exchange and sorts once), then a hash aggregate of "
+        "day-grain counts. First prints before any tick have NULL sign "
+        "and count toward neither side; an all-zero-tick day yields "
+        "NULL OFI via nullif in both engines."
+    ),
+)
+def q_order_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = F.col("value") - F.lag("value").over(w)
+    raw = F.when(d > 0, 1).when(d < 0, -1)
+    s2 = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.last(raw, ignorenulls=True).over(wrun).alias("s"),
+    )
+    n_up = F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+    n_down = F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+    return s2.groupBy("user_id", "day").agg(
+        n_up.alias("n_up"),
+        n_down.alias("n_down"),
+        F.round(
+            (n_up - n_down).cast("double") / F.nullif(n_up + n_down, F.lit(0)), 6
+        ).alias("ofi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialized hourly rollup: the persisted half of hypertable_rollup.
+# At 100 TB nobody re-scans raw events for every dashboard query — the
+# hourly continuous aggregate lives on disk, partitioned by day, new
+# days are appended/refreshed incrementally, and coarser grains
+# re-aggregate the stored partials. These utilities are that lifecycle
+# as tested code (tests/test_timeseries_eventflow.py): build, refresh
+# one day idempotently, read daily, and let partition pruning serve
+# day-scoped reads without touching the rest of the table.
+
+
+def _hourly_partials(ev: DataFrame) -> DataFrame:
+    """Hourly partial-aggregate frame with a day partition key.
+
+    The sum partial stays DECIMAL on disk — re-aggregation must remain
+    exact, and decimal addition is what makes the cascade equal a
+    direct aggregate (see q_hypertable_rollup).
+    """
+    return ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(
+        F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    ).withColumn("day_key", F.date_format(F.col("hour"), "yyyy-MM-dd"))
+
+
+def write_hourly_rollup(ev: DataFrame, path: str) -> None:
+    """Materialize the hourly rollup, partitioned by day."""
+    _hourly_partials(ev).write.partitionBy("day_key").mode("overwrite").parquet(path)
+
+
+def refresh_rollup_day(ev_one_day: DataFrame, path: str) -> None:
+    """Incrementally (re)build exactly the day partitions present in
+    `ev_one_day` — dynamic partition overwrite, pinned PER-WRITE so a
+    hostile global static mode cannot silently wipe the other days
+    (the inverse of write_ivf_index's static pin, where full replace
+    IS the contract). Re-running the same day is idempotent: the
+    partition is replaced, not appended."""
+    (
+        _hourly_partials(ev_one_day)
+        .write.partitionBy("day_key")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_rollup_daily(spark: SparkSession, path: str) -> DataFrame:
+    """Daily grain served FROM the materialized hourly partials — the
+    raw table is never touched. Same output contract as
+    q_hypertable_rollup."""
+    hourly = spark.read.parquet(path)
+    return hourly.groupBy(
+        "event_type", F.date_trunc("day", F.col("hour")).alias("day")
+    ).agg(
+        F.sum("sum_dec").cast("double").alias("sum_value"),
+        F.sum("n_events").alias("n_events"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )

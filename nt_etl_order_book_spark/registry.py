@@ -189,6 +189,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "pagerank_docs",        # new r5: fixed-K PageRank over the dup graph (oracled)
     "share_of_total",       # new r5: ratio-to-report window over the Q5 aggregate
     "roll_spread",          # new r5: Roll (1984) effective-spread estimator
+    "order_flow_imbalance",  # new r5: tick-rule daily buy/sell pressure
 )
 
 

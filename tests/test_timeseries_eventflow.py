@@ -430,3 +430,67 @@ def test_share_of_total_sums_to_one_per_region(spark, sf_dir):
     for region, shares in by_region.items():
         assert sum(shares) == pytest.approx(1.0, abs=1e-5), region
         assert all(0.0 <= s <= 1.0 for s in shares)
+
+
+def test_order_flow_imbalance_tick_rule_carry_forward(spark):
+    # Prices 10, 12, 12, 12, 11, 11 on one day:
+    #   print 1: no prior tick -> NULL sign (counts neither side)
+    #   print 2: uptick -> +1
+    #   prints 3-4: zero-tick -> CARRY +1
+    #   print 5: downtick -> -1
+    #   print 6: zero-tick -> carry -1
+    # n_up=3, n_down=2, ofi=(3-2)/5=0.2
+    t0 = T(2024, 1, 1, 9)
+    prices = [10.0, 12.0, 12.0, 12.0, 11.0, 11.0]
+    rows = [(i, t0 + dt.timedelta(seconds=i), 7, "x", v) for i, v in enumerate(prices)]
+    [r] = _run(tsmod, "order_flow_imbalance", spark, _events(spark, rows))
+    assert (r.n_up, r.n_down, r.ofi) == (3, 2, 0.2)
+
+
+def test_order_flow_imbalance_single_window_exchange(spark, sf_dir):
+    # lag + running-last share the same (user) partitioning: Spark must
+    # plan ONE exchange for both windows plus the day-grain aggregate.
+    df = registry.queries()["order_flow_imbalance"](spark, sf_dir)
+    assert count_shuffles(df) <= 2
+
+
+# ------------------------------------------------- materialized rollup MV
+
+
+def test_materialized_rollup_lifecycle(spark, sf_dir, tmp_path):
+    # Build from all days except the last, refresh the last day
+    # incrementally (twice — idempotence), and the daily read from the
+    # materialized partials must equal the oracled one-shot
+    # hypertable_rollup over the full table. Day-scoped reads must
+    # prune partitions.
+    from pyspark.sql import functions as F
+
+    from nt_etl_order_book_spark.operators.timeseries import (
+        read_rollup_daily,
+        refresh_rollup_day,
+        write_hourly_rollup,
+    )
+    from nt_etl_order_book_spark.tables import load_table
+
+    path = str(tmp_path / "rollup_mv")
+    ev = load_table(spark, sf_dir, "events")
+    last_day = ev.agg(F.max(F.date_trunc("day", F.col("ts"))).alias("d")).collect()[0].d
+    hist = ev.filter(F.date_trunc("day", F.col("ts")) < F.lit(last_day))
+    incr = ev.filter(F.date_trunc("day", F.col("ts")) == F.lit(last_day))
+    assert incr.count() > 0 and hist.count() > 0
+
+    write_hourly_rollup(hist, path)
+    refresh_rollup_day(incr, path)
+    refresh_rollup_day(incr, path)  # idempotent: partition replaced, not appended
+
+    got = {(r.event_type, r.day): (r.sum_value, r.n_events, r.min_v, r.max_v)
+           for r in read_rollup_daily(spark, path).collect()}
+    want = {(r.event_type, r.day): (r.sum_value, r.n_events, r.min_v, r.max_v)
+            for r in registry.all_specs()["hypertable_rollup"].fn(spark, sf_dir).collect()}
+    assert got == want
+
+    # day-scoped read prunes partitions at the scan
+    day_key = last_day.strftime("%Y-%m-%d")
+    scoped = spark.read.parquet(path).filter(F.col("day_key") == day_key)
+    plan = formatted_plan(scoped)
+    assert "PartitionFilters" in plan and "day_key" in plan
