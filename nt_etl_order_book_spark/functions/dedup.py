@@ -1051,3 +1051,66 @@ def q_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_first.join(corpus, "digest", "left_anti")
         .select("doc_id", "source", "n_chars")
     )
+
+
+# Prefix width for truncation-variant dedup: enough tokens that prose
+# prefixes rarely collide by chance, short enough to catch re-crawls
+# cut at different lengths.
+PREFIX_TOKENS = 32
+
+
+@register(
+    "prefix_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id,
+             md5(array_to_string(t[1:{PREFIX_TOKENS}], ' ')) AS prefix_hash,
+             md5(text) AS full_hash
+      FROM toks WHERE len(t) >= {PREFIX_TOKENS}
+    )
+    SELECT prefix_hash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(DISTINCT full_hash) AS n_distinct_full
+    FROM keyed
+    GROUP BY prefix_hash
+    HAVING COUNT(*) >= 2
+    """,
+    doc=(
+        "Prefix dedup: cluster documents by the digest of their first "
+        f"{PREFIX_TOKENS} tokens — catches truncation variants of the "
+        "same page (re-crawls cut at different lengths, pagination "
+        "tails, footer-injected copies) that exact full-text dedup "
+        "misses and near-dup passes pay shingle cost to find. "
+        "n_distinct_full > 1 inside a cluster is the interesting "
+        "signal: same head, different tails. Docs shorter than the "
+        "prefix are excluded in both engines (their 'prefix' would be "
+        "the whole doc — that's dedup_exact_docs' job). One narrow "
+        "projection (tokenize + slice + digest, HOF only) and one "
+        "groupBy where ONLY the two 16-byte digests and the doc id "
+        "shuffle — text never leaves the scan."
+    ),
+)
+def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, PREFIX_TOKENS))).alias("prefix_hash"),
+        F.md5(F.col("text")).alias("full_hash"),
+        F.size(toks).alias("_n"),
+    ).filter(F.col("_n") >= PREFIX_TOKENS)
+    return (
+        keyed.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.countDistinct("full_hash").alias("n_distinct_full"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -190,6 +190,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "share_of_total",       # new r5: ratio-to-report window over the Q5 aggregate
     "roll_spread",          # new r5: Roll (1984) effective-spread estimator
     "order_flow_imbalance",  # new r5: tick-rule daily buy/sell pressure
+    "prefix_dedup",         # new r5: truncation-variant dedup by head digest
 )
 
 

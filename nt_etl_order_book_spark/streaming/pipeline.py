@@ -512,3 +512,33 @@ def windowed_ohlc(
             "n_msgs",
         )
     )
+
+
+def stream_anomaly_alerts(
+    deltas: DataFrame,
+    stats: DataFrame,
+    *,
+    k: float = 3.0,
+) -> DataFrame:
+    """Model-apply on the live feed: robust per-ticker stats (median,
+    MAD) computed BATCH-side (the anomaly_zscore query shape) join into
+    the delta stream as a broadcast static side, and prints whose
+    robust z-score exceeds ``k`` emit alert rows. The standard
+    lambda-architecture split: the expensive two-pass exact medians run
+    where they're cheap (batch, against the warehouse), the stream
+    does one broadcast hash join + a filter per micro-batch — no state,
+    no watermark, alert latency = trigger latency.
+
+    ``stats`` must carry (ticker, med, mad). The MAD=0 nullif guard
+    matches the batch twin: a constant-priced market never alerts
+    (ANSI division would otherwise crash the stream mid-flight).
+    """
+    joined = deltas.join(F.broadcast(stats), "ticker")
+    z = F.abs(F.col("price_dollars") - F.col("med")) / F.nullif(
+        F.lit(1.4826) * F.col("mad"), F.lit(0.0)
+    )
+    return (
+        joined.withColumn("abs_z", z)
+        .filter(F.col("abs_z") > k)
+        .select("ticker", "timestamp", "price_dollars", F.round("abs_z", 6).alias("abs_z"))
+    )

@@ -672,3 +672,48 @@ def test_windowed_ohlc_stream_and_batch_parity(spark, tmp_path):
     bars = sorted(got.items())
     assert bars[0][1] == (0.40, 0.60, 0.30, 0.30, 3)
     assert bars[1][1] == (0.55, 0.55, 0.55, 0.55, 1)
+
+
+def test_stream_anomaly_alerts_model_apply(spark, tmp_path):
+    # Batch-side robust stats broadcast into the stream; exactly the
+    # planted outlier print alerts, the constant-priced ticker never
+    # does (MAD=0 guard), and normal jitter stays silent.
+    from nt_etl_order_book_spark.streaming.pipeline import stream_anomaly_alerts
+
+    p = tmp_path / "prints"
+    p.mkdir()
+    base = 1_700_000_000_000
+    prices = [0.50, 0.51, 0.49, 0.50, 0.52, 0.48, 0.50, 0.51, 0.49, 0.50]
+    rows = [{"timestamp": base + i * 1000, "ticker": "KXM-A", "price_dollars": v}
+            for i, v in enumerate(prices)]
+    rows.append({"timestamp": base + 99_000, "ticker": "KXM-A", "price_dollars": 5.0})
+    rows += [{"timestamp": base + i * 1000, "ticker": "KXM-B", "price_dollars": 0.30}
+             for i in range(5)]  # constant-priced: MAD 0, must never alert
+    (p / "prints.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "timestamp long, ticker string, price_dollars double"
+
+    batch = spark.read.schema(schema).json(str(p))
+    stats = batch.groupBy("ticker").agg(
+        F.expr("percentile(price_dollars, 0.5)").alias("med")
+    )
+    stats = (
+        batch.join(stats, "ticker")
+        .withColumn("adev", F.abs(F.col("price_dollars") - F.col("med")))
+        .groupBy("ticker", "med")
+        .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    )
+
+    stream = spark.readStream.schema(schema).json(str(p))
+    q = (
+        stream_anomaly_alerts(stream, stats)
+        .writeStream.format("memory")
+        .queryName("alerts_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    alerts = spark.sql("select * from alerts_tbl").collect()
+    assert len(alerts) == 1
+    assert (alerts[0].ticker, alerts[0].price_dollars) == ("KXM-A", 5.0)
+    assert alerts[0].abs_z > 3.0

@@ -494,3 +494,28 @@ def test_materialized_rollup_lifecycle(spark, sf_dir, tmp_path):
     scoped = spark.read.parquet(path).filter(F.col("day_key") == day_key)
     plan = formatted_plan(scoped)
     assert "PartitionFilters" in plan and "day_key" in plan
+
+
+def test_prefix_dedup_truncation_variants(spark):
+    from nt_etl_order_book_spark.functions import dedup as dedupmod
+
+    head = " ".join(f"w{i}" for i in range(dedupmod.PREFIX_TOKENS))
+    docs = spark.createDataFrame(
+        [
+            (1, head + " long tail version one"),
+            (2, head + " different tail entirely"),   # same head, new tail
+            (3, head + " long tail version one"),     # exact dup of 1
+            (4, "unrelated " + head),                 # head not at position 0
+            (5, "too short"),                         # < PREFIX_TOKENS: excluded
+        ],
+        "doc_id long, text string",
+    )
+    orig = dedupmod.load_table
+    try:
+        dedupmod.load_table = lambda _s, _d, _n: docs
+        rows = registry.all_specs()["prefix_dedup"].fn(spark, "_").collect()
+    finally:
+        dedupmod.load_table = orig
+    assert len(rows) == 1  # docs 1,2,3 cluster; 4 has a shifted head; 5 excluded
+    [r] = rows
+    assert (r.n_docs, r.canonical_doc_id, r.n_distinct_full) == (3, 1, 2)
