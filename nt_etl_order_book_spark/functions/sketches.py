@@ -35,7 +35,13 @@ from nt_etl_order_book_spark.tables import load_table
 # survives in at least one partition's summary; report threshold is a
 # fraction far above 1/MG_K so the superset guarantee holds with slack.
 MG_K = 256
-HH_FRACTION = 0.005  # report tokens covering >= 0.5% of all tokens
+# Report tokens covering >= 1/HH_DENOM (0.5%) of all tokens. Kept as an
+# integer denominator so the threshold test is cnt * DENOM >= n — pure
+# BIGINT in both engines. (ceil(n * 0.005) looks equivalent but is not:
+# DuckDB multiplies by a DECIMAL literal while Spark multiplies by the
+# binary double 0.005000000000000000104…, so at n an exact multiple of
+# 200 Spark's ceil lands one higher — a cross-engine boundary bug.)
+HH_DENOM = 200
 
 
 def _mg_summaries(it: Iterator) -> Iterator:
@@ -73,7 +79,7 @@ def _mg_summaries(it: Iterator) -> Iterator:
     SELECT t.token, COUNT(*) AS cnt
     FROM toks t
     GROUP BY t.token
-    HAVING COUNT(*) >= (SELECT CEIL(n * {HH_FRACTION}) FROM total)
+    HAVING COUNT(*) * {HH_DENOM} >= (SELECT n FROM total)
     """,
     doc=(
         "Exact heavy hitters (tokens covering >= 0.5% of the corpus) "
@@ -110,6 +116,6 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         counted.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.ceil(F.col("n") * F.lit(HH_FRACTION)))
+        .filter(F.col("cnt") * F.lit(HH_DENOM) >= F.col("n"))
         .select("token", "cnt")
     )

@@ -280,9 +280,10 @@ def test_heavy_hitters_sketch_equals_exact_on_skewed_corpus(spark):
     # heavy tokens with exact counts.
     from nt_etl_order_book_spark.functions import sketches as skmod
 
-    body = [f"tok{i}" for i in range(2000)]          # 2000 singletons
+    body = [f"tok{i}" for i in range(1986)]          # 1986 singletons
     hot = ["hot1"] * 500 + ["hot2"] * 300            # planted heavy hitters
-    toks = body + hot                                # n = 2800, thr = ceil(14)
+    edge = ["edge"] * 14                             # n=2800: 14*200 == n,
+    toks = body + hot + edge                         # exactly AT the threshold
     docs = spark.createDataFrame(
         [(i, " ".join(toks[i::8])) for i in range(8)], "doc_id long, text string"
     ).repartition(8)
@@ -292,7 +293,9 @@ def test_heavy_hitters_sketch_equals_exact_on_skewed_corpus(spark):
         out = {r.token: r.cnt for r in registry.all_specs()["heavy_hitters"].fn(spark, "_").collect()}
     finally:
         skmod.load_table = orig
-    assert out == {"hot1": 500, "hot2": 300}
+    # the boundary token must be INCLUDED (>= threshold, integer-exact
+    # in both engines — the double-multiply form got this wrong)
+    assert out == {"hot1": 500, "hot2": 300, "edge": 14}
 
 
 def test_event_heatmap_tail_bucket_caps(spark):
