@@ -414,3 +414,118 @@ def read_rollup_daily(spark: SparkSession, path: str) -> DataFrame:
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
+
+
+# Correlation matrix scope: the matrix is quadratic in markets, so it
+# is computed for the TOP_N most-active markets only (deterministic
+# tick-count ranking, user_id tiebreak) — the bounded form a dashboard
+# actually wants. N² stays trivial for any N a human reads.
+CORR_TOP_N = 10
+
+
+@register(
+    "market_correlation",
+    f"""
+    WITH keyed AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+             epoch_us(ts) * 1000 + event_id AS k
+      FROM events WHERE value > 0
+    ),
+    daily AS (
+      SELECT user_id, day, LN(arg_max(value, k) / arg_min(value, k)) AS ret
+      FROM keyed GROUP BY user_id, day
+    ),
+    top_mkts AS (
+      SELECT user_id FROM (
+        SELECT user_id, COUNT(*) AS n_ticks,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id ASC) AS rn
+        FROM keyed GROUP BY user_id
+      ) WHERE rn <= {CORR_TOP_N}
+    ),
+    r AS (
+      SELECT d.user_id, d.day, d.ret FROM daily d
+      WHERE d.user_id IN (SELECT user_id FROM top_mkts)
+    ),
+    pairs AS (
+      SELECT a.user_id AS u1, b.user_id AS u2,
+             COUNT(*) AS n_days,
+             CAST(SUM(CAST(a.ret AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(b.ret AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(a.ret * b.ret AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(a.ret * a.ret AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(b.ret * b.ret AS DECIMAL(38,18))) AS DOUBLE) AS syy
+      FROM r a JOIN r b ON a.day = b.day AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    )
+    SELECT u1, u2, n_days,
+           ROUND((n_days * sxy - sx * sy)
+                 / nullif(SQRT((n_days * sxx - sx * sx) * (n_days * syy - sy * sy)), 0.0),
+                 6) AS corr
+    FROM pairs
+    """,
+    doc=(
+        "Daily-return correlation matrix across the TOP-N most-active "
+        "markets: intraday open->close log return per (market, day) "
+        "(min_by/max_by on the unique OHLC key), markets ranked by "
+        "tick count with a user_id tiebreak, then a self-equi-join on "
+        "day builds aligned return pairs and Pearson correlation comes "
+        "from decimal-exact component sums in closed form (the "
+        "agg_stats pattern; nullif kills the zero-variance "
+        "denominator under ANSI). The matrix is deliberately bounded: "
+        "N^2/2 pairs x shared days, with only (market, day, ret) rows "
+        "in the join — at 100 TB the daily-return table is days x "
+        "markets, already tiny relative to ticks, and the TOP-N guard "
+        "keeps the pair fan-out human-sized regardless of how many "
+        "long-tail markets exist."
+    ),
+)
+def q_market_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    k = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000) + F.col("event_id")
+    keyed = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+        k.alias("k"),
+    )
+    daily = keyed.groupBy("user_id", "day").agg(
+        F.log(F.max_by("value", "k") / F.min_by("value", "k")).alias("ret")
+    )
+    wtop = Window.orderBy(F.desc("n_ticks"), F.asc("user_id"))
+    top = (
+        keyed.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_ticks"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= CORR_TOP_N)
+        .select("user_id")
+    )
+    r = daily.join(F.broadcast(top), "user_id")
+    a = r.select(F.col("user_id").alias("u1"), "day", F.col("ret").alias("x"))
+    b = r.select(F.col("user_id").alias("u2"), "day", F.col("ret").alias("y"))
+
+    def dec(c):  # noqa: ANN001
+        return F.sum(c.cast("decimal(38,18)")).cast("double")
+
+    pairs = (
+        a.join(b, "day")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            dec(F.col("x")).alias("sx"),
+            dec(F.col("y")).alias("sy"),
+            dec(F.col("x") * F.col("y")).alias("sxy"),
+            dec(F.col("x") * F.col("x")).alias("sxx"),
+            dec(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n = F.col("n_days")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return pairs.select(
+        "u1", "u2", "n_days",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("corr"),
+    )

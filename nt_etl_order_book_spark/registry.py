@@ -191,6 +191,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "roll_spread",          # new r5: Roll (1984) effective-spread estimator
     "order_flow_imbalance",  # new r5: tick-rule daily buy/sell pressure
     "prefix_dedup",         # new r5: truncation-variant dedup by head digest
+    "market_correlation",   # new r5: top-N daily-return correlation matrix
 )
 
 

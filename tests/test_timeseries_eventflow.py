@@ -522,3 +522,32 @@ def test_prefix_dedup_truncation_variants(spark):
     assert len(rows) == 1  # docs 1,2,3 cluster; 4 has a shifted head; 5 excluded
     [r] = rows
     assert (r.n_docs, r.canonical_doc_id, r.n_distinct_full) == (3, 1, 2)
+
+
+def test_market_correlation_perfect_anti_and_degenerate(spark):
+    # Markets 1 and 2 share the same daily return pattern at different
+    # price levels (corr exactly 1), market 3 is the inverse pattern
+    # (corr exactly -1), market 4 has zero return variance (corr NULL
+    # via the nullif guard — ANSI would crash on /0 otherwise).
+    import math as m
+
+    t0 = T(2024, 1, 1, 0)
+    pat = [0.1, -0.2, 0.15, 0.05, -0.1]
+    rows, eid = [], 0
+    for d, x in enumerate(pat):
+        day = t0 + dt.timedelta(days=d)
+        for mkt, (o, c) in {
+            1: (1.0, m.exp(x)),
+            2: (2.0, 2.0 * m.exp(x)),
+            3: (1.0, m.exp(-x)),
+            4: (1.0, 1.0),
+        }.items():
+            rows.append((eid, day + dt.timedelta(hours=9), mkt, "view", o)); eid += 1
+            rows.append((eid, day + dt.timedelta(hours=15), mkt, "view", c)); eid += 1
+    out = {(r.u1, r.u2): (r.n_days, r.corr)
+           for r in _run(tsmod, "market_correlation", spark, _events(spark, rows))}
+    assert out[(1, 2)] == (5, 1.0)
+    assert out[(1, 3)] == (5, -1.0)
+    assert out[(2, 3)] == (5, -1.0)
+    for pair in [(1, 4), (2, 4), (3, 4)]:
+        assert out[pair] == (5, None)
