@@ -233,3 +233,65 @@ def q_event_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("value").alias("sum_value"),
     )
+
+
+@register(
+    "benford_audit",
+    """
+    WITH cents AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value > 0
+    ),
+    digits AS (
+      SELECT event_type,
+             CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM cents
+    ),
+    counts AS (
+      SELECT event_type, digit, COUNT(*) AS n_d FROM digits GROUP BY event_type, digit
+    ),
+    totals AS (
+      SELECT event_type, CAST(SUM(n_d) AS BIGINT) AS n FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type, c.digit, c.n_d,
+           ROUND(CAST(c.n_d AS DOUBLE) / t.n, 6) AS frac,
+           ROUND(LN(1.0 + CAST(1.0 AS DOUBLE) / c.digit) / LN(10.0), 6) AS benford
+    FROM counts c JOIN totals t ON c.event_type = t.event_type
+    """,
+    doc=(
+        "Benford first-digit audit per message type: observed "
+        "first-significant-digit frequency of the price channel beside "
+        "the Benford expectation log10(1 + 1/d) — the classic "
+        "fabricated-data / unit-mixup tripwire for a feed (a price "
+        "channel that suddenly violates its digit profile usually "
+        "changed units or source). Digit extraction is EXACT, not "
+        "log-based: prices are cent-precision, so floor(v*100 + 0.5) "
+        "recovers the integer cents bit-identically in both engines "
+        "and the leading digit comes from the integer's decimal "
+        "string — no floor(log10(v)) boundary hazard (log10 of an "
+        "exact power of ten is not exactly representable, and a 1-ulp "
+        "disagreement there would flip the digit). One hash aggregate "
+        "over (type, digit) — at most types x 9 output rows, map-side "
+        "combine absorbs any volume."
+    ),
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = ev.select("event_type", digit.alias("digit")).groupBy(
+        "event_type", "digit"
+    ).agg(F.count(F.lit(1)).alias("n_d"))
+    totals = counts.groupBy("event_type").agg(F.sum("n_d").alias("n"))
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "digit",
+            "n_d",
+            F.round(F.col("n_d").cast("double") / F.col("n"), 6).alias("frac"),
+            F.round(benford, 6).alias("benford"),
+        )
+    )

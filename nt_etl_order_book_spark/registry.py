@@ -192,6 +192,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "order_flow_imbalance",  # new r5: tick-rule daily buy/sell pressure
     "prefix_dedup",         # new r5: truncation-variant dedup by head digest
     "market_correlation",   # new r5: top-N daily-return correlation matrix
+    "benford_audit",        # new r5: first-digit data-quality tripwire
 )
 
 

@@ -551,3 +551,17 @@ def test_market_correlation_perfect_anti_and_degenerate(spark):
     assert out[(2, 3)] == (5, -1.0)
     for pair in [(1, 4), (2, 4), (3, 4)]:
         assert out[pair] == (5, None)
+
+
+def test_benford_audit_exact_digits_and_expectation(spark):
+    # Prices chosen so first digits are unambiguous including the
+    # sub-dollar case (0.07 -> 7 cents -> digit 7). The Benford column
+    # must be log10(1 + 1/d).
+    t0 = T(2024, 1, 1, 9)
+    prices = [1.23, 19.99, 0.07, 345.0, 3.50]  # digits 1,1,7,3,3
+    rows = [(i, t0, 7, "x", v) for i, v in enumerate(prices)]
+    out = {r.digit: r for r in _run(flowmod, "benford_audit", spark, _events(spark, rows))}
+    assert {d: out[d].n_d for d in out} == {1: 2, 3: 2, 7: 1}
+    assert out[1].frac == 0.4 and out[7].frac == 0.2
+    for d, r in out.items():
+        assert r.benford == pytest.approx(math.log10(1 + 1 / d), abs=1e-6)
