@@ -529,3 +529,112 @@ def q_market_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u1", "u2", "n_days",
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("corr"),
     )
+
+
+@register(
+    "hhi_concentration",
+    """
+    WITH vol AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+             COUNT(*) AS n
+      FROM events GROUP BY day, user_id
+    ),
+    tot AS (
+      SELECT day, CAST(SUM(n) AS BIGINT) AS total FROM vol GROUP BY day
+    )
+    SELECT v.day,
+           COUNT(*) AS n_markets,
+           ROUND(CAST(SUM(CAST((CAST(v.n AS DOUBLE) / t.total)
+                               * (CAST(v.n AS DOUBLE) / t.total)
+                               AS DECIMAL(38,18))) AS DOUBLE) * 10000, 6) AS hhi
+    FROM vol v JOIN tot t ON v.day = t.day
+    GROUP BY v.day
+    """,
+    doc=(
+        "Herfindahl-Hirschman concentration index of daily message "
+        "volume across markets (x10000, the antitrust convention): "
+        "HHI -> 10000/n_markets means balanced flow, a spike means one "
+        "market is flooding the feed — the ingest-skew monitor that "
+        "tells you BEFORE a hot-key stage falls over (the salting / "
+        "AQE-skew machinery in operators/skew.py is the cure; this is "
+        "the early warning). Two bounded aggregates: (day, market) "
+        "volume then a day-grain fold of squared shares accumulated as "
+        "DECIMAL(38,18); shuffles carry (day, market, count) rows "
+        "only. The exact-ratio share keeps both engines bit-identical."
+    ),
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vol = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = vol.groupBy("day").agg(F.sum("n").alias("total"))
+    share = F.col("n").cast("double") / F.col("total")
+    return (
+        vol.join(tot, "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_markets"),
+            F.round(
+                F.sum((share * share).cast("decimal(38,18)")).cast("double") * 10000, 6
+            ).alias("hhi"),
+        )
+    )
+
+
+@register(
+    "cusum_drift",
+    """
+    WITH m AS (
+      SELECT user_id,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                  / COUNT(value) AS DOUBLE) AS mean_v
+      FROM events WHERE value > 0 GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id,
+             SUM(CAST(e.value - m.mean_v AS DECIMAL(38,18))) OVER (
+               PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      FROM events e JOIN m ON e.user_id = m.user_id
+      WHERE e.value > 0
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(CAST(MAX(ABS(cusum)) AS DOUBLE), 6) AS max_abs_cusum
+    FROM c GROUP BY user_id
+    """,
+    doc=(
+        "CUSUM drift detector per market: running cumulative sum of "
+        "deviations from the market's own mean price; a random-walk-"
+        "around-mean series keeps the CUSUM near zero while a level "
+        "shift makes it trend — max |CUSUM| is the Page-test statistic "
+        "a regime-change monitor thresholds on. Two passes: the mean "
+        "is one decimal-exact aggregate broadcast back; the running "
+        "sum accumulates the deviations as DECIMAL(38,18) inside the "
+        "window, because engines disagree on double running-sum "
+        "association (DuckDB windows aggregate via segment trees, "
+        "Spark row-by-row — decimal addition is associative so both "
+        "land on the identical value). Window ordered by the unique "
+        "(ts, event_id) key; whole-history per key like max_drawdown, "
+        "documented bound: events per market within retention."
+    ),
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_etl_order_book_spark.operators.aggregates import davg
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    m = ev.groupBy("user_id").agg(davg("value").alias("mean_v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = (F.col("value") - F.col("mean_v")).cast("decimal(38,18)")
+    c = ev.join(F.broadcast(m), "user_id").select(
+        "user_id", F.sum(dev).over(w).alias("cusum")
+    )
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max(F.abs(F.col("cusum"))).cast("double"), 6).alias("max_abs_cusum"),
+    )

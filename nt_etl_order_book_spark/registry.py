@@ -193,6 +193,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "prefix_dedup",         # new r5: truncation-variant dedup by head digest
     "market_correlation",   # new r5: top-N daily-return correlation matrix
     "benford_audit",        # new r5: first-digit data-quality tripwire
+    "hhi_concentration",    # new r5: daily volume-concentration index
+    "cusum_drift",          # new r5: Page-test regime-change statistic
 )
 
 

@@ -565,3 +565,39 @@ def test_benford_audit_exact_digits_and_expectation(spark):
     assert out[1].frac == 0.4 and out[7].frac == 0.2
     for d, r in out.items():
         assert r.benford == pytest.approx(math.log10(1 + 1 / d), abs=1e-6)
+
+
+def test_hhi_concentration_known_shares(spark):
+    # Day 1: one market only -> HHI 10000. Day 2: two equal markets ->
+    # 5000. Day 3: 90/10 split -> 8200.
+    t0 = T(2024, 1, 1, 0)
+    rows, eid = [], 0
+
+    def add(day, mkt, n):
+        nonlocal eid
+        for i in range(n):
+            rows.append((eid, t0 + dt.timedelta(days=day, seconds=i), mkt, "view", 1.0))
+            eid += 1
+
+    add(0, 1, 10)
+    add(1, 1, 5); add(1, 2, 5)
+    add(2, 1, 9); add(2, 2, 1)
+    out = {r.day.day: (r.n_markets, r.hhi)
+           for r in _run(tsmod, "hhi_concentration", spark, _events(spark, rows))}
+    assert out[1] == (1, 10000.0)
+    assert out[2] == (2, 5000.0)
+    assert out[3] == (2, 8200.0)
+
+
+def test_cusum_drift_level_shift_vs_flat(spark):
+    # Flat series: zero CUSUM everywhere. Level shift 1->3 halfway:
+    # mean 2, CUSUM walks to -5 at the shift point, back to 0 at the
+    # end -> max |CUSUM| = 5.
+    t0 = T(2024, 1, 1, 0)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 7, "x", v)
+            for i, v in enumerate([1.0] * 5 + [3.0] * 5)]
+    rows += [(100 + i, t0 + dt.timedelta(seconds=i), 8, "x", 2.5) for i in range(6)]
+    out = {r.user_id: (r.n_events, r.max_abs_cusum)
+           for r in _run(tsmod, "cusum_drift", spark, _events(spark, rows))}
+    assert out[7] == (10, 5.0)
+    assert out[8] == (6, 0.0)
