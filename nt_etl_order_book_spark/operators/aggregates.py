@@ -466,3 +466,60 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(rows).alias("p")).select(
         "p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_val", "p.max_val"
     )
+
+
+@register(
+    "equi_depth_histogram",
+    """
+    WITH q AS (
+      SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.50) AS q2,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem
+    )
+    SELECT (CASE WHEN l_extendedprice > q.q1 THEN 1 ELSE 0 END
+            + CASE WHEN l_extendedprice > q.q2 THEN 1 ELSE 0 END
+            + CASE WHEN l_extendedprice > q.q3 THEN 1 ELSE 0 END) AS bucket,
+           COUNT(*) AS n,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem CROSS JOIN q
+    GROUP BY bucket
+    """,
+    doc=(
+        "Equi-depth (quartile) histogram of a fact column — the "
+        "ANALYZE-TABLE statistic a cost-based optimizer keeps per "
+        "column, as a query: exact interpolated quartile boundaries "
+        "(one percentile aggregate, the agg_median parity pattern), "
+        "then a second scan assigns each row its bucket by comparing "
+        "against the broadcast 1-row boundary frame and folds counts + "
+        "per-bucket envelopes. Bucket assignment is three double "
+        "comparisons against identical boundary values in both "
+        "engines, so the histogram is hash-exact. At 100 TB the "
+        "boundary pass swaps to percentile_approx and the shape "
+        "becomes one scan + one bounded aggregate — the statistics-"
+        "collection recipe for any column."
+    ),
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("q2"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    )
+    v = F.col("l_extendedprice")
+    bucket = (
+        (v > F.col("q1")).cast("int")
+        + (v > F.col("q2")).cast("int")
+        + (v > F.col("q3")).cast("int")
+    )
+    return (
+        li.crossJoin(F.broadcast(q))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(v).alias("lo"),
+            F.max(v).alias("hi"),
+        )
+    )

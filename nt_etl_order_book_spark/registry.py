@@ -195,6 +195,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "benford_audit",        # new r5: first-digit data-quality tripwire
     "hhi_concentration",    # new r5: daily volume-concentration index
     "cusum_drift",          # new r5: Page-test regime-change statistic
+    "equi_depth_histogram",  # new r5: ANALYZE-style quartile histogram
 )
 
 
