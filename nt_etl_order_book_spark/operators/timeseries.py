@@ -638,3 +638,75 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.max(F.abs(F.col("cusum"))).cast("double"), 6).alias("max_abs_cusum"),
     )
+
+
+# Dollar-bar threshold: a bar closes once cumulative traded notional
+# crosses this many cents ($1000) — information-driven sampling groups
+# by activity, not wall clock.
+DOLLAR_BAR_CENTS = 100_000
+
+
+@register(
+    "dollar_bars",
+    f"""
+    WITH cents AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+             epoch_us(ts) * 1000 + event_id AS k
+      FROM events WHERE value > 0
+    ),
+    cum AS (
+      SELECT user_id, value, c, k,
+             CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_c
+      FROM cents
+    )
+    SELECT user_id,
+           (cum_c - c) // {DOLLAR_BAR_CENTS} AS bar_id,
+           arg_min(value, k) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, k) AS close,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(c) AS BIGINT) AS notional_cents
+    FROM cum
+    GROUP BY user_id, bar_id
+    """,
+    doc=(
+        "Dollar bars (de Prado's information-driven sampling): a bar "
+        "closes when cumulative traded notional crosses the threshold, "
+        "so active periods produce many bars and quiet ones few — the "
+        "downsampling that keeps per-bar information content roughly "
+        "constant where time bars oversample dead hours. A tick "
+        "belongs to bar floor(pre-tick-cumulative / K): EXACT BIGINT "
+        "arithmetic end-to-end (cent-precision prices -> integer "
+        "cents -> running BIGINT sum, which no engine can associate "
+        "differently) — no decimal division, no double accumulation. "
+        "One per-market ordered pass for the running notional, then "
+        "the OHLC hash aggregate on the unique-key min_by/max_by "
+        "pattern. Whole-history per key like max_drawdown; bar count "
+        "per market = notional / K regardless of tick volume."
+    ),
+)
+def q_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000) + F.col("event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ev.select(
+        "user_id", "ts", "event_id", "value", c.alias("c"), k.alias("k")
+    ).withColumn("cum_c", F.sum("c").over(w))
+    bar = F.expr(f"(cum_c - c) div {DOLLAR_BAR_CENTS}")
+    return cum.groupBy("user_id", bar.alias("bar_id")).agg(
+        F.min_by("value", "k").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "k").alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("c").alias("notional_cents"),
+    )

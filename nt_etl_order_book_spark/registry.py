@@ -196,6 +196,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "hhi_concentration",    # new r5: daily volume-concentration index
     "cusum_drift",          # new r5: Page-test regime-change statistic
     "equi_depth_histogram",  # new r5: ANALYZE-style quartile histogram
+    "dollar_bars",          # new r5: information-driven notional bars
 )
 
 

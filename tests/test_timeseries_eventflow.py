@@ -601,3 +601,17 @@ def test_cusum_drift_level_shift_vs_flat(spark):
            for r in _run(tsmod, "cusum_drift", spark, _events(spark, rows))}
     assert out[7] == (10, 5.0)
     assert out[8] == (6, 0.0)
+
+
+def test_dollar_bars_threshold_rollover(spark):
+    # K = $1000. Prices $400, $400, $400, $400: pre-tick cumulative is
+    # 0/400/800/1200 dollars -> bars 0,0,0,1. Bar 0 holds three ticks
+    # (open 400 high/low 400 close 400, notional $1200), bar 1 one.
+    from nt_etl_order_book_spark.operators.timeseries import DOLLAR_BAR_CENTS
+
+    assert DOLLAR_BAR_CENTS == 100_000  # test arithmetic assumes $1000 bars
+    t0 = T(2024, 1, 1, 9)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 7, "x", 400.0) for i in range(4)]
+    out = {r.bar_id: (r.n_ticks, r.notional_cents, r.open, r.close)
+           for r in _run(tsmod, "dollar_bars", spark, _events(spark, rows))}
+    assert out == {0: (3, 120_000, 400.0, 400.0), 1: (1, 40_000, 400.0, 400.0)}
