@@ -1164,3 +1164,76 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _exact_rerank(emb, _topk_candidates(scored, IVFPQ_CAND))
+
+
+@register(
+    "ann_filtered_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS evec
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.qvec, e.evec), p -> p[1] * p[2]))
+               / nullif(sqrt(list_sum(list_transform(q.qvec, x -> x * x)))
+                        * sqrt(list_sum(list_transform(e.evec, x -> x * x))), 0),
+               6
+             ) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.qid AND e.label <> q.qlabel
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT qid, vec_id, cos_sim, rn FROM ranked WHERE rn <= {TOP_K}
+    """,
+    doc=(
+        "FILTERED vector search: top-k nearest neighbors restricted by "
+        "a metadata predicate — here label <> query's label, i.e. the "
+        "hard-negative-mining query of contrastive training (closest "
+        "vectors that are NOT the query's class), and the general "
+        "shape every vector store must serve (search within tenant / "
+        "language / date range). The predicate composes into the scan "
+        "as an ordinary Catalyst filter BEFORE scoring — pre-filtering, "
+        "which keeps top-k exact, vs the post-filter-then-hope "
+        "recall loss a bucketed index suffers when the filter is "
+        "selective; at 100 TB the play is partitioning the index by "
+        "the filter column (write_ivf_index's partitionBy pattern) so "
+        "pre-filtering prunes files, not rows."
+    ),
+)
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("enorm")
+    )
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+        F.col("enorm").alias("qnorm"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(q),
+            (F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("qlabel")),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                dot(F.col("qvec"), F.col("embedding"))
+                / F.nullif(F.col("qnorm") * F.col("enorm"), F.lit(0.0)),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return topk_per_query(scored)

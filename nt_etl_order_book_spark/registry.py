@@ -197,6 +197,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "cusum_drift",          # new r5: Page-test regime-change statistic
     "equi_depth_histogram",  # new r5: ANALYZE-style quartile histogram
     "dollar_bars",          # new r5: information-driven notional bars
+    "ann_filtered_topk",    # new r5: metadata-filtered exact vector search
 )
 
 

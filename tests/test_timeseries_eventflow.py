@@ -615,3 +615,21 @@ def test_dollar_bars_threshold_rollover(spark):
     out = {r.bar_id: (r.n_ticks, r.notional_cents, r.open, r.close)
            for r in _run(tsmod, "dollar_bars", spark, _events(spark, rows))}
     assert out == {0: (3, 120_000, 400.0, 400.0), 1: (1, 40_000, 400.0, 400.0)}
+
+
+def test_ann_filtered_topk_excludes_query_label(spark, sf_dir):
+    # Every returned neighbor must carry a label different from its
+    # query's label (the filter is part of the search, not a post-hoc
+    # trim), and each query still gets a full top-k.
+    from pyspark.sql import functions as F
+
+    from nt_etl_order_book_spark.tables import load_table
+
+    out = registry.queries()["ann_filtered_topk"](spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    qlab = emb.withColumnRenamed("vec_id", "qid").withColumnRenamed("label", "qlabel")
+    nlab = emb.withColumnRenamed("label", "nlabel")
+    joined = out.join(qlab, "qid").join(nlab, "vec_id")
+    assert joined.filter(F.col("qlabel") == F.col("nlabel")).count() == 0
+    per_q = joined.groupBy("qid").count().collect()
+    assert per_q and all(r["count"] == 5 for r in per_q)
