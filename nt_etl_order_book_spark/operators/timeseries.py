@@ -710,3 +710,71 @@ def q_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ticks"),
         F.sum("c").alias("notional_cents"),
     )
+
+
+@register(
+    "amihud_illiquidity",
+    f"""
+    WITH keyed AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+             epoch_us(ts) * 1000 + event_id AS k
+      FROM events WHERE value > 0
+    ),
+    daily AS (
+      SELECT user_id, day,
+             ABS(LN(arg_max(value, k) / arg_min(value, k))) AS abs_ret,
+             CAST(SUM(c) AS BIGINT) AS notional_cents
+      FROM keyed GROUP BY user_id, day
+      HAVING COUNT(*) >= 2
+    )
+    SELECT user_id,
+           COUNT(*) AS n_days,
+           ROUND(CAST(SUM(CAST(abs_ret / (CAST(notional_cents AS DOUBLE) / 100.0)
+                               AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*) * 1000000, 6) AS amihud_x1m
+    FROM daily GROUP BY user_id
+    """,
+    doc=(
+        "Amihud (2002) illiquidity ratio per market: mean over days of "
+        "|daily log return| / daily dollar volume (x1e6, the paper's "
+        "scaling) — the standard price-impact-per-dollar proxy when "
+        "only trades are retained, complementing roll_spread (cost) "
+        "and realized_volatility (risk) to complete the trades-only "
+        "microstructure triple. Daily return from the min_by/max_by "
+        "OHLC key; notional in exact integer cents; single-tick days "
+        "excluded (no return exists). Two bounded hash aggregates — "
+        "(market, day) then market — with the per-day ratios "
+        "accumulated as DECIMAL(38,18)."
+    ),
+)
+def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000) + F.col("event_id")
+    keyed = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+        c.alias("c"),
+        k.alias("k"),
+    )
+    daily = (
+        keyed.groupBy("user_id", "day")
+        .agg(
+            F.abs(F.log(F.max_by("value", "k") / F.min_by("value", "k"))).alias("abs_ret"),
+            F.sum("c").alias("notional_cents"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .filter(F.col("n_ticks") >= 2)
+    )
+    ratio = F.col("abs_ret") / (F.col("notional_cents").cast("double") / F.lit(100.0))
+    return daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.sum(ratio.cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+            * 1_000_000,
+            6,
+        ).alias("amihud_x1m"),
+    )

@@ -198,6 +198,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "equi_depth_histogram",  # new r5: ANALYZE-style quartile histogram
     "dollar_bars",          # new r5: information-driven notional bars
     "ann_filtered_topk",    # new r5: metadata-filtered exact vector search
+    "amihud_illiquidity",   # new r5: price-impact-per-dollar proxy
 )
 
 
