@@ -523,3 +523,78 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(v).alias("hi"),
         )
     )
+
+
+@register(
+    "moments_profile",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(value * value * value AS DECIMAL(38,18))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,18))) AS DOUBLE) AS s4
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND((s2 / n) - (s1 / n) * (s1 / n), 6) AS variance,
+           ROUND(((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / nullif(POWER((s2 / n) - (s1 / n) * (s1 / n), 1.5), 0.0), 6) AS skewness,
+           ROUND(((s4 / n) - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / nullif(((s2 / n) - (s1 / n) * (s1 / n))
+                          * ((s2 / n) - (s1 / n) * (s1 / n)), 0.0) - 3, 6) AS excess_kurtosis
+    FROM s
+    """,
+    doc=(
+        "Distribution-shape profile per message type: mean, variance, "
+        "skewness, excess kurtosis — the moments a monitoring layer "
+        "tracks to catch regime changes the mean alone hides (fat "
+        "tails, asymmetry). All four raw power sums accumulate as "
+        "DECIMAL(38,18) in ONE hash aggregate (one scan, map-side "
+        "combine — the agg_stats pattern extended to 4th order), then "
+        "the standardized moments come from identical closed-form "
+        "double arithmetic in both engines, written with the same "
+        "association so every intermediate double matches bitwise. "
+        "nullif guards the zero-variance denominators (ANSI division). "
+        "Population moments (biased), the streaming-friendly "
+        "convention, since the per-partition partials merge exactly."
+    ),
+)
+def q_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+
+    def ds(c):  # noqa: ANN001
+        return F.sum(c.cast("decimal(38,18)")).cast("double")
+
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        ds(v).alias("s1"),
+        ds(v * v).alias("s2"),
+        ds(v * v * v).alias("s3"),
+        ds(v * v * v * v).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n
+    m3 = F.col("s3") / n
+    m4 = F.col("s4") / n
+    var = m2 - m1 * m1
+    skew = (m3 - F.lit(3) * m1 * m2 + F.lit(2) * m1 * m1 * m1) / F.nullif(
+        F.pow(var, F.lit(1.5)), F.lit(0.0)
+    )
+    kurt = (
+        m4 - F.lit(4) * m1 * m3 + F.lit(6) * m1 * m1 * m2 - F.lit(3) * m1 * m1 * m1 * m1
+    ) / F.nullif(var * var, F.lit(0.0)) - F.lit(3)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(m1, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )

@@ -199,6 +199,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "dollar_bars",          # new r5: information-driven notional bars
     "ann_filtered_topk",    # new r5: metadata-filtered exact vector search
     "amihud_illiquidity",   # new r5: price-impact-per-dollar proxy
+    "moments_profile",      # new r5: skewness/kurtosis shape profile
 )
 
 

@@ -633,3 +633,30 @@ def test_ann_filtered_topk_excludes_query_label(spark, sf_dir):
     assert joined.filter(F.col("qlabel") == F.col("nlabel")).count() == 0
     per_q = joined.groupBy("qid").count().collect()
     assert per_q and all(r["count"] == 5 for r in per_q)
+
+
+def test_moments_profile_known_distribution(spark):
+    # Symmetric two-point distribution {1, 3}: mean 2, variance 1,
+    # skewness 0, excess kurtosis -2 (the two-point minimum). A skewed
+    # set {0,0,0,4}: mean 1, var 3, skew (m3-3*m1*m2+2*m1^3)/var^1.5.
+    t0 = T(2024, 1, 1, 9)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 7, "sym", v)
+            for i, v in enumerate([1.0, 3.0] * 10)]
+    rows += [(100 + i, t0 + dt.timedelta(seconds=i), 7, "skw", v)
+             for i, v in enumerate([0.0, 0.0, 0.0, 4.0] * 5)]
+    from nt_etl_order_book_spark.operators import aggregates as aggmod
+
+    out = {r.event_type: r for r in _run(aggmod, "moments_profile", spark, _events(spark, rows))}
+    sym = out["sym"]
+    assert (sym.mean, sym.variance, sym.skewness, sym.excess_kurtosis) == (2.0, 1.0, 0.0, -2.0)
+    skw = out["skw"]
+    import numpy as np
+
+    vals = np.array([0.0, 0.0, 0.0, 4.0] * 5)
+    m = vals.mean()
+    assert skw.mean == pytest.approx(m)
+    assert skw.variance == pytest.approx(vals.var(), abs=1e-6)
+    assert skw.skewness == pytest.approx(
+        ((vals - m) ** 3).mean() / vals.var() ** 1.5, abs=1e-6)
+    assert skw.excess_kurtosis == pytest.approx(
+        ((vals - m) ** 4).mean() / vals.var() ** 2 - 3, abs=1e-6)
