@@ -778,3 +778,356 @@ def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("amihud_x1m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Price-impact / informed-trading family: Kyle's lambda and VPIN. Both
+# consume the tick-rule sign (order_flow_imbalance's carry-forward
+# classifier) plus the per-print size from the props envelope, so a
+# trades-only feed yields the full adverse-selection toolkit the
+# reference's Postgres consumers would otherwise rebuild by hand
+# (reference: postgres_client.py write path).
+
+
+@register(
+    "kyle_lambda",
+    """
+    WITH t AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               - LAG(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+      FROM events WHERE value > 0
+    ),
+    s AS (
+      SELECT user_id, vol, d,
+             LAST_VALUE(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+      FROM t
+    ),
+    xy AS (
+      SELECT user_id, sgn * vol AS x, d AS y
+      FROM s WHERE sgn IS NOT NULL AND d IS NOT NULL
+    ),
+    comp AS (
+      SELECT user_id, COUNT(*) AS n_obs,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM xy GROUP BY user_id
+    )
+    SELECT user_id, n_obs,
+           ROUND(CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0),
+                 6) AS kyle_lambda_cents
+    FROM comp
+    """,
+    doc=(
+        "Kyle (1985) lambda per market: OLS slope of the price change "
+        "(in integer CENTS — prices are cent-precision, the "
+        "dollar_bars trick) on signed order flow (tick-rule sign x "
+        "print size), the canonical price-impact coefficient, in cents "
+        "per unit volume. EVERY regression component (n, Sum x, "
+        "Sum x^2, Sum y, Sum xy) is exact BIGINT, and numerator / "
+        "denominator are formed in BIGINT before the one double "
+        "division — bit-identical across engines by construction, no "
+        "decimal-to-double cast anywhere (the first draft accumulated "
+        "Sum(xy) as DECIMAL(38,18) of double products and a 1-ulp "
+        "conversion difference flipped a 6-dp round at sf0.1). "
+        "Overflow bound: |n * Sum(xy)| stays under 2^63 through ~1e8 "
+        "classified prints per market at these magnitudes; a larger "
+        "retention widens the two products to DECIMAL(38,0) — still "
+        "exact integers. Prints before the first classifiable tick "
+        "and first prints are excluded in both engines. One per-market "
+        "ordered pass (cents-lag + running last share a single window "
+        "exchange), then a market-grain hash aggregate."
+    ),
+)
+def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    d = c - F.lag(c).over(w)
+    raw = F.when(d > 0, 1).when(d < 0, -1)
+    s = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+        d.alias("d"),
+        F.last(raw, ignorenulls=True).over(wrun).alias("sgn"),
+    )
+    xy = s.filter(F.col("sgn").isNotNull() & F.col("d").isNotNull()).select(
+        "user_id",
+        (F.col("sgn") * F.col("vol")).alias("x"),
+        F.col("d").alias("y"),
+    )
+    comp = xy.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    lam = (F.col("n_obs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / F.nullif(
+        (F.col("n_obs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    return comp.select("user_id", "n_obs", F.round(lam, 6).alias("kyle_lambda_cents"))
+
+
+VPIN_BUCKET_VOL = 500
+
+
+@register(
+    "vpin",
+    f"""
+    WITH t AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol,
+             value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+      FROM events WHERE value > 0
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, vol,
+             LAST_VALUE(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+      FROM t
+    ),
+    v AS (
+      SELECT user_id, vol, sgn,
+             CAST(SUM(vol) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_vol
+      FROM s WHERE vol > 0
+    ),
+    buckets AS (
+      SELECT user_id, (cum_vol - vol) // {VPIN_BUCKET_VOL} AS bucket_id,
+             CAST(SUM(CASE WHEN sgn = 1 THEN vol ELSE 0 END) AS BIGINT) AS buy_vol,
+             CAST(SUM(CASE WHEN sgn = -1 THEN vol ELSE 0 END) AS BIGINT) AS sell_vol,
+             CAST(SUM(vol) AS BIGINT) AS tot_vol
+      FROM v GROUP BY user_id, bucket_id
+    )
+    SELECT user_id, COUNT(*) AS n_buckets,
+           ROUND(CAST(SUM(CAST(CAST(ABS(buy_vol - sell_vol) AS DOUBLE)
+                               / tot_vol AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*), 6) AS vpin
+    FROM buckets GROUP BY user_id
+    """,
+    doc=(
+        "VPIN (Easley, Lopez de Prado, O'Hara 2012) per market: form "
+        "equal-volume buckets on the volume clock (a print belongs to "
+        "bucket floor(pre-print cumulative volume / V), the dollar_bars "
+        "integer-bucketing trick on size instead of notional), classify "
+        "volume buy/sell by the carried tick-rule sign, and average "
+        "|buy - sell| / bucket_volume across buckets. The tick-rule "
+        "sign is classified on the FULL tape (zero-size prints still "
+        "move price), but zero-size prints are then dropped before the "
+        "volume clock — they carry no volume to bucket, and a bucket "
+        "of only zero-size prints would divide by zero under ANSI "
+        "(caught at sf0.1). Unclassifiable prints (before the first "
+        "real tick) advance the volume clock but count to neither "
+        "side; the trailing partial bucket is kept (documented choice "
+        "— deterministic in both engines). All volumes are exact BIGINT; "
+        "the per-bucket ratio is double-from-exact-integers and the "
+        "cross-bucket mean accumulates as DECIMAL(38,18). One ordered "
+        "pass per market (sign carry + running volume share one window "
+        "exchange), then two bounded hash aggregates."
+    ),
+)
+def q_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = F.col("value") - F.lag("value").over(w)
+    raw = F.when(d > 0, 1).when(d < 0, -1)
+    vol = F.get_json_object("props", "$.k").cast("bigint")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        vol.alias("vol"),
+        F.last(raw, ignorenulls=True).over(wrun).alias("sgn"),
+    )
+    v = s.filter(F.col("vol") > 0).withColumn("cum_vol", F.sum("vol").over(wrun))
+    bucket = F.expr(f"(cum_vol - vol) div {VPIN_BUCKET_VOL}")
+    buckets = v.groupBy("user_id", bucket.alias("bucket_id")).agg(
+        F.sum(F.when(F.col("sgn") == 1, F.col("vol")).otherwise(0)).alias("buy_vol"),
+        F.sum(F.when(F.col("sgn") == -1, F.col("vol")).otherwise(0)).alias("sell_vol"),
+        F.sum("vol").alias("tot_vol"),
+    )
+    ratio = F.abs(F.col("buy_vol") - F.col("sell_vol")).cast("double") / F.col("tot_vol")
+    return buckets.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(
+            F.sum(ratio.cast("decimal(38,18)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("vpin"),
+    )
+
+
+@register(
+    "ohlc_volatility",
+    """
+    WITH keyed AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+             epoch_us(ts) * 1000 + event_id AS k
+      FROM events WHERE value > 0
+    ),
+    daily AS (
+      SELECT user_id, day,
+             LN(MAX(value) / MIN(value)) AS lhl,
+             LN(arg_max(value, k) / arg_min(value, k)) AS lco
+      FROM keyed GROUP BY user_id, day
+      HAVING COUNT(*) >= 2
+    ),
+    terms AS (
+      SELECT user_id,
+             lhl * lhl / (4 * LN(2)) AS park,
+             0.5 * lhl * lhl - (2 * LN(2) - 1) * lco * lco AS gk
+      FROM daily
+    )
+    SELECT user_id, COUNT(*) AS n_days,
+           ROUND(CAST(SUM(CAST(park AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+             AS parkinson_var,
+           ROUND(CAST(SUM(CAST(gk AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+             AS garman_klass_var
+    FROM terms GROUP BY user_id
+    """,
+    doc=(
+        "Range-based daily variance estimators per market: Parkinson "
+        "(1980) ln(H/L)^2 / (4 ln 2) and Garman-Klass (1980) "
+        "0.5 ln(H/L)^2 - (2 ln 2 - 1) ln(C/O)^2, averaged across days "
+        "— 5-8x more efficient than close-to-close variance from the "
+        "same retention, and computable from the hourly/daily rollup "
+        "alone. H/L from plain MIN/MAX; O/C from min_by/max_by on the "
+        "unique (epoch_us*1000 + event_id) key (the ohlc_bars "
+        "discipline); single-print days carry no range and are "
+        "excluded. Per-day terms are identical double expressions in "
+        "both engines over identical inputs; the cross-day mean "
+        "accumulates as DECIMAL(38,18). Two bounded hash aggregates, "
+        "no window at all — day grain then market grain."
+    ),
+)
+def q_ohlc_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    k = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000) + F.col("event_id")
+    keyed = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day"), "value", k.alias("k")
+    )
+    daily = (
+        keyed.groupBy("user_id", "day")
+        .agg(
+            F.log(F.max("value") / F.min("value")).alias("lhl"),
+            F.log(F.max_by("value", "k") / F.min_by("value", "k")).alias("lco"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .filter(F.col("n_ticks") >= 2)
+    )
+    ln2 = F.log(F.lit(2.0))
+    park = F.col("lhl") * F.col("lhl") / (F.lit(4.0) * ln2)
+    gk = (
+        F.lit(0.5) * F.col("lhl") * F.col("lhl")
+        - (F.lit(2.0) * ln2 - F.lit(1.0)) * F.col("lco") * F.col("lco")
+    )
+    terms = daily.select("user_id", park.alias("park"), gk.alias("gk"))
+    return terms.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.sum(F.col("park").cast("decimal(38,18)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("parkinson_var"),
+        F.round(
+            F.sum(F.col("gk").cast("decimal(38,18)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("garman_klass_var"),
+    )
+
+
+@register(
+    "autocorr_returns",
+    """
+    WITH keyed AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+             epoch_us(ts) * 1000 + event_id AS k
+      FROM events WHERE value > 0
+    ),
+    daily AS (
+      SELECT user_id, day, arg_max(value, k) AS close
+      FROM keyed GROUP BY user_id, day
+    ),
+    rets AS (
+      SELECT user_id, day,
+             LN(close / LAG(close) OVER (PARTITION BY user_id ORDER BY day)) AS ret
+      FROM daily
+    ),
+    pairs AS (
+      SELECT user_id, ret AS y,
+             LAG(ret) OVER (PARTITION BY user_id ORDER BY day) AS x
+      FROM rets WHERE ret IS NOT NULL
+    ),
+    comp AS (
+      SELECT user_id, COUNT(*) AS n_pairs,
+             CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+      FROM pairs WHERE x IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n_pairs,
+           ROUND((n_pairs * sxy - sx * sy)
+                 / nullif(SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 0.0),
+                 6) AS ac1
+    FROM comp
+    """,
+    doc=(
+        "Lag-1 autocorrelation of daily close-to-close log returns per "
+        "market — the standard mean-reversion / momentum diagnostic "
+        "(and the sign ingredient behind roll_spread's covariance). "
+        "Daily close by max_by on the unique OHLC key; returns and "
+        "their lag from two stacked windows over the SAME per-market "
+        "day order (one exchange, day-grain rows only — the window "
+        "input is days x markets, tiny at any tick volume); Pearson "
+        "rho in closed form over DECIMAL(38,18) component sums with "
+        "nullif guarding the zero-variance denominator under ANSI "
+        "(the market_correlation discipline)."
+    ),
+)
+def q_autocorr_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    k = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000) + F.col("event_id")
+    keyed = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day"), "value", k.alias("k")
+    )
+    daily = keyed.groupBy("user_id", "day").agg(F.max_by("value", "k").alias("close"))
+    wday = Window.partitionBy("user_id").orderBy("day")
+    rets = daily.select(
+        "user_id", "day", F.log(F.col("close") / F.lag("close").over(wday)).alias("ret")
+    )
+    pairs = (
+        rets.filter(F.col("ret").isNotNull())
+        .select("user_id", "day", F.col("ret").alias("y"), F.lag("ret").over(wday).alias("x"))
+        .filter(F.col("x").isNotNull())
+    )
+
+    def dec(c):  # noqa: ANN001
+        return F.sum(c.cast("decimal(38,18)")).cast("double")
+
+    comp = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+    )
+    rho = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.sqrt(
+            (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+        F.lit(0.0),
+    )
+    return comp.select("user_id", "n_pairs", F.round(rho, 6).alias("ac1"))

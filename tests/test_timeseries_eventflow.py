@@ -660,3 +660,89 @@ def test_moments_profile_known_distribution(spark):
         ((vals - m) ** 3).mean() / vals.var() ** 1.5, abs=1e-6)
     assert skw.excess_kurtosis == pytest.approx(
         ((vals - m) ** 4).mean() / vals.var() ** 2 - 3, abs=1e-6)
+
+
+# ------------------------------------------- r5 microstructure additions
+
+EVP_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _pevents(spark, rows):
+    return spark.createDataFrame(rows, EVP_SCHEMA)
+
+
+def test_kyle_lambda_recovers_planted_impact(spark):
+    # Plant price impact of exactly 2 cents per unit signed volume:
+    # every print moves price by 0.02 * size in the trade direction, so
+    # the tick-rule sign equals the true direction and the OLS slope
+    # must be exactly 2.0 (intercept 0, zero residual).
+    rows = [
+        (1, T(2024, 1, 1, 9, 0), 1, "view", 100.00, '{"k": 10}'),   # first: excluded
+        (2, T(2024, 1, 1, 9, 1), 1, "view", 100.10, '{"k": 5}'),    # +5 -> +10c
+        (3, T(2024, 1, 1, 9, 2), 1, "view", 100.04, '{"k": 3}'),    # -3 -> -6c
+        (4, T(2024, 1, 1, 9, 3), 1, "view", 100.18, '{"k": 7}'),    # +7 -> +14c
+        (5, T(2024, 1, 1, 9, 4), 1, "view", 100.14, '{"k": 2}'),    # -2 -> -4c
+    ]
+    out = _run(tsmod, "kyle_lambda", spark, _pevents(spark, rows))
+    assert len(out) == 1
+    assert out[0].n_obs == 4
+    assert out[0].kyle_lambda_cents == pytest.approx(2.0, abs=1e-9)
+
+
+def test_vpin_buckets_and_zero_size_prints(spark):
+    # Bucket volume = 500. Bucket 0: the unclassified first print fills
+    # it alone (ratio 0). Bucket 1: two buys (ratio 1). Bucket 2: one
+    # buy + one sell of equal size (ratio 0). Then a ZERO-SIZE uptick
+    # must set the carried sign without advancing the volume clock, so
+    # the final flat-price print classifies as a buy -> bucket 3 ratio
+    # 1. VPIN = (0 + 1 + 0 + 1) / 4 = 0.5.
+    rows = [
+        (1, T(2024, 1, 1, 9, 0), 1, "view", 100.00, '{"k": 500}'),  # no sign yet
+        (2, T(2024, 1, 1, 9, 1), 1, "view", 100.10, '{"k": 300}'),  # uptick buy
+        (3, T(2024, 1, 1, 9, 2), 1, "view", 100.20, '{"k": 200}'),  # uptick buy
+        (4, T(2024, 1, 1, 9, 3), 1, "view", 100.30, '{"k": 250}'),  # uptick buy
+        (5, T(2024, 1, 1, 9, 4), 1, "view", 100.20, '{"k": 250}'),  # downtick sell
+        (6, T(2024, 1, 1, 9, 5), 1, "view", 100.30, '{"k": 0}'),    # zero-size uptick
+        (7, T(2024, 1, 1, 9, 6), 1, "view", 100.30, '{"k": 500}'),  # flat: carries +1
+    ]
+    out = _run(tsmod, "vpin", spark, _pevents(spark, rows))
+    assert len(out) == 1
+    assert out[0].n_buckets == 4
+    assert out[0].vpin == pytest.approx(0.5, abs=1e-9)
+
+
+def test_ohlc_volatility_closed_form_day(spark):
+    # One 3-print day: O=100, H=121, L=100, C=110 -> Parkinson and
+    # Garman-Klass match their closed forms; a second single-print day
+    # carries no range and must be excluded.
+    rows = [
+        (1, T(2024, 1, 1, 9), 1, "view", 100.0),
+        (2, T(2024, 1, 1, 10), 1, "view", 121.0),
+        (3, T(2024, 1, 1, 11), 1, "view", 110.0),
+        (4, T(2024, 1, 2, 9), 1, "view", 55.0),
+    ]
+    out = _run(tsmod, "ohlc_volatility", spark, _events(spark, rows))
+    assert len(out) == 1
+    lhl = math.log(1.21)
+    lco = math.log(1.10)
+    assert out[0].n_days == 1
+    assert out[0].parkinson_var == pytest.approx(lhl * lhl / (4 * math.log(2)), abs=1e-6)
+    assert out[0].garman_klass_var == pytest.approx(
+        0.5 * lhl * lhl - (2 * math.log(2) - 1) * lco * lco, abs=1e-6
+    )
+
+
+def test_autocorr_alternating_closes_is_minus_one(spark):
+    # Daily closes oscillate 100 <-> 110: returns alternate +/- ln(1.1)
+    # exactly, so consecutive-return pairs are perfectly anticorrelated.
+    rows = [
+        (i, T(2024, 1, 1 + i, 12), 1, "view", 100.0 if i % 2 == 0 else 110.0)
+        for i in range(6)
+    ]
+    out = _run(tsmod, "autocorr_returns", spark, _events(spark, rows))
+    assert len(out) == 1
+    assert out[0].n_pairs == 4
+    assert out[0].ac1 == pytest.approx(-1.0, abs=1e-9)
