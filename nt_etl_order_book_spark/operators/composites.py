@@ -296,3 +296,191 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("region")
     share = F.col("revenue") / F.sum(F.col("revenue").cast("decimal(30,6)")).over(w).cast("double")
     return rev.select("region", "nation", "revenue", F.round(share, 6).alias("region_share"))
+
+
+@register(
+    "composite_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q10 shape (returned-item reporting): which customers "
+        "returned the most revenue in a quarter. The quarter predicate "
+        "prunes orders at the scan and the returnflag predicate prunes "
+        "lineitem at the scan (both pushed), so the fact join sees two "
+        "pre-filtered inputs; nation broadcasts; the aggregate runs at "
+        "customer grain above the join and TakeOrderedAndProject "
+        "returns the top 20 with a unique c_custkey tiebreak."
+    ),
+)
+def q_composite_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    lo = F.lit("1997-10-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        cust.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            cust.c_custkey == orders.o_custkey,
+        )
+        .join(li.filter(F.col("l_returnflag") == "R"), F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "composite_promo_revenue",
+    f"""
+    SELECT ROUND(100.0 * {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+                 / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 6) AS promo_pct,
+           {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")} AS promo_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    doc=(
+        "TPC-H Q14 shape (promotion effect): the percentage of one "
+        "month's revenue that shipped on promo-type parts. The month "
+        "predicate prunes lineitem at the scan; part broadcasts (dim "
+        "side); promo vs total come from one conditional decimal SUM "
+        "pair in a single ungrouped aggregate — one pass, no second "
+        "exchange (the dsir_weights conditional-SUM lesson). Ratio is "
+        "double over two decimal-exact components, rounded 6 dp."
+    ),
+)
+def q_composite_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lo = F.lit("1997-09-01").cast("timestamp")
+    hi = F.lit("1997-10-01").cast("timestamp")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0))
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * dsum(promo) / dsum(revenue), 6).alias("promo_pct"),
+            dsum(promo).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "composite_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    doc=(
+        "TPC-H Q15 shape (top supplier): quarterly revenue per "
+        "supplier, then the supplier(s) achieving the maximum. The "
+        "shipdate predicate prunes the fact scan; revenue is the "
+        "supplier-grain aggregate (tiny); the scalar-subquery MAX is a "
+        "1-row broadcast back onto that aggregate — equality on the "
+        "DECIMAL-exact revenue is safe cross-engine precisely because "
+        "the accumulation is order-independent (a double sum could "
+        "make the max row engine-dependent). Ties all surface, "
+        "ordered by the unique supplier key."
+    ),
+)
+def q_composite_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    rev = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(dsum(revenue).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(sup, rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "composite_small_qty_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0, 6)
+             AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND 5 * CAST(l.l_quantity AS BIGINT) * pq.cnt < pq.sum_q
+    """,
+    doc=(
+        "TPC-H Q17 shape (small-quantity-order revenue): revenue locked "
+        "in orders below 20% of a part's average order quantity, for "
+        "one brand. The correlated per-part average is an aggregate "
+        "join (part-grain, broadcastable); the 'q < 0.2 * avg' test is "
+        "rewritten EXACTLY in integers — quantities are integral, so "
+        "5*q*cnt < sum_q is the same predicate with zero float "
+        "boundary risk (the benford_audit discipline: never let a "
+        "threshold live on a double boundary). Brand filter prunes "
+        "part at the scan and, through the join, the fact side; "
+        "avg_yearly is the TPC-H sum/7 convention over decimal-exact "
+        "revenue."
+    ),
+)
+def q_composite_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_q"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = (
+        li.join(F.broadcast(part).filter(F.col("p_brand") == "Brand#1"), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(pq), "l_partkey")
+        .filter(F.lit(5) * F.col("l_quantity").cast("bigint") * F.col("cnt") < F.col("sum_q"))
+    )
+    return small.agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double") / F.lit(7.0), 6).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -746,3 +746,37 @@ def test_autocorr_alternating_closes_is_minus_one(spark):
     assert len(out) == 1
     assert out[0].n_pairs == 4
     assert out[0].ac1 == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_returned_items_pushdown_and_topk(spark, sf_dir):
+    df = registry.queries()["composite_returned_items"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan          # top-20, never a global sort
+    assert "PushedFilters" in plan and "l_returnflag" in plan  # R-filter reaches the scan
+    assert plan_uses_broadcast_join(df)             # nation broadcasts
+
+
+def test_promo_revenue_single_aggregate_no_fork(spark, sf_dir):
+    # promo and total revenue must come from ONE conditional-SUM
+    # aggregate over one broadcast join — a filtered second branch
+    # would fork a second full exchange (the dsir_weights lesson).
+    df = registry.queries()["composite_promo_revenue"](spark, sf_dir)
+    assert plan_uses_broadcast_join(df)
+    assert count_shuffles(df) <= 1  # only the 1-row final aggregate exchange
+
+
+def test_top_supplier_scalar_max_broadcast(spark, sf_dir):
+    df = registry.queries()["composite_top_supplier"](spark, sf_dir)
+    assert plan_uses_broadcast_join(df)  # 1-row MAX broadcast back onto rev
+    rows = df.collect()
+    assert len(rows) >= 1  # at least one top supplier; ties all surface
+
+
+def test_small_qty_predicate_is_integer_exact(spark, sf_dir):
+    # The 20%-of-average test must be the integer rewrite (5*q*cnt <
+    # sum_q): no doubles in the comparison, so no boundary rows can
+    # flip cross-engine.
+    df = registry.queries()["composite_small_qty_revenue"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan_uses_broadcast_join(df)
+    assert "NestedLoop" not in plan
