@@ -295,3 +295,56 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(benford, 6).alias("benford"),
         )
     )
+
+
+@register(
+    "markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT), 6) AS p
+    FROM trans
+    """,
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "sequences: P(next event type | current), the standard "
+        "user-journey model (and a drift tripwire when compared across "
+        "deploys). One per-user ordered lag pass — the only "
+        "volume-sized shuffle, keyed by user — collapses immediately "
+        "to the |types|^2-bounded transition counts (25 cells here); "
+        "the row-normalizing window then runs over that tiny frame. "
+        "Counts are exact BIGINT; probability is one double division "
+        "rounded 6 dp (DuckDB's windowed SUM(BIGINT) returns HUGEINT "
+        "— cast back, the dollar_bars lesson). Each user's first "
+        "event has no predecessor and is excluded in both engines."
+    ),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 6).alias("p"),
+    )

@@ -208,6 +208,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # Imports are deferred so `import nt_etl_order_book_spark` stays cheap.
     from nt_etl_order_book_spark.operators import (  # noqa: F401
         aggregates,
+        audits,
         composites,
         eventflow,
         joins,

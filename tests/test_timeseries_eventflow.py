@@ -780,3 +780,75 @@ def test_small_qty_predicate_is_integer_exact(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan_uses_broadcast_join(df)
     assert "NestedLoop" not in plan
+
+
+# ------------------------------------------------------- r5 audits family
+
+
+def _run_tables(module, name, spark, frames):
+    orig = module.load_table
+    try:
+        module.load_table = lambda _s, _d, n: frames[n]
+        return registry.all_specs()[name].fn(spark, "_").collect()
+    finally:
+        module.load_table = orig
+
+
+def test_referential_audit_flags_planted_orphans(spark):
+    from nt_etl_order_book_spark.operators import audits as audmod
+
+    frames = {
+        "lineitem": spark.createDataFrame(
+            [(1, 10, 100), (2, 20, 100), (99, 10, 100)],  # orderkey 99 is an orphan
+            "l_orderkey long, l_partkey long, l_suppkey long",
+        ),
+        "orders": spark.createDataFrame([(1, 5), (2, 5)], "o_orderkey long, o_custkey long"),
+        "part": spark.createDataFrame([(10,), (20,)], "p_partkey long"),
+        "supplier": spark.createDataFrame([(100,)], "s_suppkey long"),
+        "customer": spark.createDataFrame([(5, 0)], "c_custkey long, c_nationkey int"),
+        "nation": spark.createDataFrame([(0,)], "n_nationkey int"),
+    }
+    out = {r.rel: (r.n_child, r.n_orphans) for r in _run_tables(audmod, "referential_integrity_audit", spark, frames)}
+    assert out["lineitem.l_orderkey -> orders"] == (3, 1)
+    assert out["lineitem.l_partkey -> part"] == (3, 0)
+    assert out["orders.o_custkey -> customer"] == (2, 0)
+
+
+def test_uniqueness_audit_duplicates_and_null_keys(spark):
+    from nt_etl_order_book_spark.operators import audits as audmod
+
+    one = spark.createDataFrame([(1,)], "x long")
+    frames = {
+        "customer": one.selectExpr("x as c_custkey"),
+        "documents": one.selectExpr("x as doc_id"),
+        # duplicated event_id -> 1 dup row
+        "events": spark.createDataFrame([(7,), (7,), (8,)], "event_id long"),
+        # composite key incl. a NULL tuple: struct semantics must count
+        # the NULL tuple as a distinct key, not drop it
+        "lineitem": spark.createDataFrame(
+            [(1, 1), (1, 1), (None, None)], "l_orderkey long, l_linenumber int"
+        ),
+        "orders": one.selectExpr("x as o_orderkey"),
+        "part": one.selectExpr("x as p_partkey"),
+        "supplier": one.selectExpr("x as s_suppkey"),
+    }
+    out = {r.key_name: (r.n_rows, r.n_keys, r.n_dup_rows) for r in _run_tables(audmod, "uniqueness_audit", spark, frames)}
+    assert out["events.event_id"] == (3, 2, 1)
+    assert out["lineitem.(l_orderkey,l_linenumber)"] == (3, 2, 1)
+
+
+def test_markov_transitions_normalize_and_skip_first(spark):
+    rows = [
+        (1, T(2024, 1, 1, 9, 0), 1, "view", 0.0),
+        (2, T(2024, 1, 1, 9, 1), 1, "click", 0.0),
+        (3, T(2024, 1, 1, 9, 2), 1, "view", 0.0),
+        (4, T(2024, 1, 1, 9, 3), 1, "click", 0.0),
+        (5, T(2024, 1, 1, 9, 4), 1, "purchase", 0.0),
+        (6, T(2024, 1, 2, 9, 0), 2, "view", 0.0),  # user 2's only event: no transition
+    ]
+    out = _run(flowmod, "markov_transitions", spark, _events(spark, rows))
+    trans = {(r.from_type, r.to_type): (r.n, r.p) for r in out}
+    assert trans[("view", "click")] == (2, 1.0)
+    assert trans[("click", "view")][0] == 1 and trans[("click", "view")][1] == 0.5
+    assert trans[("click", "purchase")][1] == 0.5
+    assert sum(n for n, _ in trans.values()) == 4  # 5 events user 1 -> 4 transitions
