@@ -1237,3 +1237,71 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return topk_per_query(scored)
+
+
+# Pairwise-similarity census: sample modulus and histogram width.
+HIST_SAMPLE_MOD = 4
+HIST_BUCKETS = 20
+
+
+@register(
+    "pairwise_cosine_histogram",
+    f"""
+    WITH s AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % {HIST_SAMPLE_MOD} = 0
+    ),
+    scored AS (
+      SELECT ROUND(
+               list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+               / nullif(sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x * x))), 0),
+               6) AS cos_sim
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT LEAST(CAST(FLOOR((cos_sim + 1.0) * {HIST_BUCKETS} / 2.0) AS BIGINT),
+                 {HIST_BUCKETS - 1}) AS bucket,
+           COUNT(*) AS n_pairs,
+           ROUND(MIN(cos_sim), 6) AS lo,
+           ROUND(MAX(cos_sim), 6) AS hi
+    FROM scored GROUP BY 1
+    """,
+    doc=(
+        "Pairwise-cosine distribution over a deterministic corpus "
+        "sample — the embedding-space health census (collapsed "
+        "histogram = mode collapse / bad normalization; the standard "
+        "pre-dedup diagnostic before choosing semdedup/embed_cosine "
+        "thresholds). Sample by vec_id modulus keeps the quadratic "
+        "pair count bounded and REPRODUCIBLE (no rand()): n/MOD "
+        "vectors -> ~(n/MOD)^2/2 pairs; at 100 TB the modulus scales "
+        "with corpus size to hold the pair budget constant. Pairs via "
+        "broadcast self-join (a.vec_id < b.vec_id), dot/norm HOFs "
+        "JVM-side, cosine ROUNDED 6 dp BEFORE bucketing so the "
+        "floor-bucket edge cannot sit on a 1-ulp cross-engine "
+        "difference (the cosine_topk discipline); bucket k covers "
+        "[-1 + k/10, ...), cos=1.0 clamped into the top bucket."
+    ),
+)
+def q_pairwise_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.filter(F.col("vec_id") % HIST_SAMPLE_MOD == 0).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = s.select(F.col("vec_id").alias("aid"), F.col("embedding").alias("av"), F.col("nrm").alias("an"))
+    b = s.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"), F.col("nrm").alias("bn"))
+    cos = F.round(
+        dot(F.col("av"), F.col("bv")) / F.nullif(F.col("an") * F.col("bn"), F.lit(0.0)), 6
+    )
+    scored = (
+        a.join(F.broadcast(b), F.col("aid") < F.col("bid"))
+        .select(cos.alias("cos_sim"))
+    )
+    bucket = F.least(
+        F.floor((F.col("cos_sim") + 1.0) * HIST_BUCKETS / 2.0).cast("bigint"),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    return scored.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.min("cos_sim"), 6).alias("lo"),
+        F.round(F.max("cos_sim"), 6).alias("hi"),
+    )

@@ -1751,3 +1751,66 @@ def q_license_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(f"f_{tag}").cast("bigint").alias(f"n_{tag}") for tag in LICENSE_MARKERS],
         F.sum(F.when(none_hit, 1).otherwise(0)).cast("bigint").alias("n_untagged"),
     )
+
+
+@register(
+    "source_vocab_overlap",
+    """
+    WITH vocab AS (
+      SELECT DISTINCT source, token
+      FROM (SELECT source, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+            FROM documents)
+    ),
+    sizes AS (
+      SELECT source, COUNT(*) AS n_terms FROM vocab GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM vocab a JOIN vocab b ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, sa.n_terms AS terms_a, sb.n_terms AS terms_b, i.n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.n_terms + sb.n_terms - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+    doc=(
+        "Pairwise lexical Jaccard between source vocabularies — the "
+        "cheap domain-similarity matrix used to pick mixture partners "
+        "and spot near-duplicate crawls before any embedding exists "
+        "(complements domain_kl_divergence, which compares frequency "
+        "shapes, by comparing SUPPORT sets). The token explode "
+        "collapses immediately to DISTINCT (source, token) — vocab "
+        "grain, which is sublinear in corpus size (Heaps' law), so the "
+        "self-join runs on vocabularies, never tokens; sizes join back "
+        "broadcast-sized. Jaccard = |A∩B| / (|A|+|B|-|A∩B|) over exact "
+        "BIGINT counts, one double division, 6 dp. Pair fan-out is "
+        "|sources|^2/2 — report-sized. Source pairs sharing zero "
+        "terms drop out (inner join), deterministically in both "
+        "engines."
+    ),
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    vocab = docs.select("source", F.explode(toks).alias("token")).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = vocab.select(F.col("source").alias("src_a"), "token")
+    b = vocab.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n_terms").alias("terms_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n_terms").alias("terms_b")))
+    out = inter.join(sa, "src_a").join(sb, "src_b")
+    jac = F.col("n_common").cast("double") / (
+        F.col("terms_a") + F.col("terms_b") - F.col("n_common")
+    )
+    return out.select(
+        "src_a", "src_b", "terms_a", "terms_b", "n_common", F.round(jac, 6).alias("jaccard")
+    )

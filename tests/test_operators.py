@@ -766,3 +766,58 @@ def test_ohlc_bars_same_timestamp_tiebreak(spark):
     finally:
         winmod.load_table = orig
     assert out == {10: (30.0, 99.0, 10.0, 99.0, 3), 11: (5.0, 5.0, 5.0, 5.0, 1)}
+
+
+def test_source_vocab_overlap_exact_jaccard(spark):
+    # A={x,y,z}, B={y,z,w}: inter 2, union 4 -> 0.5. C shares nothing
+    # with A (drops out) and {w} with B -> 1/4.
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import text as textmod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z y", "A"),
+            (2, "y z w", "B"),
+            (3, "w q", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    orig = textmod.load_table
+    try:
+        textmod.load_table = lambda _s, _d, name: docs
+        out = {
+            (r.src_a, r.src_b): (r.n_common, r.jaccard)
+            for r in registry.all_specs()["source_vocab_overlap"].fn(spark, "_").collect()
+        }
+    finally:
+        textmod.load_table = orig
+    assert out[("A", "B")] == (2, 0.5)
+    assert out[("B", "C")] == (1, 0.25)
+    assert ("A", "C") not in out  # zero-overlap pairs drop out
+
+
+def test_pairwise_cosine_histogram_constructed_buckets(spark):
+    # Four sampled vectors (ids 0,4,8,12): two identical (cos 1.0 ->
+    # clamped into top bucket), one orthogonal pair each with the rest
+    # (cos 0 -> bucket 10), one opposite (cos -1 -> bucket 0).
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import similarity as simmod
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (4, [1.0, 0.0], 0),    # cos(0,4) = 1
+        (8, [0.0, 1.0], 0),    # cos with 0/4 = 0
+        (12, [-1.0, 0.0], 0),  # cos(0,12) = cos(4,12) = -1; cos(8,12) = 0
+        (5, [9.0, 9.0], 0),    # not sampled: id % 4 != 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    orig = simmod.load_table
+    try:
+        simmod.load_table = lambda _s, _d, name: emb
+        out = {
+            r.bucket: r.n_pairs
+            for r in registry.all_specs()["pairwise_cosine_histogram"].fn(spark, "_").collect()
+        }
+    finally:
+        simmod.load_table = orig
+    assert out == {19: 1, 10: 3, 0: 2}
