@@ -1131,3 +1131,75 @@ def q_autocorr_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
     )
     return comp.select("user_id", "n_pairs", F.round(rho, 6).alias("ac1"))
+
+
+@register(
+    "effective_spread",
+    """
+    WITH quotes AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS mid
+      FROM events WHERE event_type = 'view' AND value > 0
+      GROUP BY user_id, ts
+    ),
+    trades AS (
+      SELECT user_id, ts, event_id, value AS price
+      FROM events WHERE event_type = 'purchase' AND value > 0
+    ),
+    matched AS (
+      SELECT t.user_id, t.price, q.mid
+      FROM trades t
+      ASOF LEFT JOIN quotes q ON t.user_id = q.user_id AND t.ts >= q.ts
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN mid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quoted,
+           CAST(SUM(CASE WHEN mid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unquoted,
+           ROUND(CAST(SUM(CAST(2 * ABS(price - mid) / mid * 10000 AS DECIMAL(38,18)))
+                      AS DOUBLE)
+                 / nullif(SUM(CASE WHEN mid IS NOT NULL THEN 1 ELSE 0 END), 0), 6)
+             AS eff_spread_bps
+    FROM matched GROUP BY user_id
+    """,
+    doc=(
+        "Effective spread per market: 2 * |trade price - prevailing "
+        "mid| / mid in bps, averaged over trades — the realized "
+        "transaction-cost measure that needs QUOTES at trade time, "
+        "i.e. the canonical as-of-join composition (trades = "
+        "'purchase' prints, prevailing quote = latest same-market "
+        "'view' at or before the trade). Reuses the asof_join "
+        "union+window kernel (operators/joins.py) — one shuffle on "
+        "the market key, no inequality join — against DuckDB's native "
+        "ASOF LEFT JOIN as the oracle, so the kernel's <= and "
+        "equal-ts tie semantics are cross-checked by an independent "
+        "implementation in a second engine. Quotes dedupe to latest "
+        "event per (market, ts) first (the helper requires per-(key, "
+        "ts) uniqueness; max_by on the unique event_id). Trades "
+        "before any quote stay unmatched (LEFT), counted as "
+        "n_unquoted, excluded from the mean; per-trade bps terms "
+        "accumulate as DECIMAL(38,18)."
+    ),
+)
+def q_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_etl_order_book_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    quotes = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("mid"))
+    )
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("price")
+    )
+    matched = asof_join(
+        trades, quotes, key="user_id", left_ts="ts", right_ts="ts", value_cols=["mid"]
+    )
+    mid = F.col("asof_mid")  # the helper prefixes matched right columns
+    bps = F.lit(2) * F.abs(F.col("price") - mid) / mid * 10000
+    quoted = F.sum(F.when(mid.isNotNull(), 1).otherwise(0))
+    return matched.groupBy("user_id").agg(
+        quoted.alias("n_quoted"),
+        F.sum(F.when(mid.isNull(), 1).otherwise(0)).alias("n_unquoted"),
+        F.round(
+            F.sum(bps.cast("decimal(38,18)")).cast("double") / F.nullif(quoted, F.lit(0)), 6
+        ).alias("eff_spread_bps"),
+    )

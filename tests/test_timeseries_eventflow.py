@@ -852,3 +852,24 @@ def test_markov_transitions_normalize_and_skip_first(spark):
     assert trans[("click", "view")][0] == 1 and trans[("click", "view")][1] == 0.5
     assert trans[("click", "purchase")][1] == 0.5
     assert sum(n for n, _ in trans.values()) == 4  # 5 events user 1 -> 4 transitions
+
+
+def test_effective_spread_asof_semantics(spark):
+    # Quotes (views) at 9:00 mid=100 and 9:10 mid=102.  Trades
+    # (purchases): 8:59 (before any quote -> unquoted), 9:00 at 101
+    # (equal-ts quote counts: 2*|101-100|/100*1e4 = 200 bps), 9:05 at
+    # 100 (still the 9:00 quote: 0 bps), 9:15 at 102.51 (the 9:10
+    # quote: 2*0.51/102*1e4 = 100 bps).  Mean over quoted = 100 bps.
+    rows = [
+        (1, T(2024, 1, 1, 9, 0), 1, "view", 100.0),
+        (2, T(2024, 1, 1, 9, 10), 1, "view", 102.0),
+        (3, T(2024, 1, 1, 8, 59), 1, "purchase", 99.0),
+        (4, T(2024, 1, 1, 9, 0), 1, "purchase", 101.0),
+        (5, T(2024, 1, 1, 9, 5), 1, "purchase", 100.0),
+        (6, T(2024, 1, 1, 9, 15), 1, "purchase", 102.51),
+    ]
+    out = _run(tsmod, "effective_spread", spark, _events(spark, rows))
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_quoted, r.n_unquoted) == (3, 1)
+    assert r.eff_spread_bps == pytest.approx(100.0, abs=1e-4)
