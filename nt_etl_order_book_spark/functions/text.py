@@ -1814,3 +1814,169 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "src_a", "src_b", "terms_a", "terms_b", "n_common", F.round(jac, 6).alias("jaccard")
     )
+
+
+COVERAGE_THRESHOLDS = (50, 90, 99)
+
+
+@register(
+    "ngram_coverage_curve",
+    f"""
+    WITH tf AS (
+      SELECT token, COUNT(*) AS tf
+      FROM (SELECT UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    bands AS (
+      SELECT tf, COUNT(*) AS n_terms, CAST(tf * COUNT(*) AS BIGINT) AS mass
+      FROM tf GROUP BY tf
+    ),
+    ranked AS (
+      SELECT tf, n_terms, mass,
+             CAST(COALESCE(SUM(n_terms) OVER (ORDER BY tf DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS terms_before,
+             CAST(COALESCE(SUM(mass) OVER (ORDER BY tf DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS mass_before
+      FROM bands
+    ),
+    tot AS (
+      SELECT CAST(SUM(mass) AS BIGINT) AS total, CAST(SUM(n_terms) AS BIGINT) AS vocab
+      FROM bands
+    )
+    SELECT t.pct,
+           MIN(r.terms_before
+               + ((t.pct * (SELECT total FROM tot) + 99) // 100 - r.mass_before + r.tf - 1)
+                 // r.tf) AS k_terms,
+           (SELECT vocab FROM tot) AS vocab_size,
+           (SELECT total FROM tot) AS total_tokens
+    FROM ranked r
+    CROSS JOIN (SELECT UNNEST([{", ".join(str(t) for t in COVERAGE_THRESHOLDS)}]) AS pct) t
+    WHERE r.mass_before + r.mass >= (t.pct * (SELECT total FROM tot) + 99) // 100
+      AND r.mass_before < (t.pct * (SELECT total FROM tot) + 99) // 100
+    GROUP BY t.pct
+    """,
+    doc=(
+        "Token-coverage curve: the smallest head-vocabulary size whose "
+        "cumulative frequency covers 50/90/99% of all token "
+        "occurrences — the statistic that sizes tokenizer vocabularies "
+        "and OOV budgets (zipf_fit measures the slope, this measures "
+        "the consequence). The naive form sorts the whole vocabulary "
+        "through one global cumsum window; instead the vocab table "
+        "collapses to FREQUENCY BANDS — (tf, n_terms, mass) — which "
+        "number O(sqrt(total_tokens)) by the sum bound, and the exact "
+        "k is recovered arithmetically inside the crossing band: terms "
+        "sharing a tf are interchangeable, so k = terms_before + "
+        "ceil((needed - mass_before)/tf), all in BIGINT (needed uses "
+        "the ceil-divide (pct*total+99) div 100 — no float threshold "
+        "anywhere). The only global window runs over the band table; "
+        "the token aggregate is the only volume-sized pass. Output is "
+        "|thresholds| rows."
+    ),
+)
+def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    tf = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bands = tf.groupBy("tf").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.col("tf") * F.count(F.lit(1))).cast("bigint").alias("mass"),
+    )
+    wprev = Window.orderBy(F.desc("tf")).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = bands.select(
+        "tf",
+        "n_terms",
+        "mass",
+        F.coalesce(F.sum("n_terms").over(wprev), F.lit(0)).cast("bigint").alias("terms_before"),
+        F.coalesce(F.sum("mass").over(wprev), F.lit(0)).cast("bigint").alias("mass_before"),
+    )
+    tot = bands.agg(
+        F.sum("mass").cast("bigint").alias("total"),
+        F.sum("n_terms").cast("bigint").alias("vocab"),
+    )
+    thresholds = docs.sparkSession.createDataFrame(
+        [(t,) for t in COVERAGE_THRESHOLDS], "pct int"
+    )
+    needed = F.expr("(pct * total + 99) div 100")
+    k_in_band = F.col("terms_before") + F.expr(
+        "(needed - mass_before + tf - 1) div tf"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thresholds))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("needed", needed)
+        .filter(
+            (F.col("mass_before") + F.col("mass") >= F.col("needed"))
+            & (F.col("mass_before") < F.col("needed"))
+        )
+        .groupBy("pct")
+        .agg(
+            F.min(k_in_band).alias("k_terms"),
+            F.first("vocab").alias("vocab_size"),
+            F.first("total").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "lexical_complexity",
+    """
+    WITH toks AS (
+      SELECT source, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(CAST(LENGTH(token) AS BIGINT)) AS BIGINT) AS n_chars,
+             CAST(SUM(CAST(len(regexp_extract_all(lower(token), '[aeiou]+')) AS BIGINT))
+                  AS BIGINT) AS n_syllables,
+             COUNT(DISTINCT token) AS n_types
+      FROM toks GROUP BY source
+    )
+    SELECT source, n_tokens,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_word_len,
+           ROUND(CAST(n_syllables AS DOUBLE) / n_tokens, 6) AS syllables_per_word,
+           ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio
+    FROM per_source
+    """,
+    doc=(
+        "Lexical-complexity profile per source: mean word length, "
+        "vowel-group syllables per word (the Flesch-family syllable "
+        "heuristic — identical regex '[aeiou]+' in both engines), and "
+        "type-token ratio. The reading-level triple computable without "
+        "sentence segmentation, used to stratify corpora by difficulty "
+        "for curriculum mixing. One token explode feeding ONE "
+        "aggregate (counts, char sum, syllable sum, distinct types all "
+        "partial-combine on the same exchange); every ratio is double "
+        "over exact integers, 6 dp."
+    ),
+)
+def q_lexical_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    t = docs.select("source", F.explode(toks).alias("token"))
+    syl = F.size(F.expr("regexp_extract_all(lower(token), '[aeiou]+', 0)"))
+    per = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("token").cast("bigint")).alias("n_chars"),
+        F.sum(syl.cast("bigint")).alias("n_syllables"),
+        F.count_distinct("token").alias("n_types"),
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias("avg_word_len"),
+        F.round(F.col("n_syllables").cast("double") / F.col("n_tokens"), 6).alias(
+            "syllables_per_word"
+        ),
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nt_etl_order_book_spark.operators.aggregates import dsum, sql_dsum
+from nt_etl_order_book_spark.operators.aggregates import DEC, dsum, sql_dsum
 from nt_etl_order_book_spark.registry import register
 from nt_etl_order_book_spark.tables import load_table
 
@@ -483,4 +483,162 @@ def q_composite_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return small.agg(
         F.round(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double") / F.lit(7.0), 6).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "composite_nation_trade",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+       OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+    GROUP BY n1.n_name, n2.n_name, ship_year
+    """,
+    doc=(
+        "TPC-H Q7 shape (volume shipping): bilateral trade revenue "
+        "between two nations by ship year. Six-way join where BOTH "
+        "nation dims broadcast and the disjunctive nation-pair "
+        "predicate applies above them — Catalyst still prunes "
+        "supplier/customer down to the two nations before the fact "
+        "joins (predicate pushes through the broadcast joins), so the "
+        "order/lineitem shuffle only carries the filtered slice. "
+        "ship_year via EXTRACT on both engines; year-grain output."
+    ),
+)
+def q_composite_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1")
+    ) | ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "composite_brand_disjunction",
+    f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc=(
+        "TPC-H Q19 shape (discounted revenue, OR-of-ANDs): a "
+        "three-branch disjunction mixing part attributes and lineitem "
+        "quantity. The optimizer's job here is predicate factoring: "
+        "the common-derivable parts (quantity <= 30, the union of "
+        "brand/size envelopes) can prune each scan even though the "
+        "full predicate needs the join; the part side broadcasts. All "
+        "branch bounds are integers on integral columns — zero float "
+        "boundary risk. Single ungrouped decimal aggregate."
+    ),
+)
+def q_composite_brand_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "composite_idle_customers",
+    """
+    WITH above AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                                     / COUNT(*) AS DOUBLE)
+                         FROM customer)
+    ),
+    idle AS (
+      SELECT a.* FROM above a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = a.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    )
+    SELECT n.n_name, COUNT(*) AS n_customers,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_acctbal
+    FROM idle i JOIN nation n ON n.n_nationkey = i.c_nationkey
+    GROUP BY n.n_name
+    """,
+    doc=(
+        "TPC-H Q22 shape (lapsed high-value customers): customers with "
+        "above-average balance and NO order since the cutoff, counted "
+        "per nation. Three classic pieces composed: a scalar-subquery "
+        "global average (1-row broadcast; decimal-exact so the "
+        "threshold is engine-identical), an anti-join against the "
+        "date-filtered orders (the NOT EXISTS — left_anti in Spark, "
+        "keys-only), and a broadcast dim rollup. The date filter "
+        "prunes the orders scan before the anti-join, so the probe "
+        "side is recent orders only, not history."
+    ),
+)
+def q_composite_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = cust.agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("avg_bal")
+    )
+    above = cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal")).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    idle = above.join(recent, above.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("avg_acctbal"),
+        )
     )

@@ -348,3 +348,59 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 6).alias("p"),
     )
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH carried AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM events
+    )
+    SELECT COALESCE(touch, 'none') AS channel,
+           COUNT(*) AS n_conversions,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6)
+             AS attributed_value
+    FROM carried WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc=(
+        "Last-touch attribution: each purchase credits the user's most "
+        "recent preceding NON-purchase event (the 'channel'), the "
+        "default model of every marketing-analytics warehouse. One "
+        "per-user ordered pass — the running last-non-purchase type "
+        "carried with a 1-PRECEDING frame so a purchase can never "
+        "attribute to itself or to a later event, and consecutive "
+        "purchases both credit the same prior touch (standard "
+        "semantics). Purchases with no prior touch land in 'none'. "
+        "The window input is the full tape but the output collapses "
+        "to |types| rows; attributed value accumulates as DECIMAL."
+    ),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), ignorenulls=True
+    ).over(w)
+    carried = ev.select("event_type", "value", touch.alias("touch"))
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")).cast("double"), 6).alias(
+                "attributed_value"
+            ),
+        )
+    )

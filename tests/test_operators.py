@@ -821,3 +821,51 @@ def test_pairwise_cosine_histogram_constructed_buckets(spark):
     finally:
         simmod.load_table = orig
     assert out == {19: 1, 10: 3, 0: 2}
+
+
+def test_ngram_coverage_curve_band_arithmetic(spark):
+    # tf: a=5, b=3, c=1, d=1 (total 10). 50% -> needed 5 -> k=1 (a).
+    # 90% -> needed 9 -> a+b=8, one more 1-tf term -> k=3.
+    # 99% -> needed 10 -> k=4.
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import text as textmod
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b", "s"), (2, "a a b c d", "s")],
+        "doc_id long, text string, source string",
+    )
+    orig = textmod.load_table
+    try:
+        textmod.load_table = lambda _s, _d, name: docs
+        out = {
+            r.pct: (r.k_terms, r.vocab_size, r.total_tokens)
+            for r in registry.all_specs()["ngram_coverage_curve"].fn(spark, "_").collect()
+        }
+    finally:
+        textmod.load_table = orig
+    assert out[50] == (1, 4, 10)
+    assert out[90] == (3, 4, 10)
+    assert out[99] == (4, 4, 10)
+
+
+def test_lexical_complexity_closed_form(spark):
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import text as textmod
+
+    # tokens: abc (1 vowel group), de (1), xyz (0), abc again
+    docs = spark.createDataFrame(
+        [(1, "abc de", "s"), (2, "xyz abc", "s")],
+        "doc_id long, text string, source string",
+    )
+    orig = textmod.load_table
+    try:
+        textmod.load_table = lambda _s, _d, name: docs
+        out = registry.all_specs()["lexical_complexity"].fn(spark, "_").collect()
+    finally:
+        textmod.load_table = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_tokens == 4
+    assert r.avg_word_len == (3 + 2 + 3 + 3) / 4
+    assert r.syllables_per_word == 0.75  # abc, de, abc each carry 1 vowel group
+    assert r.type_token_ratio == 0.75   # {abc, de, xyz} / 4

@@ -873,3 +873,51 @@ def test_effective_spread_asof_semantics(spark):
     r = out[0]
     assert (r.n_quoted, r.n_unquoted) == (3, 1)
     assert r.eff_spread_bps == pytest.approx(100.0, abs=1e-4)
+
+
+def test_attribution_last_touch_semantics(spark):
+    # view -> click -> purchase -> purchase: both purchases credit the
+    # click (consecutive conversions share the touch; never self- or
+    # forward-attribute). A leading purchase with no history -> 'none'.
+    rows = [
+        (1, T(2024, 1, 1, 8), 2, "purchase", 10.0),  # user 2: no prior touch
+        (2, T(2024, 1, 1, 9, 0), 1, "view", 0.0),
+        (3, T(2024, 1, 1, 9, 1), 1, "click", 0.0),
+        (4, T(2024, 1, 1, 9, 2), 1, "purchase", 5.0),
+        (5, T(2024, 1, 1, 9, 3), 1, "purchase", 7.0),
+    ]
+    out = {r.channel: (r.n_conversions, r.attributed_value)
+           for r in _run(flowmod, "attribution_last_touch", spark, _events(spark, rows))}
+    assert out["click"] == (2, 12.0)
+    assert out["none"] == (1, 10.0)
+    assert "view" not in out
+
+
+def test_idle_customers_anti_join_uses_date_cutoff(spark):
+    from nt_etl_order_book_spark.operators import composites as compmod
+
+    frames = {
+        # avg balance = 100; A and B are above it
+        "customer": spark.createDataFrame(
+            [(1, 0, 150.0), (2, 0, 160.0), (3, 0, 0.0), (4, 0, 90.0)],
+            "c_custkey long, c_nationkey int, c_acctbal double",
+        ),
+        # A ordered recently (excluded); B only before the cutoff (idle)
+        "orders": spark.createDataFrame(
+            [(10, 1, T(2001, 5, 1)), (11, 2, T(1999, 5, 1))],
+            "o_orderkey long, o_custkey long, o_orderdate timestamp",
+        ),
+        "nation": spark.createDataFrame([(0, "N0")], "n_nationkey int, n_name string"),
+    }
+    out = _run_tables(compmod, "composite_idle_customers", spark, frames)
+    assert len(out) == 1
+    assert (out[0].n_name, out[0].n_customers, out[0].avg_acctbal) == ("N0", 1, 160.0)
+
+
+def test_composite_nation_trade_broadcast_and_pushdown(spark, sf_dir):
+    df = registry.queries()["composite_nation_trade"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan_uses_broadcast_join(df)
+    assert "NestedLoop" not in plan
+    df19 = registry.queries()["composite_brand_disjunction"](spark, sf_dir)
+    assert plan_uses_broadcast_join(df19)
