@@ -178,3 +178,80 @@ def bpe_train(docs: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs)
+
+
+def bpe_apply(words: DataFrame, merges: DataFrame) -> DataFrame:
+    """Encode a (grouping-cols..., syms, freq) word table with a trained
+    merge table: the full ranked merge list rides along as ONE broadcast
+    array-of-structs column and a nested HOF fold applies every merge in
+    rank order to every word — zero shuffle, zero driver collect, and
+    vocabulary-grain work (each distinct word encodes once, its `freq`
+    scales the counts).
+    """
+    mlist = merges.agg(
+        F.array_sort(F.collect_list(F.struct("rank", "l", "r"))).alias("_mlist")
+    )
+    encoded = F.aggregate(
+        F.col("_mlist"),
+        F.col("syms"),
+        lambda acc, m: _merge_pair(acc, m["l"], m["r"]),
+    )
+    return words.crossJoin(F.broadcast(mlist)).withColumn("enc", encoded).drop("_mlist")
+
+
+@register(
+    "bpe_encode",
+    None,  # applies the (rows-only) trained merge table → rows-only;
+    # exactness proven against the pure-Python reference encoder in
+    # tests/test_bpe.py (train + apply parity on a constructed corpus).
+    doc=(
+        "BPE tokenizer APPLICATION at corpus scale — the other half of "
+        "bpe_merges' training: encode every word with the trained merge "
+        "table and report per-source subword fertility (subwords per "
+        "word), the statistic that decides whether a tokenizer fits a "
+        "corpus. Scale shape: words collapse to per-(source, word) "
+        "grain first (vocabulary-sized per source — each distinct word "
+        "encodes ONCE, its count scales the sums); the ranked merge "
+        "list broadcasts as one array-of-structs column and a nested "
+        "HOF fold (outer: merges in rank order; inner: the greedy "
+        "left-to-right _merge_pair fold) encodes JVM-side with zero "
+        "shuffle and zero driver collect. Words beyond "
+        "BPE_MAX_WORD_CHARS bypass encoding (the training-side "
+        "quadratic guard applies to apply too) and are reported "
+        "separately as n_long_words."
+    ),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    words = (
+        docs.select("source", F.explode(toks).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    short = words.filter(F.length("word") <= BPE_MAX_WORD_CHARS).withColumn(
+        "syms", F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
+    )
+    enc = bpe_apply(short, merges)
+    per_source = enc.groupBy("source").agg(
+        F.sum("freq").alias("n_words"),
+        F.sum(F.size("enc").cast("bigint") * F.col("freq")).alias("n_subwords"),
+    )
+    long_counts = (
+        words.filter(F.length("word") > BPE_MAX_WORD_CHARS)
+        .groupBy("source")
+        .agg(F.sum("freq").alias("n_long_words"))
+    )
+    return (
+        per_source.join(long_counts, "source", "left")
+        .select(
+            "source",
+            "n_words",
+            "n_subwords",
+            F.round(F.col("n_subwords").cast("double") / F.col("n_words"), 6).alias(
+                "fertility"
+            ),
+            F.coalesce(F.col("n_long_words"), F.lit(0)).alias("n_long_words"),
+        )
+    )

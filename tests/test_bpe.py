@@ -111,3 +111,46 @@ def test_bpe_train_stops_cleanly_when_pairs_run_out(spark):
     )
     merges = bpe_train(docs, n_merges=5).orderBy("rank").collect()
     assert [(m.rank, m.merged) for m in merges] == [(1, f"a{EOW}"), (2, f"b{EOW}")]
+
+
+def test_bpe_encode_matches_pure_python_apply(spark):
+    # Train on a small constructed corpus, then verify the per-source
+    # fertility against a pure-Python train+apply with the same greedy
+    # rules (merge list applied in rank order to each word).
+    texts = {
+        "sA": ["low low lower lowest", "low lowest newer"],
+        "sB": ["newer newest wider", "low low low"],
+    }
+    docs = spark.createDataFrame(
+        [(i, t, src) for i, (src, ts) in enumerate(sorted(texts.items())) for t in ts],
+        "doc_id long, text string, source string",
+    ).selectExpr("doc_id * 10 + doc_id as doc_id", "text", "source")
+    all_texts = [t for ts in texts.values() for t in ts]
+    merges = _ref_bpe(all_texts, N_BPE_MERGES)
+
+    def encode(word):
+        syms = tuple(list(word) + [EOW])
+        for _rank, l, r, _m, _c in merges:
+            syms = _greedy_merge(syms, l, r)
+        return len(syms)
+
+    want = {}
+    for src, ts in texts.items():
+        words = [w for t in ts for w in t.split(" ") if w]
+        want[src] = (len(words), sum(encode(w) for w in words))
+
+    from nt_etl_order_book_spark.functions import bpe as bpemod
+
+    orig = bpemod.load_table
+    try:
+        bpemod.load_table = lambda _s, _d, name: docs
+        got = {
+            r.source: (r.n_words, r.n_subwords, r.fertility)
+            for r in registry.all_specs()["bpe_encode"].fn(spark, "_").collect()
+        }
+    finally:
+        bpemod.load_table = orig
+    for src, (nw, ns) in want.items():
+        assert got[src][0] == nw
+        assert got[src][1] == ns
+        assert got[src][2] == round(ns / nw, 6)
