@@ -131,3 +131,168 @@ def q_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionAll(branch)
     return out.orderBy("key_name")
+
+
+SPLIT_CUTOFF = "2024-01-16 00:00:00"
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH pre AS (
+      SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '{SPLIT_CUTOFF}'
+    ),
+    post AS (
+      SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '{SPLIT_CUTOFF}'
+    )
+    SELECT (SELECT COUNT(*) FROM pre) AS n_train_entities,
+           (SELECT COUNT(*) FROM post) AS n_test_entities,
+           (SELECT COUNT(*) FROM pre WHERE user_id IN (SELECT user_id FROM post))
+             AS n_leaked,
+           ROUND(CAST((SELECT COUNT(*) FROM pre WHERE user_id IN (SELECT user_id FROM post))
+                      AS DOUBLE)
+                 / nullif((SELECT COUNT(*) FROM post), 0), 6) AS leakage_frac
+    """,
+    doc=(
+        "Temporal-split entity-leakage audit: after cutting a "
+        "train/test split at a timestamp, how many entities appear on "
+        "BOTH sides — the standard check before claiming a temporal "
+        "holdout is entity-disjoint (user-level leakage silently "
+        "inflates eval scores; the ML-data twin of "
+        "contamination_span's textual leakage). Two date-pruned "
+        "distinct-key aggregates (the predicate reaches the scan, so "
+        "each side reads only its half) and a keys-only semi-join; "
+        "1-row census output. Fractions double-over-exact-ints."
+    ),
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(SPLIT_CUTOFF).cast("timestamp")
+    pre = ev.filter(F.col("ts") < cutoff).select("user_id").distinct()
+    post = ev.filter(F.col("ts") >= cutoff).select("user_id").distinct()
+    leaked = pre.join(post, "user_id", "left_semi")
+    counts = (
+        pre.agg(F.count(F.lit(1)).alias("n_train_entities"))
+        .crossJoin(post.agg(F.count(F.lit(1)).alias("n_test_entities")))
+        .crossJoin(leaked.agg(F.count(F.lit(1)).alias("n_leaked")))
+    )
+    return counts.select(
+        "n_train_entities",
+        "n_test_entities",
+        "n_leaked",
+        F.round(
+            F.col("n_leaked").cast("double") / F.nullif(F.col("n_test_entities"), F.lit(0)), 6
+        ).alias("leakage_frac"),
+    )
+
+
+@register(
+    "label_balance",
+    """
+    WITH c AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS k FROM c
+    )
+    SELECT c.label, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / (SELECT total FROM tot), 6) AS frac,
+           ROUND(POWER(CAST(c.n AS DOUBLE)
+                       - CAST((SELECT total FROM tot) AS DOUBLE) / (SELECT k FROM tot), 2)
+                 / (CAST((SELECT total FROM tot) AS DOUBLE) / (SELECT k FROM tot)), 6)
+             AS chi2_term
+    FROM c
+    """,
+    doc=(
+        "Class-balance audit over the labeled embedding corpus: per "
+        "label its count, share, and chi-square contribution against "
+        "the uniform expectation — the imbalance tripwire run before "
+        "any stratified sampling or per-class metric is trusted "
+        "(compare hhi_concentration, the market-share analog). One "
+        "label-grain aggregate; the 1-row totals broadcast back; "
+        "chi-square terms are identical double expressions over exact "
+        "integers in both engines, 6 dp."
+    ),
+)
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("total"), F.count(F.lit(1)).alias("k"))
+    exp = F.col("total").cast("double") / F.col("k")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("frac"),
+            F.round(F.pow(F.col("n").cast("double") - exp, F.lit(2)) / exp, 6).alias(
+                "chi2_term"
+            ),
+        )
+    )
+
+
+@register(
+    "winsorize_stats",
+    """
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    ),
+    clipped AS (
+      SELECT e.event_type,
+             LEAST(GREATEST(e.value, c.p01), c.p99) AS w,
+             CASE WHEN e.value < c.p01 OR e.value > c.p99 THEN 1 ELSE 0 END AS clip
+      FROM events e JOIN cuts c ON c.event_type = e.event_type
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(clip) AS BIGINT) AS n_clipped,
+           ROUND(CAST(SUM(CAST(w AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+             AS winsorized_mean,
+           ROUND(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+                 - POWER(CAST(SUM(CAST(w AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 2), 6)
+             AS winsorized_var
+    FROM clipped GROUP BY event_type
+    """,
+    doc=(
+        "Winsorized moments per message type: clip to the exact "
+        "[p01, p99] band, then mean/variance of the clipped values and "
+        "the clip count — the outlier-robust preprocessing statistic "
+        "(feature normalization that a single fat-fingered print "
+        "cannot move; anomaly_zscore FLAGS outliers, this measures "
+        "with them neutralized). Exact percentile cutoffs collapse to "
+        "a |types|-row broadcast joined back onto one more scan; "
+        "moments accumulate as DECIMAL (w² at (38,12) for the "
+        "headroom); variance via the closed E[w²]-E[w]² form over "
+        "those exact components. At 100 TB the cutoffs swap to "
+        "percentile_approx (the interarrival_stats trade-off)."
+    ),
+)
+def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias("w"),
+        F.when((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99")), 1)
+        .otherwise(0)
+        .alias("clip"),
+    )
+    mean = F.sum(F.col("w").cast("decimal(30,6)")).cast("double") / F.count(F.lit(1))
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("clip").cast("bigint").alias("n_clipped"),
+        F.round(mean, 6).alias("winsorized_mean"),
+        F.round(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+            - F.pow(mean, F.lit(2)),
+            6,
+        ).alias("winsorized_var"),
+    )

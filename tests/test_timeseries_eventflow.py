@@ -921,3 +921,34 @@ def test_composite_nation_trade_broadcast_and_pushdown(spark, sf_dir):
     assert "NestedLoop" not in plan
     df19 = registry.queries()["composite_brand_disjunction"](spark, sf_dir)
     assert plan_uses_broadcast_join(df19)
+
+
+def test_split_leakage_counts_both_side_entities(spark):
+    from nt_etl_order_book_spark.operators import audits as audmod
+
+    # cutoff 2024-01-16: user 1 both sides (leaks), user 2 only pre,
+    # user 3 only post.
+    frames = {"events": _events(spark, [
+        (1, T(2024, 1, 10), 1, "view", 0.0),
+        (2, T(2024, 1, 20), 1, "view", 0.0),
+        (3, T(2024, 1, 10), 2, "view", 0.0),
+        (4, T(2024, 1, 20), 3, "view", 0.0),
+    ])}
+    out = _run_tables(audmod, "split_leakage_audit", spark, frames)
+    r = out[0]
+    assert (r.n_train_entities, r.n_test_entities, r.n_leaked) == (2, 2, 1)
+    assert r.leakage_frac == 0.5
+
+
+def test_winsorize_clips_exactly_at_percentiles(spark):
+    from nt_etl_order_book_spark.operators import audits as audmod
+
+    # 101 values 0..100 of one type: p01 = 1.0, p99 = 99.0 exactly
+    # (interpolated percentile on 0..100), so 0 and 100 clip.
+    frames = {"events": _events(spark, [
+        (i, T(2024, 1, 1, 9, 0, 0), 1, "view", float(i)) for i in range(101)
+    ])}
+    out = _run_tables(audmod, "winsorize_stats", spark, frames)
+    r = out[0]
+    assert r.n == 101 and r.n_clipped == 2
+    assert r.winsorized_mean == pytest.approx(50.0, abs=1e-9)
