@@ -542,3 +542,36 @@ def stream_anomaly_alerts(
         .filter(F.col("abs_z") > k)
         .select("ticker", "timestamp", "price_dollars", F.round("abs_z", 6).alias("abs_z"))
     )
+
+
+def dedup_docs_stream(
+    docs: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """In-flight exact dedup of a document stream: only the FIRST
+    arrival of each content payload (within the watermark horizon)
+    passes through — the streaming half of `dedup_exact_docs`, applied
+    before anything lands, so the corpus store never ingests the
+    duplicate crawl arrivals at all (windowed_distinct_docs MEASURES
+    the duplication rate; this REMOVES it).
+
+    State discipline: the key is the 16-byte md5 content digest — raw
+    text never enters state — and `dropDuplicatesWithinWatermark`
+    expires each digest once the watermark passes it, so state is
+    bounded by (arrival rate x horizon), not corpus size. Duplicates
+    farther apart than the horizon are the batch layer's job
+    (dedup_exact_docs / delta_dedup over the landed table — the
+    standard lambda split, same as stream_anomaly_alerts). The digest
+    column stays on the output so the sink table carries the batch
+    layer's join key for free.
+
+    Expects ``text`` and an epoch-ms ``ingest_ts`` (the crawl-arrival
+    clock, as in windowed_distinct_docs).
+    """
+    with_time = docs.withColumn("event_time", F.timestamp_millis(F.col("ingest_ts")))
+    return (
+        with_time.withColumn("content_digest", F.md5(F.col("text")))
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["content_digest"])
+    )

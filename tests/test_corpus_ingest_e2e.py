@@ -67,3 +67,47 @@ def test_streaming_ingest_feeds_batch_corpus_ops(spark, tmp_path):
     # with the SAME checkpoint must add nothing to the sink.
     _ingest(spark, src, sink, ckpt)
     assert spark.read.parquet(str(sink)).count() == len(DOCS)
+
+
+def test_stream_dedup_suppresses_dups_across_batches_and_restart(spark, tmp_path):
+    # First arrival of each payload lands; later arrivals of the same
+    # text are suppressed IN FLIGHT — including after a checkpointed
+    # restart (digest state must survive), as long as they are within
+    # the watermark horizon.
+    from nt_etl_order_book_spark.streaming.pipeline import dedup_docs_stream
+
+    src = tmp_path / "src"; src.mkdir()
+    sink = tmp_path / "sink"; ckpt = tmp_path / "ckpt"
+
+    def run_once():
+        stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+        q = (
+            dedup_docs_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in DOCS))
+    run_once()
+    first = spark.read.parquet(str(sink))
+    assert first.count() == 3  # doc 1 (exact dup of 0) suppressed
+    assert first.filter(F.col("text") == DOCS[0]["text"]).count() == 1
+
+    # Restart: a dup of doc 0 arrives again (within watermark) plus one
+    # genuinely new payload.
+    more = [
+        {"doc_id": 4, "text": DOCS[0]["text"], "source": "web", "ingest_ts": 1_700_000_004_000},
+        {"doc_id": 5, "text": "fresh new payload nine ten", "source": "web", "ingest_ts": 1_700_000_005_000},
+    ]
+    (src / "b2.json").write_text("\n".join(json.dumps(d) for d in more))
+    run_once()
+    final = spark.read.parquet(str(sink))
+    assert final.count() == 4  # only doc 5 added
+    assert final.filter(F.col("text") == DOCS[0]["text"]).count() == 1
+    assert final.filter(F.col("doc_id") == 5).count() == 1
+    # the batch layer's join key rides along
+    assert "content_digest" in final.columns

@@ -716,7 +716,9 @@ def hot_market_dir(tmp_path_factory):
             .alias("user_id"),
             F.lit("view").alias("event_type"),
             (F.pmod(F.col("id") * F.lit(37), F.lit(1000)) / F.lit(10.0) + F.lit(1.0)).alias("value"),
-            F.lit(None).cast("string").alias("props"),
+            # real print sizes so the volume-clock ops (vpin,
+            # kyle_lambda) run against the hot key too
+            F.concat(F.lit('{"k": '), F.pmod(F.col("id"), F.lit(100)).cast("string"), F.lit("}")).alias("props"),
         )
         .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     )
@@ -744,9 +746,13 @@ def test_skew_timeseries_family_bounded_on_hot_market(spark, hot_market_dir):
     assert "date_trunc" in plan.lower()  # window partition includes the day shard
     rv_rows = rv.filter("user_id = 0").count()
     assert rv_rows >= 18  # one row per active day for the hot market
-    for name in ("max_drawdown", "roll_spread", "order_flow_imbalance"):
+    for name in ("max_drawdown", "roll_spread", "order_flow_imbalance",
+                 "kyle_lambda", "vpin"):
         out = qs[name](spark, hot_market_dir).filter("user_id = 0").collect()
         assert len(out) >= 1
+    # the single-event-type fixture still exercises the ordered carry
+    # of attribution/markov (outputs exist, just degenerate)
+    assert qs["markov_transitions"](spark, hot_market_dir).count() >= 1
     wall = time.time() - t0
     # generous bound: 4 per-key ordered passes over 200k skewed rows
     # must stay interactive even on a loaded box
