@@ -1980,3 +1980,72 @@ def q_lexical_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     )
+
+
+TYPO_MIN_LEN, TYPO_MAX_LEN = 3, 20
+
+
+@register(
+    "typo_pairs",
+    f"""
+    WITH vocab AS (
+      SELECT DISTINCT token
+      FROM (SELECT UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+            FROM documents)
+      WHERE LENGTH(token) BETWEEN {TYPO_MIN_LEN} AND {TYPO_MAX_LEN}
+    ),
+    variants AS (
+      SELECT token,
+             UNNEST(list_append(
+               list_transform(range(0, LENGTH(token)),
+                              i -> substr(token, 1, i) || substr(token, i + 2)),
+               token)) AS v
+      FROM vocab
+    ),
+    cand AS (
+      SELECT DISTINCT a.token AS tok_a, b.token AS tok_b
+      FROM variants a JOIN variants b ON a.v = b.v AND a.token < b.token
+    )
+    SELECT tok_a, tok_b FROM cand
+    WHERE levenshtein(tok_a, tok_b) = 1
+    """,
+    doc=(
+        "Edit-distance-1 token pairs via DELETION-NEIGHBORHOOD "
+        "blocking (the SymSpell/FastSS scheme): every token keys on "
+        "its single-character deletions plus itself, candidates are "
+        "pairs sharing a variant, and only candidates get the "
+        "levenshtein verify — a substitution pair meets at the "
+        "common deletion, an insertion/deletion pair meets at the "
+        "shorter token itself, so recall is exact for distance 1 "
+        "WITHOUT the all-pairs O(|V|^2) join (the blocked join is "
+        "O(|V| x len) keys). The fuzzy-matching primitive for typo "
+        "normalization / crawl-variant collapsing, on the "
+        "Heaps-sublinear vocab grain like source_vocab_overlap. "
+        "Length bounds keep degenerate tokens out; verify is the "
+        "same levenshtein built-in in both engines."
+    ),
+)
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    vocab = (
+        docs.select(F.explode(toks).alias("token"))
+        .filter(F.length("token").between(TYPO_MIN_LEN, TYPO_MAX_LEN))
+        .distinct()
+    )
+    dels = F.expr(
+        "transform(sequence(0, length(token) - 1),"
+        " i -> concat(substring(token, 1, i), substring(token, i + 2)))"
+    )
+    variants = vocab.select(
+        "token", F.explode(F.array_append(dels, F.col("token"))).alias("v")
+    )
+    a = variants.select(F.col("token").alias("tok_a"), "v")
+    b = variants.select(F.col("token").alias("tok_b"), "v")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("tok_a", "tok_b") == 1)

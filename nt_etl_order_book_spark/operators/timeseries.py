@@ -1203,3 +1203,109 @@ def q_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bps.cast("decimal(38,18)")).cast("double") / F.nullif(quoted, F.lit(0)), 6
         ).alias("eff_spread_bps"),
     )
+
+
+@register(
+    "twap",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+      FROM events WHERE value > 0
+    )
+    SELECT user_id, day,
+           COUNT(dt_us) AS n_intervals,
+           ROUND(CAST(SUM(c * dt_us) AS DOUBLE)
+                 / CAST(SUM(dt_us) AS BIGINT) / 100.0, 6) AS twap
+    FROM c WHERE dt_us IS NOT NULL
+    GROUP BY user_id, day
+    """,
+    doc=(
+        "Time-weighted average price per (market, day): each print "
+        "weighted by its holding interval to the next print — the "
+        "execution benchmark (vs windowed_vwap's volume weighting). "
+        "Interval = lead(ts) within the (market, day) window, so the "
+        "last print of a day carries no weight and day boundaries "
+        "never leak (the realized_volatility sharding). EVERYTHING is "
+        "integer-exact: cent prices x microsecond intervals sum in "
+        "BIGINT (bound: a market-day's c*dt sum is < 2^63 up to ~1e6 "
+        "dollar-seconds x 1e6 — fine at any real tick density; wider "
+        "retentions per group cannot occur because the group IS a "
+        "day), one double division at the end. Single day-sharded "
+        "window pass, then a day-grain hash aggregate."
+    ),
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    dt = F.unix_micros(F.lead("ts").over(w).cast("timestamp")) - tus
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    rows = ev.select(
+        "user_id", day.alias("day"), c.alias("c"), dt.alias("dt_us")
+    ).filter(F.col("dt_us").isNotNull())
+    return rows.groupBy("user_id", "day").agg(
+        F.count("dt_us").alias("n_intervals"),
+        F.round(
+            F.sum(F.col("c") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us").cast("bigint")
+            / F.lit(100.0),
+            6,
+        ).alias("twap"),
+    )
+
+
+@register(
+    "gini_concentration",
+    """
+    WITH vol AS (
+      SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, user_id ASC) AS i FROM vol
+    ),
+    comp AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six
+      FROM ranked
+    )
+    SELECT n AS n_markets,
+           ROUND(2.0 * six / (n * CAST(sx AS DOUBLE))
+                 - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+    FROM comp
+    """,
+    doc=(
+        "Gini coefficient of event volume across markets — the "
+        "inequality summary of ingest concentration (hhi_concentration "
+        "squares shares; Gini ranks them — the pair distinguishes 'one "
+        "giant' from 'graded tail'). The volume aggregate collapses to "
+        "market grain first, so the rank window runs over |markets| "
+        "rows (the ngram_coverage_curve band-table argument — tiny "
+        "relative to the tape at any scale); rank ties broken by the "
+        "unique market key; Sum(i*x) and Sum(x) are exact BIGINT and "
+        "the closed form runs in double over them, 6 dp."
+    ),
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vol = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    wr = Window.orderBy(F.asc("x"), F.asc("user_id"))
+    ranked = vol.select("x", F.row_number().over(wr).alias("i"))
+    comp = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    )
+    return comp.select(
+        F.col("n").alias("n_markets"),
+        F.round(
+            F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx").cast("double"))
+            - (F.col("n") + 1) / F.col("n").cast("double"),
+            6,
+        ).alias("gini"),
+    )

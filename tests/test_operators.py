@@ -869,3 +869,76 @@ def test_lexical_complexity_closed_form(spark):
     assert r.avg_word_len == (3 + 2 + 3 + 3) / 4
     assert r.syllables_per_word == 0.75  # abc, de, abc each carry 1 vowel group
     assert r.type_token_ratio == 0.75   # {abc, de, xyz} / 4
+
+
+def test_typo_pairs_deletion_blocking_finds_all_lev1(spark):
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import text as textmod
+
+    docs = spark.createDataFrame(
+        [(1, "cat cats bat hat chat xyz", "s")],
+        "doc_id long, text string, source string",
+    )
+    orig = textmod.load_table
+    try:
+        textmod.load_table = lambda _s, _d, name: docs
+        got = {
+            (r.tok_a, r.tok_b)
+            for r in registry.all_specs()["typo_pairs"].fn(spark, "_").collect()
+        }
+    finally:
+        textmod.load_table = orig
+    # every unordered lev-1 pair, by brute force
+    toks = ["cat", "cats", "bat", "hat", "chat", "xyz"]
+
+    def lev1(a, b):
+        import itertools
+        if abs(len(a) - len(b)) > 1:
+            return False
+        # tiny DP
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[-1] == 1
+
+    want = {tuple(sorted((x, y))) for x in toks for y in toks if x < y and lev1(x, y)}
+    assert got == want
+    assert ("cat", "cats") in got and ("bat", "cat") in got and ("chat", "hat") in got
+
+
+def test_gini_and_twap_closed_form(spark):
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.operators import timeseries as tsmod
+    import datetime as dt
+
+    T = dt.datetime
+    ev = spark.createDataFrame(
+        [
+            # market 1: 9 events; market 2: 1 event -> x=[1,9], gini 0.4
+            *[(i, T(2024, 1, 1, 9, 0, i), 1, "view", 0.0) for i in range(9)],
+            (9, T(2024, 1, 1, 9, 0, 20), 2, "view", 0.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    orig = tsmod.load_table
+    try:
+        tsmod.load_table = lambda _s, _d, name: ev
+        g = registry.all_specs()["gini_concentration"].fn(spark, "_").collect()[0]
+        assert g.n_markets == 2 and g.gini == 0.4
+
+        tw = spark.createDataFrame(
+            [
+                (1, T(2024, 1, 1, 9, 0, 0), 1, "view", 100.0),
+                (2, T(2024, 1, 1, 9, 0, 10), 1, "view", 200.0),
+                (3, T(2024, 1, 1, 9, 0, 30), 1, "view", 300.0),  # no interval
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        tsmod.load_table = lambda _s, _d, name: tw
+        t = registry.all_specs()["twap"].fn(spark, "_").collect()[0]
+        assert t.n_intervals == 2
+        assert t.twap == round((100 * 10 + 200 * 20) / 30, 6)
+    finally:
+        tsmod.load_table = orig
