@@ -248,3 +248,99 @@ def test_connected_components_matches_union_find(spark_prop, edges):
     df = spark_prop.createDataFrame(edges, "a long, b long")
     got = {r.x: r.label for r in connected_components(df).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------- r5 additions
+
+price_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=100, max_value=999),   # cents price
+        st.integers(min_value=0, max_value=50),      # print size
+    ),
+    min_size=3,
+    max_size=16,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=price_rows)
+def test_kyle_lambda_matches_bruteforce_ols(spark_prop, rows):
+    import datetime as dt
+
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.operators import timeseries as tsmod
+
+    spark = spark_prop
+    ev = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 9, 0, i), 1, "view", c / 100.0,
+             '{"k": %d}' % vol)
+            for i, (c, vol) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = tsmod.load_table
+    try:
+        tsmod.load_table = lambda _s, _d, name: ev
+        out = registry.all_specs()["kyle_lambda"].fn(spark, "_").collect()
+    finally:
+        tsmod.load_table = orig
+
+    # brute force: tick-rule sign with carry, OLS slope over (sgn*vol, dc)
+    xs, ys = [], []
+    sgn = None
+    prev = None
+    for c, vol in rows:
+        d = None if prev is None else c - prev
+        prev = c
+        if d is not None and d > 0:
+            sgn = 1
+        elif d is not None and d < 0:
+            sgn = -1
+        if d is not None and sgn is not None:
+            xs.append(sgn * vol)
+            ys.append(d)
+    n = len(xs)
+    if n == 0:
+        assert out == [] or out[0].kyle_lambda_cents is None
+        return
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    den = n * sxx - sx * sx
+    want = None if den == 0 else round((n * sxy - sx * sy) / den, 6)
+    assert len(out) == 1 and out[0].n_obs == n
+    assert out[0].kyle_lambda_cents == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vols=st.lists(st.integers(min_value=1, max_value=30), min_size=2, max_size=20))
+def test_gini_matches_mean_absolute_difference(spark_prop, vols):
+    import datetime as dt
+
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.operators import timeseries as tsmod
+
+    spark = spark_prop
+    rows = []
+    eid = 0
+    for m, v in enumerate(vols):
+        for _ in range(v):
+            rows.append((eid, dt.datetime(2024, 1, 1, 9, 0, 0), m, "view", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    orig = tsmod.load_table
+    try:
+        tsmod.load_table = lambda _s, _d, name: ev
+        g = registry.all_specs()["gini_concentration"].fn(spark, "_").collect()[0]
+    finally:
+        tsmod.load_table = orig
+    n = len(vols)
+    mu = sum(vols) / n
+    mad = sum(abs(a - b) for a in vols for b in vols) / (n * n)
+    want = round(mad / (2 * mu), 6)
+    assert g.n_markets == n
+    assert abs(g.gini - want) <= 1e-6
