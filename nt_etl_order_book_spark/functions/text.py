@@ -2049,3 +2049,109 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.levenshtein("tok_a", "tok_b") == 1)
+
+
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_QUERY = ("table", "scan", "merge")
+BM25_TOP = 10
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM doclen
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM toks WHERE token IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(
+               LN(1 + ((SELECT n_docs FROM stats) - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * ({BM25_K1} + 1)
+               / (t.tf + {BM25_K1} * (1 - {BM25_B}
+                  + {BM25_B} * l.dl
+                    / (CAST((SELECT total_len FROM stats) AS DOUBLE)
+                       / (SELECT n_docs FROM stats))))
+             AS DECIMAL(38,18))) AS DOUBLE) AS score,
+             COUNT(*) AS n_terms_hit
+      FROM tf t
+      JOIN df d ON d.token = t.token
+      JOIN doclen l ON l.doc_id = t.doc_id
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS score, n_terms_hit
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {BM25_TOP}
+    """,
+    doc=(
+        "BM25 keyword search (Robertson-Okapi, Lucene idf form) for a "
+        "fixed query-term set — the distributed lexical-retrieval "
+        "primitive beside the dense stack (cosine_topk / ann_*): at "
+        "100 TB this IS the search engine, and the scale shape is the "
+        "inverted-index build: one token explode feeding doc-length "
+        "and per-(doc, query-term) tf aggregates (the tf table is "
+        "pre-filtered to query terms, so only matching postings "
+        "shuffle), term df and the corpus stats collapse to broadcast "
+        "frames, and the final top-k is a TakeOrderedAndProject with "
+        "a doc_id tiebreak. Scores are identical double expressions "
+        "over exact integer tf/df/len in both engines (idf > 0 by the "
+        "+1 inside the log even for df > N/2), rounded 6 dp after "
+        "ranking. Each per-term score is an identical double "
+        "expression, but the <=|query|-element per-doc SUM could "
+        "accumulate in engine-dependent order — so it accumulates as "
+        "DECIMAL(38,18) of the per-term doubles in BOTH engines, "
+        "which is order-independent (the registry discipline)."
+    ),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    toks = docs.select("doc_id", F.explode(toks_arr).alias("token"))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").cast("bigint").alias("total_len")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    avglen = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avglen))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term_score.cast("decimal(38,18)")).cast("double").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"), "n_terms_hit")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )

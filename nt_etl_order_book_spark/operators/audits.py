@@ -28,6 +28,10 @@ _FK_RELATIONS = (
     ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
     ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey", True),
     ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+    # the ML-table edge: every embedding must point at a landed document
+    # (a dangling vector is a re-embed-or-drop item). Both sides are
+    # fact-sized at scale -> keys-only shuffle join, not broadcast.
+    ("embeddings.vec_id -> documents", "embeddings", "vec_id", "documents", "doc_id", False),
 )
 
 
@@ -44,15 +48,15 @@ def _fk_sql(rel: str, child: str, ckey: str, parent: str, pkey: str) -> str:
     "referential_integrity_audit",
     "\nUNION ALL\n".join(_fk_sql(*r[:5]) for r in _FK_RELATIONS) + "\nORDER BY rel",
     doc=(
-        "Orphan-FK census over the star schema's five declared "
-        "relationships: for each child->parent edge, total child rows "
+        "Orphan-FK census over the six declared "
+        "relationships (star schema + the embeddings->documents ML edge): for each child->parent edge, total child rows "
         "and rows whose key has no parent. Each branch projects the "
         "single key column before joining (ReadSchema is one column on "
         "both sides), parents distinct to key-grain first; dim-sized "
         "parents broadcast, the orders parent is a keys-only shuffle "
         "join. The count and orphan-sum come from ONE aggregate per "
         "branch (left join + null indicator, not a separate anti-join "
-        "pass), and the union output is exactly five rows. This is "
+        "pass), and the union output is exactly six rows. This is "
         "the lakehouse replacement for the PK/FK constraints the "
         "reference gets from Postgres DDL."
     ),

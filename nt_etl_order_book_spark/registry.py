@@ -200,6 +200,36 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "ann_filtered_topk",    # new r5: metadata-filtered exact vector search
     "amihud_illiquidity",   # new r5: price-impact-per-dollar proxy
     "moments_profile",      # new r5: skewness/kurtosis shape profile
+    # -- r5 third-continuation additions (all local-oracle verified at
+    # sf0.01 AND sf0.1 in normal + driver-mimic modes this session) --
+    "kyle_lambda",          # new r5: price-impact OLS, all-BIGINT components
+    "vpin",                 # new r5: volume-clock flow toxicity
+    "ohlc_volatility",      # new r5: Parkinson/Garman-Klass range variance
+    "autocorr_returns",     # new r5: lag-1 daily-return autocorrelation
+    "effective_spread",     # new r5: trades-to-quotes as-of composition
+    "composite_returned_items",     # new r5: TPC-H Q10 shape
+    "composite_promo_revenue",      # new r5: TPC-H Q14 shape
+    "composite_top_supplier",       # new r5: TPC-H Q15 shape
+    "composite_small_qty_revenue",  # new r5: TPC-H Q17 shape
+    "composite_nation_trade",       # new r5: TPC-H Q7 shape
+    "composite_brand_disjunction",  # new r5: TPC-H Q19 shape
+    "composite_idle_customers",     # new r5: TPC-H Q22 shape
+    "referential_integrity_audit",  # new r5: orphan-FK census (6 edges)
+    "uniqueness_audit",             # new r5: candidate-key census
+    "split_leakage_audit",          # new r5: temporal-split entity leakage
+    "label_balance",                # new r5: class balance + chi-square
+    "winsorize_stats",              # new r5: clipped robust moments
+    "markov_transitions",           # new r5: event-type transition matrix
+    "attribution_last_touch",       # new r5: last-touch attribution
+    "source_vocab_overlap",         # new r5: vocab Jaccard matrix
+    "ngram_coverage_curve",         # new r5: head-vocab coverage (bands)
+    "lexical_complexity",           # new r5: reading-level triple
+    "typo_pairs",                   # new r5: deletion-neighborhood lev-1
+    "bm25_search",                  # new r5: BM25 lexical retrieval
+    "pairwise_cosine_histogram",    # new r5: embedding-space census
+    "twap",                         # new r5: time-weighted average price
+    "gini_concentration",           # new r5: volume-inequality Gini
+    "bpe_encode",                   # new r5: tokenizer apply (rows-only)
 )
 
 

@@ -942,3 +942,37 @@ def test_gini_and_twap_closed_form(spark):
         assert t.twap == round((100 * 10 + 200 * 20) / 30, 6)
     finally:
         tsmod.load_table = orig
+
+
+def test_bm25_closed_form_on_tiny_corpus(spark):
+    import math
+
+    import pytest
+
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import text as textmod
+    from nt_etl_order_book_spark.functions.text import BM25_B, BM25_K1
+
+    docs = spark.createDataFrame(
+        [(1, "table table scan", "s"), (2, "merge", "s"), (3, "x y z w", "s")],
+        "doc_id long, text string, source string",
+    )
+    orig = textmod.load_table
+    try:
+        textmod.load_table = lambda _s, _d, name: docs
+        got = {
+            r.doc_id: (r.score, r.n_terms_hit)
+            for r in registry.all_specs()["bm25_search"].fn(spark, "_").collect()
+        }
+    finally:
+        textmod.load_table = orig
+
+    n, avg = 3, 8 / 3
+    idf1 = math.log(1 + (n - 1 + 0.5) / (1 + 0.5))  # every query term has df=1
+
+    def term(tf, dl):
+        return idf1 * tf * (BM25_K1 + 1) / (tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avg))
+
+    assert got[1][1] == 2 and got[2][1] == 1 and 3 not in got
+    assert got[1][0] == pytest.approx(term(2, 3) + term(1, 3), abs=1e-6)
+    assert got[2][0] == pytest.approx(term(1, 1), abs=1e-6)
