@@ -807,11 +807,15 @@ def test_referential_audit_flags_planted_orphans(spark):
         "supplier": spark.createDataFrame([(100,)], "s_suppkey long"),
         "customer": spark.createDataFrame([(5, 0)], "c_custkey long, c_nationkey int"),
         "nation": spark.createDataFrame([(0,)], "n_nationkey int"),
+        # ML edge: vector 7 dangles (no landed document)
+        "embeddings": spark.createDataFrame([(1,), (7,)], "vec_id long"),
+        "documents": spark.createDataFrame([(1,)], "doc_id long"),
     }
     out = {r.rel: (r.n_child, r.n_orphans) for r in _run_tables(audmod, "referential_integrity_audit", spark, frames)}
     assert out["lineitem.l_orderkey -> orders"] == (3, 1)
     assert out["lineitem.l_partkey -> part"] == (3, 0)
     assert out["orders.o_custkey -> customer"] == (2, 0)
+    assert out["embeddings.vec_id -> documents"] == (2, 1)
 
 
 def test_uniqueness_audit_duplicates_and_null_keys(spark):
