@@ -300,3 +300,55 @@ def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("winsorized_var"),
     )
+
+
+def table_diff(
+    before: DataFrame,
+    after: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Key-level diff of two table versions: one row per key present in
+    either side, with status ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` — the CDC-validation / migration-sign-off primitive
+    (did the rewrite of a 100 TB table change anything it shouldn't?).
+
+    Scale shape: each side collapses to (key, row-digest) BEFORE the
+    join — the digest is a sha2 over the concatenated non-key columns
+    (NULL-tagged so NULL vs '' cannot collide), so the full-outer join
+    shuffles keys + 32-byte digests, never rows. Multi-row keys are
+    digested order-independently (sum of per-row digest prefixes), so
+    the diff is well-defined even when the key is not unique.
+    """
+    def digested(df: DataFrame) -> DataFrame:
+        val_cols = [c for c in df.columns if c not in key_cols]
+        tagged = [
+            F.coalesce(F.concat(F.lit("v:"), F.col(c).cast("string")), F.lit("null"))
+            for c in sorted(val_cols)
+        ]
+        row_d = F.sha2(F.concat_ws("\x1f", *tagged), 256)
+        # order-independent per-key digest: sum of 56-bit prefixes
+        part = F.conv(F.substring(row_d, 1, 14), 16, 10).cast("decimal(38,0)")
+        return df.groupBy(*key_cols).agg(
+            F.sum(part).alias("_digest"), F.count(F.lit(1)).alias("_rows")
+        )
+
+    b = digested(before).withColumnsRenamed({"_digest": "_bd", "_rows": "_bn"})
+    a = digested(after).withColumnsRenamed({"_digest": "_ad", "_rows": "_an"})
+    joined = b.join(a, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_bd").isNull(), F.lit("added"))
+        .when(F.col("_ad").isNull(), F.lit("removed"))
+        .when(
+            (F.col("_bd") == F.col("_ad")) & (F.col("_bn") == F.col("_an")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*key_cols, status.alias("status"))
+
+
+def table_diff_summary(before: DataFrame, after: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Census of table_diff statuses (4 rows max)."""
+    return table_diff(before, after, key_cols).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )

@@ -404,3 +404,57 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "scd2_intervals",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type = 'signup'
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, value
+      FROM marked WHERE prev IS NULL OR value <> prev
+    )
+    SELECT user_id, value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+    doc=(
+        "SCD Type-2 history build from a change stream: compress the "
+        "per-entity attribute stream to its change points and emit "
+        "[valid_from, valid_to) validity intervals with an is_current "
+        "flag — the dimension-table temporal pattern every warehouse "
+        "maintains (and the batch shape of the streaming book-state "
+        "compaction in analytics.compact_book). Two stacked windows "
+        "over the SAME (entity, ts, id) order — Spark plans one "
+        "exchange and one sort: lag marks change points (first row "
+        "kept via prev IS NULL; consecutive duplicates collapse), "
+        "lead closes each interval with the next change's timestamp; "
+        "the open interval carries NULL valid_to. The unique event_id "
+        "tiebreak makes both windows deterministic under equal "
+        "timestamps."
+    ),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "ts", "event_id", "value", F.lag("value").over(w).alias("prev")
+    )
+    changes = marked.filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

@@ -230,6 +230,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "twap",                         # new r5: time-weighted average price
     "gini_concentration",           # new r5: volume-inequality Gini
     "bpe_encode",                   # new r5: tokenizer apply (rows-only)
+    "scd2_intervals",               # new r5: SCD-2 validity intervals
 )
 
 

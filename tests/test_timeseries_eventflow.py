@@ -956,3 +956,53 @@ def test_winsorize_clips_exactly_at_percentiles(spark):
     r = out[0]
     assert r.n == 101 and r.n_clipped == 2
     assert r.winsorized_mean == pytest.approx(50.0, abs=1e-9)
+
+
+def test_scd2_intervals_compress_and_close(spark):
+    # user 1: values 10,10,20,10 -> intervals [t0,t2)=10, [t2,t3)=20,
+    # [t3,null)=10 (consecutive duplicate collapsed; re-appearance of an
+    # old value opens a NEW interval). Non-signup rows ignored.
+    rows = [
+        (1, T(2024, 1, 1), 1, "signup", 10.0),
+        (2, T(2024, 1, 2), 1, "signup", 10.0),
+        (3, T(2024, 1, 3), 1, "signup", 20.0),
+        (4, T(2024, 1, 4), 1, "signup", 10.0),
+        (5, T(2024, 1, 5), 1, "click", 99.0),
+    ]
+    out = sorted(
+        _run(flowmod, "scd2_intervals", spark, _events(spark, rows)),
+        key=lambda r: r.valid_from,
+    )
+    assert [(r.value, r.valid_to is None, r.is_current) for r in out] == [
+        (10.0, False, 0),
+        (20.0, False, 0),
+        (10.0, True, 1),
+    ]
+    assert out[0].valid_to == out[1].valid_from
+
+
+def test_table_diff_statuses(spark):
+    from nt_etl_order_book_spark.operators.audits import table_diff_summary
+
+    before = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (5, "dup", 1), (5, "dup", 1)],
+        "k long, s string, v int",
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 10),          # unchanged
+         (2, "b", 21),          # changed value
+         (4, "d", 40),          # added
+         (5, "dup", 1)],        # key 5: row count 2 -> 1 = changed
+        "k long, s string, v int",
+    )
+    out = {r.status: r.n_keys for r in table_diff_summary(before, after, ["k"]).collect()}
+    assert out == {"unchanged": 1, "changed": 2, "added": 1, "removed": 1}
+
+
+def test_table_diff_null_vs_empty_not_confused(spark):
+    from nt_etl_order_book_spark.operators.audits import table_diff
+
+    before = spark.createDataFrame([(1, None)], "k long, s string")
+    after = spark.createDataFrame([(1, "")], "k long, s string")
+    out = table_diff(before, after, ["k"]).collect()
+    assert out[0].status == "changed"
