@@ -142,3 +142,130 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(deg, "node").select(
         F.col("node").alias("doc_id"), F.round("r", 12).alias("rank"), "deg"
     )
+
+
+@register(
+    "triangle_count",
+    f"""
+    WITH {_sql_paragraphs()},
+    dp AS (SELECT DISTINCT doc_id, md5(par) AS h FROM pars),
+    pf AS (
+      SELECT h FROM dp GROUP BY h
+      HAVING COUNT(*) BETWEEN 2 AND {PR_PARA_CAP}
+    ),
+    pe AS (SELECT doc_id, h FROM dp WHERE h IN (SELECT h FROM pf)),
+    und AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM pe a JOIN pe b USING (h)
+      WHERE a.doc_id < b.doc_id
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS lo,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS hi
+      FROM und e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    wedges AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM oriented e1 JOIN oriented e2
+        ON e1.hi = e2.lo
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM wedges w
+      WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.lo = w.a AND o.hi = w.c)
+    )
+    SELECT t.n_triangles,
+           (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT COUNT(*) FROM deg) AS n_nodes,
+           ROUND(CASE WHEN (SELECT COUNT(*) FROM und) = 0 THEN NULL
+                 ELSE 3.0 * t.n_triangles / (SELECT COUNT(*) FROM und) END, 6)
+             AS closure_per_edge
+    FROM tri t
+    """,
+    doc=(
+        "Triangle count over the paragraph-sharing dup graph — the "
+        "graph-clustering diagnostic (high closure = tight template "
+        "families that dedup_components will collapse; low closure = "
+        "chains, the survivorship-policy hard case). Uses the "
+        "DEGREE-ORIENTED algorithm (Schank-Wagner / Cohen's MR form): "
+        "orient every undirected edge from the lower-degree endpoint "
+        "(ties by id — a TOTAL order, so orientation is acyclic and "
+        "each triangle is counted exactly once), build wedges only "
+        "from each node's HIGHER-degree out-neighborhood, and close "
+        "them with a semi-join back onto the oriented edge set. "
+        "Per-node wedge work is O(out-degree^2) where out-degree <= "
+        "sqrt(2|E|) by the orientation bound — the hub that would "
+        "contribute O(d^2) wedges undirected contributes almost none "
+        "— so the wedge table, the one quadratic object, is bounded "
+        "by O(|E|^1.5) globally. Edges inherit the PR_PARA_CAP "
+        "doc-frequency cap from the pagerank/dedup family."
+    ),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dp = paragraphs(docs).select("doc_id", F.md5(F.col("par")).alias("h")).distinct()
+    kept = (
+        dp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= PR_PARA_CAP))
+        .select("h")
+    )
+    pe = dp.join(kept, "h", "left_semi")
+    a = pe.select("h", F.col("doc_id").alias("u"))
+    b = pe.select("h", F.col("doc_id").alias("v"))
+    und = (
+        a.join(b, "h")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "c")
+    closer = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = wedges.join(closer, ["a", "c"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    counts = (
+        tri.crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    )
+    return counts.select(
+        "n_triangles",
+        "n_edges",
+        "n_nodes",
+        F.round(
+            F.when(
+                F.col("n_edges") == 0, F.lit(None).cast("double")
+            ).otherwise(F.lit(3.0) * F.col("n_triangles") / F.col("n_edges")),
+            6,
+        ).alias("closure_per_edge"),
+    )

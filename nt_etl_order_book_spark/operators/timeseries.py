@@ -1309,3 +1309,98 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "rolling_features",
+    """
+    WITH c0 AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value > 0
+    ),
+    f AS (
+      SELECT user_id, event_id,
+             LN(value / LAG(value) OVER w) AS ret_1,
+             value - LAG(value, 5) OVER w AS momentum_5,
+             CAST(SUM(c) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sc_5,
+             COUNT(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_5,
+             CAST(SUM(c * c) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS scc_20,
+             CAST(SUM(c) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sc_20,
+             COUNT(*) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS n_20
+      FROM c0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           ROUND(ret_1, 6) AS ret_1,
+           ROUND(momentum_5, 6) AS momentum_5,
+           CAST((2 * 10000 * sc_5 + n_5) // (2 * n_5) AS DOUBLE) / 1000000.0 AS ma_5,
+           CAST((2 * 100 * (n_20 * scc_20 - sc_20 * sc_20) + n_20 * n_20)
+                // (2 * n_20 * n_20) AS DOUBLE) / 1000000.0 AS var_20
+    FROM f
+    """,
+    doc=(
+        "Multi-horizon rolling feature matrix per print: 1-tick log "
+        "return, 5-tick momentum, 5-tick moving average, and 20-tick "
+        "rolling variance — the standard per-entity feature builder "
+        "feeding a training pipeline (one row out per event, the only "
+        "full-tape-output op in the family, because a feature matrix "
+        "IS the tape). Every feature shares the SAME (market, ts, id) "
+        "window order, so Spark plans ONE exchange and one sort for "
+        "all six window functions. Rolling moments accumulate as exact "
+        "BIGINT CENTS inside the frame (first draft used "
+        "DECIMAL(38,12) of the double v*v — at v^2 ~ 1e4 the double "
+        "ulp equals the 1e-12 decimal grain, and the cast's tie "
+        "rounding flipped 18 var_20 values at sf0.1; c*c in integer "
+        "cents-squared has NO conversion step to disagree on); "
+        "variance comes from the two integer moments in closed form. Short-history rows get "
+        "NULL returns/momentum and partial-frame averages, "
+        "identically in both engines."
+    ),
+)
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    base = ev.select("user_id", "event_id", "ts", "value", c.alias("c"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w5 = w.rowsBetween(-4, Window.currentRow)
+    w20 = w.rowsBetween(-19, Window.currentRow)
+    v = F.col("value")
+    sc5 = F.sum("c").over(w5)
+    n5 = F.count(F.lit(1)).over(w5)
+    scc20 = F.sum(F.col("c") * F.col("c")).over(w20)
+    sc20 = F.sum("c").over(w20)
+    n20 = F.count(F.lit(1)).over(w20)
+    f = base.select(
+        "user_id",
+        "event_id",
+        F.log(v / F.lag(v).over(w)).alias("ret_1"),
+        (v - F.lag(v, 5).over(w)).alias("momentum_5"),
+        sc5.alias("sc_5"),
+        n5.alias("n_5"),
+        scc20.alias("scc_20"),
+        sc20.alias("sc_20"),
+        n20.alias("n_20"),
+    )
+    # 6-dp rounding happens IN INTEGER ARITHMETIC on the true rational
+    # (half-up via (2a + b) div (2b)): ROUND(double, 6) disagrees
+    # between engines when the double lands ~1e-10 from a .5 boundary
+    # (caught at sf0.1) — with exact integer moments no double exists
+    # until the final /1e6, which is exact for these magnitudes.
+    return f.select(
+        "user_id",
+        "event_id",
+        F.round("ret_1", 6).alias("ret_1"),
+        F.round("momentum_5", 6).alias("momentum_5"),
+        (F.expr("(2 * 10000 * sc_5 + n_5) div (2 * n_5)").cast("double") / 1_000_000.0).alias("ma_5"),
+        (
+            F.expr(
+                "(2 * 100 * (n_20 * scc_20 - sc_20 * sc_20) + n_20 * n_20)"
+                " div (2 * n_20 * n_20)"
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("var_20"),
+    )

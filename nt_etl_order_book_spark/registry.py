@@ -231,6 +231,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "gini_concentration",           # new r5: volume-inequality Gini
     "bpe_encode",                   # new r5: tokenizer apply (rows-only)
     "scd2_intervals",               # new r5: SCD-2 validity intervals
+    "triangle_count",               # new r5: degree-oriented triangles
+    "rolling_features",             # new r5: multi-horizon feature matrix
 )
 
 

@@ -976,3 +976,37 @@ def test_bm25_closed_form_on_tiny_corpus(spark):
     assert got[1][1] == 2 and got[2][1] == 1 and 3 not in got
     assert got[1][0] == pytest.approx(term(2, 3) + term(1, 3), abs=1e-6)
     assert got[2][0] == pytest.approx(term(1, 1), abs=1e-6)
+
+
+def test_triangle_count_on_known_graphs(spark):
+    # Corpus engineered so the dup graph is K4 on docs 1-4 (4 triangles)
+    # plus a path 5-6-7 (0 triangles): shared paragraph P makes the
+    # clique; P2/P3 make the path edges. A triangle requires >=25-token
+    # paragraphs shared pairwise.
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import dedup as dedupmod
+
+    def para(tag):
+        return " ".join(f"{tag}w{i}" for i in range(25))
+
+    P, P2, P3 = para("p"), para("q"), para("r")
+    docs = spark.createDataFrame(
+        [
+            (1, P, "s"), (2, P, "s"), (3, P, "s"), (4, P, "s"),   # K4
+            (5, P2, "s"), (6, f"{P2} {P3}", "s"), (7, P3, "s"),   # path 5-6-7
+        ],
+        "doc_id long, text string, source string",
+    )
+    orig = dedupmod.load_table
+    import nt_etl_order_book_spark.functions.graph as graphmod
+    orig_g = graphmod.load_table
+    try:
+        dedupmod.load_table = lambda _s, _d, name: docs
+        graphmod.load_table = lambda _s, _d, name: docs
+        [r] = registry.all_specs()["triangle_count"].fn(spark, "_").collect()
+    finally:
+        dedupmod.load_table = orig
+        graphmod.load_table = orig_g
+    assert r.n_nodes == 7
+    assert r.n_edges == 6 + 2        # K4 edges + the two path edges
+    assert r.n_triangles == 4        # C(4,3)

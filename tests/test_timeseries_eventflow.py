@@ -1006,3 +1006,20 @@ def test_table_diff_null_vs_empty_not_confused(spark):
     after = spark.createDataFrame([(1, "")], "k long, s string")
     out = table_diff(before, after, ["k"]).collect()
     assert out[0].status == "changed"
+
+
+def test_rolling_features_hand_computed_frame(spark):
+    # Prices 1.00, 2.00, 3.00 for one market: row 3 has ret_1=ln(1.5),
+    # ma_5 = mean(1,2,3) = 2.0, var_20 = E[x^2]-E[x]^2 = (14/3) - 4 =
+    # 2/3 -> integer-rounded 6dp = 0.666667 (the .5-boundary-safe path).
+    rows = [
+        (1, T(2024, 1, 1, 9, 0, 0), 1, "view", 1.0),
+        (2, T(2024, 1, 1, 9, 0, 1), 1, "view", 2.0),
+        (3, T(2024, 1, 1, 9, 0, 2), 1, "view", 3.0),
+    ]
+    out = {r.event_id: r for r in _run(tsmod, "rolling_features", spark, _events(spark, rows))}
+    assert out[1].ret_1 is None and out[1].momentum_5 is None
+    assert out[3].ret_1 == pytest.approx(round(math.log(1.5), 6))
+    assert out[3].ma_5 == 2.0
+    assert out[3].var_20 == 0.666667  # exact integer half-up of 2/3
+    assert out[2].var_20 == 0.25      # var(1,2) = 0.25
