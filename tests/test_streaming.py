@@ -717,3 +717,62 @@ def test_stream_anomaly_alerts_model_apply(spark, tmp_path):
     assert len(alerts) == 1
     assert (alerts[0].ticker, alerts[0].price_dollars) == ("KXM-A", 5.0)
     assert alerts[0].abs_z > 3.0
+
+
+def test_stream_heavy_hitters_state_bounded_and_superset(spark, tmp_path):
+    # Two micro-batches of a skewed token stream (checkpointed restart
+    # between them): the planted heavy token must survive in state with
+    # mg_count within the MG error bound (true_count - processed/(k+1)
+    # <= mg_count <= true_count), the counter set must stay <= k, and
+    # `processed` must accumulate ACROSS the restart (state carried).
+    import json as _json
+
+    from nt_etl_order_book_spark.streaming.stateful import stream_heavy_hitters
+
+    src = tmp_path / "hhsrc"; src.mkdir()
+    ckpt = tmp_path / "hhckpt"
+    k = 4
+
+    sink = tmp_path / "hhsink"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("key string, token string").json(str(src))
+        )
+        hh = stream_heavy_hitters(stream, key_col="key", token_col="token", k=k)
+
+        def write(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(sink))
+
+        q = (
+            hh.writeStream.foreachBatch(write)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: heavy=30, plus 12 distinct light tokens (forces decrements)
+    rows = [{"key": "A", "token": "heavy"}] * 30 + [
+        {"key": "A", "token": f"light{i}"} for i in range(12)
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    run_once()
+
+    # batch 2 after restart: 20 more heavy + 8 more distinct lights
+    rows2 = [{"key": "A", "token": "heavy"}] * 20 + [
+        {"key": "A", "token": f"late{i}"} for i in range(8)
+    ]
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+    run_once()
+
+    out = spark.read.parquet(str(sink)).collect()
+    # take the rows of the LAST emission (max processed)
+    latest = max(r.processed for r in out)
+    assert latest == 70  # 42 + 28: state carried across the restart
+    final = {r.token: r.mg_count for r in out if r.processed == latest}
+    assert len(final) <= k
+    assert "heavy" in final
+    true_heavy = 50
+    assert true_heavy - latest // (k + 1) <= final["heavy"] <= true_heavy
