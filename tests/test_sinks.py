@@ -61,3 +61,38 @@ def test_market_dim_broadcastable(spark):
     dim = market_dim(spark, ["KXM-A", "KXM-B"], "KXNCAAFGAME")
     rows = {(r.ticker, r.series_ticker) for r in dim.collect()}
     assert rows == {("KXM-A", "KXNCAAFGAME"), ("KXM-B", "KXNCAAFGAME")}
+
+
+def test_write_sorted_table_rowgroups_disjoint_and_pushdown(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+    from nt_etl_order_book_spark.sources.registry import write_sorted_table
+    from nt_etl_order_book_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    out = str(tmp_path / "clustered")
+    write_sorted_table(ev, out, ["user_id"], n_files=8)
+
+    # every file covers a narrow user_id range; ranges must be
+    # (near-)disjoint across files — that's what row-group skipping
+    # keys off
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("user_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2 + 1  # boundary key may straddle two files, no more
+
+    scan = spark.read.parquet(out).filter(F.col("user_id") == 42)
+    assert "PushedFilters" in formatted_plan(scan)
+    assert scan.count() == ev.filter(F.col("user_id") == 42).count()
