@@ -1114,3 +1114,75 @@ def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "minhash_eval",
+    None,  # the predicted side inherits minhash's seeded LSH → rows-only;
+    # the constructed-corpus test pins precision == recall == 1.0.
+    doc=(
+        "Self-audit of the MinHash-LSH pipeline: precision/recall of "
+        "minhash_dedup's verified pairs against exact ground truth at "
+        "the SAME jaccard >= 0.5 threshold — the quantitative guard "
+        "the ANN family gets from tools/check.py --recall, expressed "
+        "as a query so a deployment can re-measure on ITS corpus "
+        "before trusting the dedup (banding parameters that work on "
+        "one shingle distribution can silently lose recall on "
+        "another). Ground truth is generated from the df-capped "
+        "shingle inverted index (the ngram_jaccard shape — bounded, "
+        "never all-pairs; a pair with jaccard >= 0.5 shares shingles "
+        "by definition, so under the cap the truth set is "
+        "recall-complete for docs without ultra-hot shingles, and the "
+        "cap caveat is shared by both sides' candidate generation). "
+        "Output: one census row (n_pred, n_truth, n_hit, precision, "
+        "recall)."
+    ),
+)
+def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = q_minhash_dedup(spark, sf_dir).select("a", "b")
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=3)
+    w = Window.partitionBy("shingle")
+    sh = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .drop("_df")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("a"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = F.broadcast(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")))
+    zb = F.broadcast(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")))
+    truth = (
+        inter.join(za, "a")
+        .join(zb, "b")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter"))
+            >= 0.5
+        )
+        .select("a", "b")
+    )
+    hit = pred.join(truth, ["a", "b"], "left_semi")
+    out = (
+        pred.agg(F.count(F.lit(1)).alias("n_pred"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return out.select(
+        "n_pred",
+        "n_truth",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.nullif(F.col("n_pred"), F.lit(0)), 6
+        ).alias("precision"),
+        F.round(
+            F.col("n_hit").cast("double") / F.nullif(F.col("n_truth"), F.lit(0)), 6
+        ).alias("recall"),
+    )

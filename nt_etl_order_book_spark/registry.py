@@ -233,6 +233,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "scd2_intervals",               # new r5: SCD-2 validity intervals
     "triangle_count",               # new r5: degree-oriented triangles
     "rolling_features",             # new r5: multi-horizon feature matrix
+    "minhash_eval",                 # new r5: LSH precision/recall self-audit (rows-only)
 )
 
 

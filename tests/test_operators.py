@@ -1010,3 +1010,32 @@ def test_triangle_count_on_known_graphs(spark):
     assert r.n_nodes == 7
     assert r.n_edges == 6 + 2        # K4 edges + the two path edges
     assert r.n_triangles == 4        # C(4,3)
+
+
+def test_minhash_eval_perfect_on_exact_dups(spark):
+    # Far-apart docs with planted exact duplicates: every true pair is
+    # an identical-signature pair (LSH must catch all), nothing else
+    # crosses 0.5 — precision and recall both exactly 1.0.
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import dedup as dedupmod
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet black white gray",
+    ]
+    rows = []
+    did = 0
+    for t in base:
+        for _copy in range(2):  # each text twice -> 3 true pairs
+            rows.append((did, t, "s"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    orig = dedupmod.load_table
+    try:
+        dedupmod.load_table = lambda _s, _d, name: docs
+        [r] = registry.all_specs()["minhash_eval"].fn(spark, "_").collect()
+    finally:
+        dedupmod.load_table = orig
+    assert (r.n_pred, r.n_truth, r.n_hit) == (3, 3, 3)
+    assert r.precision == 1.0 and r.recall == 1.0
