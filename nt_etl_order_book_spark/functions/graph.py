@@ -269,3 +269,92 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("closure_per_edge"),
     )
+
+
+REACH_HOPS = 3
+REACH_SEED_MOD = 50
+
+
+@register(
+    "graph_reachability",
+    f"""
+    WITH RECURSIVE {_sql_paragraphs().lstrip()},
+    dp AS (SELECT DISTINCT doc_id, md5(par) AS h FROM pars),
+    pf AS (
+      SELECT h FROM dp GROUP BY h
+      HAVING COUNT(*) BETWEEN 2 AND {PR_PARA_CAP}
+    ),
+    pe AS (SELECT doc_id, h FROM dp WHERE h IN (SELECT h FROM pf)),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM pe a JOIN pe b USING (h)
+      WHERE a.doc_id <> b.doc_id
+    ),
+    seeds AS (
+      SELECT DISTINCT src AS node FROM edges WHERE src % {REACH_SEED_MOD} = 0
+    ),
+    reach(node, dist) AS (
+      SELECT node, 0 FROM seeds
+      UNION ALL
+      SELECT e.dst, r.dist + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.dist < {REACH_HOPS}
+    )
+    SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM reach GROUP BY node
+    """,
+    doc=(
+        "Bounded BFS over the dup graph via WITH RECURSIVE — shortest "
+        "hop distance from the seed docs (ids % 50 = 0) within "
+        f"{REACH_HOPS} hops, the contamination-blast-radius question "
+        "('what else transitively shares content with these flagged "
+        "docs?') expressed in the SQL surface users actually write. "
+        "Spark 4's recursive CTE executes the same text the DuckDB "
+        "oracle runs, so the engines cross-check each other's "
+        "fixpoint; the hop bound makes termination unconditional on "
+        "cyclic graphs (every dup-graph component is cyclic) and the "
+        "MIN(dist) aggregate collapses revisits. The Spark side "
+        "builds the edge/seed frames as the pagerank family does, "
+        "registers them as temp views, and runs the recursion in "
+        "spark.sql — per-iteration cost is one keyed join on the "
+        "frontier, frontier bounded by component sizes (df-capped)."
+    ),
+)
+def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dp = paragraphs(docs).select("doc_id", F.md5(F.col("par")).alias("h")).distinct()
+    kept = (
+        dp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= PR_PARA_CAP))
+        .select("h")
+    )
+    pe = dp.join(kept, "h", "left_semi")
+    a = pe.select("h", F.col("doc_id").alias("src"))
+    b = pe.select("h", F.col("doc_id").alias("dst"))
+    edges = (
+        a.join(b, "h")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    seeds = (
+        edges.filter(F.col("src") % REACH_SEED_MOD == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    edges.createOrReplaceTempView("_reach_edges")
+    seeds.createOrReplaceTempView("_reach_seeds")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE reach(node, dist) AS (
+          SELECT node, 0 FROM _reach_seeds
+          UNION ALL
+          SELECT e.dst, r.dist + 1
+          FROM reach r JOIN _reach_edges e ON e.src = r.node
+          WHERE r.dist < {REACH_HOPS}
+        )
+        SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM reach GROUP BY node
+        """
+    )

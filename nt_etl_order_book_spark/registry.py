@@ -234,6 +234,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "triangle_count",               # new r5: degree-oriented triangles
     "rolling_features",             # new r5: multi-horizon feature matrix
     "minhash_eval",                 # new r5: LSH precision/recall self-audit (rows-only)
+    "graph_reachability",           # new r5: recursive-CTE bounded BFS
 )
 
 

@@ -1039,3 +1039,40 @@ def test_minhash_eval_perfect_on_exact_dups(spark):
         dedupmod.load_table = orig
     assert (r.n_pred, r.n_truth, r.n_hit) == (3, 3, 3)
     assert r.precision == 1.0 and r.recall == 1.0
+
+
+def test_graph_reachability_bfs_distances(spark):
+    # Chain 0-1-2-3-4-5 (paragraph-shared links) with seed node 0:
+    # dist = hop count, capped at REACH_HOPS; node 5 (4 hops) is out of
+    # radius; node 50 in a separate component is unreachable.
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions import dedup as dedupmod
+    from nt_etl_order_book_spark.functions import graph as graphmod
+
+    def para(tag):
+        return " ".join(f"{tag}w{i}" for i in range(25))
+
+    links = [para(f"l{i}") for i in range(5)]  # link i joins doc i and i+1
+    rows = []
+    for i in range(6):
+        text = " ".join(
+            ([links[i - 1]] if i > 0 else []) + ([links[i]] if i < 5 else [])
+        )
+        rows.append((i, text, "s"))
+    rows += [(50, para("x"), "s"), (51, para("x"), "s")]  # separate component
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    orig_d, orig_g = dedupmod.load_table, graphmod.load_table
+    try:
+        dedupmod.load_table = lambda _s, _d, name: docs
+        graphmod.load_table = lambda _s, _d, name: docs
+        out = {
+            r.doc_id: r.dist
+            for r in registry.all_specs()["graph_reachability"].fn(spark, "_").collect()
+        }
+    finally:
+        dedupmod.load_table = orig_d
+        graphmod.load_table = orig_g
+    # seeds: node 0 and node 50 (both % 50 == 0 and present as srcs)
+    assert out[0] == 0 and out[1] == 1 and out[2] == 2 and out[3] == 3
+    assert 4 not in out or out[4] > 3  # beyond the hop bound (REACH_HOPS=3)
+    assert out[50] == 0 and out[51] == 1
