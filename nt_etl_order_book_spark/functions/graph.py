@@ -296,7 +296,7 @@ REACH_SEED_MOD = 50
     reach(node, dist) AS (
       SELECT node, 0 FROM seeds
       UNION ALL
-      SELECT e.dst, r.dist + 1
+      SELECT DISTINCT e.dst, r.dist + 1
       FROM reach r JOIN edges e ON e.src = r.node
       WHERE r.dist < {REACH_HOPS}
     )
@@ -312,8 +312,14 @@ REACH_SEED_MOD = 50
         "Spark 4's recursive CTE executes the same text the DuckDB "
         "oracle runs, so the engines cross-check each other's "
         "fixpoint; the hop bound makes termination unconditional on "
-        "cyclic graphs (every dup-graph component is cyclic) and the "
-        "MIN(dist) aggregate collapses revisits. The Spark side "
+        "cyclic graphs (every dup-graph component is cyclic), the "
+        "recursive arm SELECTs DISTINCT so each level's frontier is "
+        "bounded by |nodes| — plain UNION ALL exploded exponentially "
+        "on a dense 10-copy-clique corpus and hit Spark's 1M-row "
+        "recursion guard (caught on the 10x fixture; UNION-distinct "
+        "semi-naive iteration is not yet supported in Spark's "
+        "recursive CTEs, step-DISTINCT is) — and the MIN(dist) "
+        "aggregate collapses revisits. The Spark side "
         "builds the edge/seed frames as the pagerank family does, "
         "registers them as temp views, and runs the recursion in "
         "spark.sql — per-iteration cost is one keyed join on the "
@@ -350,7 +356,7 @@ def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH RECURSIVE reach(node, dist) AS (
           SELECT node, 0 FROM _reach_seeds
           UNION ALL
-          SELECT e.dst, r.dist + 1
+          SELECT DISTINCT e.dst, r.dist + 1
           FROM reach r JOIN _reach_edges e ON e.src = r.node
           WHERE r.dist < {REACH_HOPS}
         )
