@@ -1305,3 +1305,195 @@ def q_pairwise_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cos_sim"), 6).alias("lo"),
         F.round(F.max("cos_sim"), 6).alias("hi"),
     )
+
+
+KNN_EVAL_K = 5
+KNN_QUERY_MOD = 10  # every 10th vector plays the held-out query role
+
+
+@register(
+    "knn_label_eval",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS true_label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+      FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+    ),
+    e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS evec
+      FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} <> 0
+    ),
+    scored AS (
+      SELECT q.qid, q.true_label, e.label,
+             ROUND(
+               list_sum(list_transform(list_zip(q.qvec, e.evec), p -> p[1] * p[2]))
+               / nullif(sqrt(list_sum(list_transform(q.qvec, x -> x * x)))
+                        * sqrt(list_sum(list_transform(e.evec, x -> x * x))), 0),
+               6) AS cos_sim,
+             e.vec_id
+      FROM q CROSS JOIN e
+    ),
+    topk AS (
+      SELECT qid, true_label, label FROM (
+        SELECT qid, true_label, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {KNN_EVAL_K}
+    ),
+    votes AS (
+      SELECT qid, true_label, label, COUNT(*) AS v FROM topk
+      GROUP BY qid, true_label, label
+    ),
+    pred AS (
+      SELECT qid, true_label, label AS pred_label FROM (
+        SELECT qid, true_label, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY v DESC, label ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT COUNT(*) AS n_queries,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM pred
+    """,
+    doc=(
+        "k-NN label-consistency evaluation: hold out every "
+        f"{KNN_QUERY_MOD}th vector, predict its label by majority vote "
+        f"of its {KNN_EVAL_K} nearest corpus neighbors (cosine), and "
+        "report accuracy — the standard embedding-quality probe "
+        "(labels that k-NN can't recover from the geometry are labels "
+        "the embedding doesn't encode; run before trusting semdedup / "
+        "label-blocked dedup). Same broadcast-queries × corpus-scan "
+        "shape as cosine_topk (cos rounded 6 dp before ranking, "
+        "unique vec_id tiebreak); majority vote = a second ROW_NUMBER "
+        "over the ≤k×|labels| vote table with a label tiebreak, so "
+        "the prediction is deterministic under vote ties in both "
+        "engines. Output is a 1-row census."
+    ),
+)
+def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
+    q = base.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qn"),
+    )
+    e = base.filter(F.col("vec_id") % KNN_QUERY_MOD != 0)
+    cos = F.round(
+        dot(F.col("qvec"), F.col("embedding")) / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
+        6,
+    )
+    scored = e.join(F.broadcast(q)).select(
+        "qid", "true_label", "label", cos.alias("cos_sim"), "vec_id"
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    topk = scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= KNN_EVAL_K
+    )
+    votes = topk.groupBy("qid", "true_label", "label").agg(F.count(F.lit(1)).alias("v"))
+    wv = Window.partitionBy("qid").orderBy(F.desc("v"), F.asc("label"))
+    pred = votes.withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
+    correct = F.sum(F.when(F.col("label") == F.col("true_label"), 1).otherwise(0))
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        correct.cast("bigint").alias("n_correct"),
+        F.round(correct.cast("double") / F.count(F.lit(1)), 6).alias("accuracy"),
+    )
+
+
+@register(
+    "embedding_drift",
+    """
+    WITH exploded AS (
+      SELECT label, vec_id % 2 AS half,
+             generate_subscripts(embedding, 1) AS dim,
+             UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+      FROM embeddings
+    ),
+    means AS (
+      SELECT label, half, dim,
+             CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+      FROM exploded GROUP BY label, half, dim
+    ),
+    paired AS (
+      SELECT a.label, a.dim, a.m AS ma, b.m AS mb
+      FROM means a JOIN means b
+        ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1
+    ),
+    comp AS (
+      SELECT label,
+             CAST(SUM(CAST(ma * mb AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(ma * ma AS DECIMAL(38,18))) AS DOUBLE) AS na,
+             CAST(SUM(CAST(mb * mb AS DECIMAL(38,18))) AS DOUBLE) AS nb
+      FROM paired GROUP BY label
+    ),
+    sizes AS (
+      SELECT label,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM embeddings GROUP BY label
+    )
+    SELECT c.label, s.n_a, s.n_b,
+           ROUND(c.dot / nullif(sqrt(c.na) * sqrt(c.nb), 0.0), 6) AS centroid_cos
+    FROM comp c JOIN sizes s ON s.label = c.label
+    """,
+    doc=(
+        "Embedding drift audit: per label, the cosine between the "
+        "centroids of two corpus halves (vec_id parity = the "
+        "deterministic stand-in for before/after an embedder upgrade "
+        "or a crawl epoch) — centroid_cos near 1 means the class "
+        "geometry is stable; a drop is the re-embed/re-index tripwire "
+        "that invalidates IVF codebooks and semdedup thresholds. "
+        "Scale shape: ONE posexplode to (label, half, dim) grain "
+        "collapsing immediately into the per-dim mean aggregate "
+        "(|labels| x 2 x dim rows — tiny regardless of corpus size), "
+        "then a label-grain closed-form cosine over DECIMAL component "
+        "sums; the half-centroid join is on the already-collapsed "
+        "mean table. Per-dim means divide decimal-exact sums by "
+        "exact counts, so both engines feed identical doubles into "
+        "the cosine."
+    ),
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val"),
+    ).select("label", "half", (F.col("dim0") + 1).alias("dim"), "val")
+    means = exploded.groupBy("label", "half", "dim").agg(
+        (F.sum(F.col("val").cast("decimal(38,18)")).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    a = means.filter(F.col("half") == 0).select("label", "dim", F.col("m").alias("ma"))
+    b = means.filter(F.col("half") == 1).select("label", "dim", F.col("m").alias("mb"))
+
+    def dec(c):  # noqa: ANN001
+        return F.sum(c.cast("decimal(38,18)")).cast("double")
+
+    comp = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            dec(F.col("ma") * F.col("mb")).alias("dot"),
+            dec(F.col("ma") * F.col("ma")).alias("na"),
+            dec(F.col("mb") * F.col("mb")).alias("nb"),
+        )
+    )
+    sizes = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    return comp.join(sizes, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("dot") / F.nullif(F.sqrt(F.col("na")) * F.sqrt(F.col("nb")), F.lit(0.0)), 6
+        ).alias("centroid_cos"),
+    )

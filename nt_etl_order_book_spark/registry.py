@@ -235,6 +235,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "rolling_features",             # new r5: multi-horizon feature matrix
     "minhash_eval",                 # new r5: LSH precision/recall self-audit (rows-only)
     "graph_reachability",           # new r5: recursive-CTE bounded BFS
+    "knn_label_eval",               # new r5: k-NN label-consistency accuracy
+    "embedding_drift",              # new r5: per-label centroid-drift audit
 )
 
 

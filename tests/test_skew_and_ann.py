@@ -784,3 +784,49 @@ def test_salted_join_equals_plain_join_on_hot_key(spark):
 
     with pytest.raises(ValueError):
         salted_join(fact, dim, "k", how="full")
+
+
+def test_knn_label_eval_separable_corpus_is_perfect(spark):
+    # Two well-separated label clusters: every held-out query's
+    # neighbors share its label -> accuracy exactly 1.0.
+    from nt_etl_order_book_spark.functions import similarity as simmod
+
+    rows = []
+    for i in range(40):
+        label = i % 2
+        base = [10.0, 0.0] if label == 0 else [0.0, 10.0]
+        rows.append((i, [base[0] + (i % 5) * 0.01, base[1] + (i % 3) * 0.01], label))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    orig = simmod.load_table
+    try:
+        simmod.load_table = lambda _s, _d, name: emb
+        [r] = registry.all_specs()["knn_label_eval"].fn(spark, "_").collect()
+    finally:
+        simmod.load_table = orig
+    assert r.n_queries == 4  # vec_id 0,10,20,30
+    assert r.n_correct == 4 and r.accuracy == 1.0
+
+
+def test_embedding_drift_detects_planted_rotation(spark):
+    # Label 0: identical halves -> centroid_cos == 1. Label 1: the odd
+    # half is orthogonal to the even half -> centroid_cos == 0.
+    from nt_etl_order_book_spark.functions import similarity as simmod
+
+    rows = []
+    vid = 0
+    for _ in range(10):
+        rows.append((vid, [1.0, 0.0], 0)); vid += 1   # even half of label 0
+        rows.append((vid, [1.0, 0.0], 0)); vid += 1   # odd half identical
+    for _ in range(10):
+        rows.append((vid, [1.0, 0.0], 1)) if vid % 2 == 0 else rows.append((vid, [0.0, 1.0], 1))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    orig = simmod.load_table
+    try:
+        simmod.load_table = lambda _s, _d, name: emb
+        out = {r.label: r for r in registry.all_specs()["embedding_drift"].fn(spark, "_").collect()}
+    finally:
+        simmod.load_table = orig
+    assert out[0].centroid_cos == 1.0
+    assert out[1].centroid_cos == 0.0
+    assert out[0].n_a == out[0].n_b == 10
