@@ -1309,6 +1309,11 @@ def q_pairwise_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_EVAL_K = 5
 KNN_QUERY_MOD = 10  # every 10th vector plays the held-out query role
+# Bound the eval set ABSOLUTELY, not as a corpus fraction: a fractional
+# query set makes the scored-pair count quadratic in corpus size
+# (measured 5.8x wall at 10x data before the cap). 200 queries is a
+# statistically ample accuracy sample at any corpus size.
+KNN_QUERY_CAP = KNN_QUERY_MOD * 200
 
 
 @register(
@@ -1317,7 +1322,7 @@ KNN_QUERY_MOD = 10  # every 10th vector plays the held-out query role
     WITH q AS (
       SELECT vec_id AS qid, label AS true_label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
-      FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+      FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0 AND vec_id < {KNN_QUERY_CAP}
     ),
     e AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS evec
@@ -1378,7 +1383,9 @@ KNN_QUERY_MOD = 10  # every 10th vector plays the held-out query role
 def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
-    q = base.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+    q = base.filter(
+        (F.col("vec_id") % KNN_QUERY_MOD == 0) & (F.col("vec_id") < KNN_QUERY_CAP)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("qvec"),
