@@ -1404,3 +1404,78 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("var_20"),
     )
+
+
+@register(
+    "overnight_gap",
+    """
+    WITH keyed AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+             epoch_us(ts) * 1000 + event_id AS k
+      FROM events WHERE value > 0
+    ),
+    daily AS (
+      SELECT user_id, day,
+             arg_min(c, k) AS open_c,
+             arg_max(c, k) AS close_c
+      FROM keyed GROUP BY user_id, day
+    ),
+    gaps AS (
+      SELECT user_id, day, open_c,
+             LAG(close_c) OVER (PARTITION BY user_id ORDER BY day) AS prev_close_c
+      FROM daily
+    )
+    SELECT user_id,
+           COUNT(prev_close_c) AS n_gaps,
+           ROUND(CAST(SUM(CAST(ABS(CAST(open_c - prev_close_c AS DOUBLE))
+                               / prev_close_c * 10000 AS DECIMAL(38,18)))
+                      AS DOUBLE) / nullif(COUNT(prev_close_c), 0), 6)
+             AS mean_abs_gap_bps,
+           ROUND(MAX(ABS(CAST(open_c - prev_close_c AS DOUBLE)) / prev_close_c * 10000), 6)
+             AS max_abs_gap_bps
+    FROM gaps GROUP BY user_id
+    """,
+    doc=(
+        "Overnight-gap profile per market: |open - previous close| / "
+        "previous close in bps, averaged and maxed across days — the "
+        "session-boundary risk statistic (gaps are where stops fail "
+        "and close-to-close vol hides; complements ohlc_volatility's "
+        "intraday ranges). Open/close from min_by/max_by on the "
+        "unique OHLC key IN INTEGER CENTS, so the gap ratio is a "
+        "double over exact integers; per-day bps terms accumulate as "
+        "DECIMAL(38,18); the first day of each market has no prior "
+        "close and is excluded by COUNT/SUM null semantics "
+        "identically in both engines. One day-grain aggregate, one "
+        "tiny lag window over days x markets, one market-grain "
+        "aggregate."
+    ),
+)
+def q_overnight_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000) + F.col("event_id")
+    keyed = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day"), c.alias("c"), k.alias("k")
+    )
+    daily = keyed.groupBy("user_id", "day").agg(
+        F.min_by("c", "k").alias("open_c"), F.max_by("c", "k").alias("close_c")
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    gaps = daily.select(
+        "user_id", "day", "open_c", F.lag("close_c").over(wd).alias("prev_close_c")
+    )
+    bps = (
+        F.abs((F.col("open_c") - F.col("prev_close_c")).cast("double"))
+        / F.col("prev_close_c")
+        * 10000
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("prev_close_c").alias("n_gaps"),
+        F.round(
+            F.sum(bps.cast("decimal(38,18)")).cast("double")
+            / F.nullif(F.count("prev_close_c"), F.lit(0)),
+            6,
+        ).alias("mean_abs_gap_bps"),
+        F.round(F.max(bps), 6).alias("max_abs_gap_bps"),
+    )

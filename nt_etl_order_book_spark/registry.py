@@ -237,6 +237,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "graph_reachability",           # new r5: recursive-CTE bounded BFS
     "knn_label_eval",               # new r5: k-NN label-consistency accuracy
     "embedding_drift",              # new r5: per-label centroid-drift audit
+    "overnight_gap",                # new r5: session-boundary gap profile
 )
 
 

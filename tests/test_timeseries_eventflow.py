@@ -1023,3 +1023,21 @@ def test_rolling_features_hand_computed_frame(spark):
     assert out[3].ma_5 == 2.0
     assert out[3].var_20 == 0.666667  # exact integer half-up of 2/3
     assert out[2].var_20 == 0.25      # var(1,2) = 0.25
+
+
+def test_overnight_gap_hand_computed(spark):
+    # Day 1: open 100, close 110. Day 2: open 99 -> gap |99-110|/110 =
+    # 1000 bps. Day 3: open 110, prev close 99 -> |110-99|/99 bps.
+    rows = [
+        (1, T(2024, 1, 1, 9), 1, "view", 100.0),
+        (2, T(2024, 1, 1, 16), 1, "view", 110.0),
+        (3, T(2024, 1, 2, 9), 1, "view", 99.0),
+        (4, T(2024, 1, 2, 16), 1, "view", 99.0),
+        (5, T(2024, 1, 3, 9), 1, "view", 110.0),
+    ]
+    [r] = _run(tsmod, "overnight_gap", spark, _events(spark, rows))
+    g2 = abs(9900 - 11000) / 11000 * 10000
+    g3 = abs(11000 - 9900) / 9900 * 10000
+    assert r.n_gaps == 2
+    assert r.mean_abs_gap_bps == pytest.approx(round((g2 + g3) / 2, 6))
+    assert r.max_abs_gap_bps == pytest.approx(round(g3, 6))
