@@ -56,11 +56,39 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
+# Sub-partitions per query for the two-phase top-k tail. For the
+# exact-scan ops the scored set is |corpus| × |queries| rows; a single
+# Window.partitionBy("qid") funnels that into only |queries| tasks, each
+# sorting a corpus-sized slice — the stage-dominating skew/spill at
+# 100× scale even though the scan parallelizes. Phase 1 ranks within
+# (qid, vec_id % TOPK_SALTS) so each query's scores fan across
+# TOPK_SALTS tasks; any global top-k row is top-k within its own
+# sub-partition under the same total order (cos_sim DESC, vec_id ASC —
+# vec_id is unique per qid), so the ≤ TOPK_SALTS×k survivors provably
+# contain the answer and phase 2's tiny window reproduces the
+# single-window result EXACTLY (the oracle IS the single-window form;
+# the driver hash check is the equivalence proof). Same pattern as
+# stratified_sample (sampling.py).
+TOPK_SALTS = 32
+
+
 def topk_per_query(scored: DataFrame, k: int = TOP_K) -> DataFrame:
-    """Rank (qid, vec_id, cos_sim) rows per query and keep the top k —
-    shared tail of every similarity variant (exact, LSH, IVF)."""
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    """Two-phase per-query top-k over (qid, vec_id, cos_sim) rows —
+    shared tail of every similarity variant (exact, LSH, IVF, PQ).
+    Extra columns on `scored` ride through untouched."""
+    order = [F.desc("cos_sim"), F.asc("vec_id")]
+    salted = scored.withColumn("_tk_salt", F.pmod(F.col("vec_id"), F.lit(TOPK_SALTS)))
+    w1 = Window.partitionBy("qid", "_tk_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_tk_rn1", F.row_number().over(w1))
+        .filter(F.col("_tk_rn1") <= k)
+    )
+    w2 = Window.partitionBy("qid").orderBy(*order)
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("_tk_salt", "_tk_rn1")
+    )
 
 
 @register(
@@ -1399,10 +1427,10 @@ def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.join(F.broadcast(q)).select(
         "qid", "true_label", "label", cos.alias("cos_sim"), "vec_id"
     )
-    wk = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    topk = scored.withColumn("rn", F.row_number().over(wk)).filter(
-        F.col("rn") <= KNN_EVAL_K
-    )
+    # Same two-phase tail as every similarity variant: the scored set is
+    # |corpus| × |queries| rows, so the single-window form would funnel
+    # it into |queries| tasks (see topk_per_query).
+    topk = topk_per_query(scored, k=KNN_EVAL_K)
     votes = topk.groupBy("qid", "true_label", "label").agg(F.count(F.lit(1)).alias("v"))
     wv = Window.partitionBy("qid").orderBy(F.desc("v"), F.asc("label"))
     pred = votes.withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)

@@ -116,6 +116,11 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    # The working column would silently shadow (and then drop) a caller
+    # column of the same name — corrupting data instead of failing.
+    for side, df in (("fact", fact), ("dim", dim)):
+        if "_salt" in df.columns:
+            raise ValueError(f"salted_join: {side} side already has a '_salt' column")
     salt_values = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     dim_rep = dim.withColumn("_salt", salt_values)
     fact_s = fact.withColumn(

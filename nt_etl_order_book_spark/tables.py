@@ -29,6 +29,17 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Root holding the sf* fixture directories. Single source for every
+# harness path (conftest, tools/battery.py): override via
+# SPARK_GRAFT_TESTDATA on a checkout whose fixtures live elsewhere,
+# else derived from SPARK_GRAFT_SF_DIR's parent.
+TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", os.path.dirname(DEFAULT_SF_DIR))
+
+
+def sf_path(sf: str) -> str:
+    """Fixture directory for scale factor ``sf`` (e.g. ``"0.01"``)."""
+    return os.path.join(TESTDATA_ROOT, f"sf{sf}")
+
 # Small dimension tables that should always broadcast in joins: at any
 # realistic scale factor these stay tiny (region=5, nation=25 rows).
 BROADCAST_TABLES = frozenset({"region", "nation"})

@@ -8,8 +8,9 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nt_etl_order_book_spark.session import get_spark
+from nt_etl_order_book_spark.tables import sf_path
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = sf_path("0.001")
 
 
 @pytest.fixture(scope="session")

@@ -309,3 +309,22 @@ def test_stratified_sample_two_phase_topk(spark, sf_dir):
     # Spark's rank-filter pushdown gives each Window a WindowGroupLimit:
     # per-partition top-k short-circuits before the full sort.
     assert "WindowGroupLimit" in plan
+
+
+def test_similarity_topk_tail_is_two_phase(spark, sf_dir):
+    # The shared topk_per_query tail (similarity.py) must rank in two
+    # phases: phase 1 keyed FINER than qid — partitionBy(qid, _tk_salt)
+    # — so an exact-scan op's |corpus|×|queries| scored rows fan across
+    # TOPK_SALTS tasks per query, phase 2 over the bounded survivor set.
+    # Gated on the exact-scan consumers, whose window input is unpruned.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    import re
+
+    for qname in ("cosine_topk", "ann_filtered_topk", "knn_label_eval"):
+        df = registry.queries()[qname](spark, sf_dir)
+        plan = formatted_plan(df)
+        windows = len(re.findall(r"^\(\d+\) Window$", plan, re.MULTILINE))
+        assert windows >= 2, (qname, plan[:800])
+        assert "_tk_salt" in plan, (qname, plan[:800])
+        assert "WindowGroupLimit" in plan, (qname, plan[:800])

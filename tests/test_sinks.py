@@ -63,7 +63,7 @@ def test_market_dim_broadcastable(spark):
     assert rows == {("KXM-A", "KXNCAAFGAME"), ("KXM-B", "KXNCAAFGAME")}
 
 
-def test_write_sorted_table_rowgroups_disjoint_and_pushdown(spark, tmp_path):
+def test_write_sorted_table_rowgroups_disjoint_and_pushdown(spark, sf_dir, tmp_path):
     import pyarrow.parquet as pq
     import pyspark.sql.functions as F
 
@@ -71,7 +71,7 @@ def test_write_sorted_table_rowgroups_disjoint_and_pushdown(spark, tmp_path):
     from nt_etl_order_book_spark.sources.registry import write_sorted_table
     from nt_etl_order_book_spark.tables import load_table
 
-    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    ev = load_table(spark, sf_dir, "events")
     out = str(tmp_path / "clustered")
     write_sorted_table(ev, out, ["user_id"], n_files=8)
 

@@ -23,7 +23,11 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
+sys.path.insert(0, REPO)
+
+from nt_etl_order_book_spark.tables import sf_path  # noqa: E402
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else sf_path("0.01")
 FAST = "--fast" in sys.argv
 
 ENTRY_SMOKE = (
@@ -56,7 +60,10 @@ def main() -> int:
         t0 = time.time()
         proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True)
         ok = proc.returncode == 0
-        tail = (proc.stdout or proc.stderr).strip().splitlines()[-1:] or [""]
+        # Failing stages usually put the reason on stderr; a stdout tail
+        # there would show an unrelated progress line on the FAIL row.
+        primary = (proc.stdout if ok else proc.stderr) or proc.stdout or proc.stderr
+        tail = primary.strip().splitlines()[-1:] or [""]
         print(f"{'PASS' if ok else 'FAIL'}  {name:28s} [{time.time()-t0:6.1f}s]  {tail[0][:120]}")
         if not ok:
             failed.append(name)
