@@ -281,6 +281,45 @@ def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.01)").alias("p01"),
         F.expr("percentile(value, 0.99)").alias("p99"),
     )
+    return _winsorized_moments(ev, cuts)
+
+
+# GK sketch accuracy for winsorize_stats_approx (rank error ≤ n/acc
+# per cutoff, so the clip count moves by at most 2·n/acc).
+WINSOR_SKETCH_ACCURACY = 10_000
+
+
+@register(
+    "winsorize_stats_approx",
+    None,  # GK sketch state merges in task-completion order → rows-only;
+    # cutoff rank-error and clip-count bounds asserted in
+    # tests/test_operators.py on a uniform constructed corpus.
+    doc=(
+        "The 100 TB form of winsorize_stats, as runnable code: [p01, "
+        "p99] cutoffs from one-pass mergeable GK sketches "
+        f"(approx_percentile, accuracy {WINSOR_SKETCH_ACCURACY} → each "
+        f"cutoff within n/{WINSOR_SKETCH_ACCURACY} ranks of exact, so "
+        "n_clipped deviates by ≤ 2·n/accuracy) instead of the exact "
+        "per-group percentile whose partial state is a counts-map over "
+        "distinct values; identical broadcast-clip-and-fold tail."
+    ),
+)
+def q_winsorize_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pcts = F.approx_percentile(
+        "value", F.array(F.lit(0.01), F.lit(0.99)), F.lit(WINSOR_SKETCH_ACCURACY)
+    )
+    cuts = ev.groupBy("event_type").agg(
+        pcts.getItem(0).cast("double").alias("p01"),
+        pcts.getItem(1).cast("double").alias("p99"),
+    )
+    return _winsorized_moments(ev, cuts)
+
+
+def _winsorized_moments(ev: DataFrame, cuts: DataFrame) -> DataFrame:
+    """Clip-to-band + robust-moments tail shared by the exact and approx
+    cutoff variants: broadcast the |types|-row cutoff frame back onto one
+    more scan, clip, fold DECIMAL moments."""
     clipped = ev.join(F.broadcast(cuts), "event_type").select(
         "event_type",
         F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias("w"),

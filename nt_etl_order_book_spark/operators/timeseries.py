@@ -152,11 +152,8 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    tus = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    gap = tus - F.lag(tus).over(w)
     return (
-        ev.select("event_type", gap.alias("gap_us"))
+        _interarrival_gaps(ev)
         .groupBy("event_type")
         .agg(
             F.count("gap_us").alias("n_gaps"),
@@ -164,6 +161,61 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(gap_us, 0.9)").alias("p90_us"),
             F.expr("percentile(gap_us, 0.99)").alias("p99_us"),
             F.max("gap_us").alias("max_us"),
+        )
+    )
+
+
+def _interarrival_gaps(ev: DataFrame) -> DataFrame:
+    """(event_type, gap_us) pairs: microsecond gaps between consecutive
+    events of the same type within a user's stream — shared by the exact
+    and approx percentile variants."""
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = tus - F.lag(tus).over(w)
+    return ev.select("event_type", gap.alias("gap_us"))
+
+
+# GK sketch accuracy for interarrival_stats_approx (rank error ≤ n/acc).
+GAP_SKETCH_ACCURACY = 10_000
+
+
+@register(
+    "interarrival_stats_approx",
+    None,  # GK sketch state merges in task-completion order → rows-only;
+    # rank-error bound asserted in tests/test_timeseries_eventflow.py on
+    # a uniform constructed gap distribution.
+    doc=(
+        "The 100 TB form of interarrival_stats, as runnable code: the "
+        "same (user, event_type)-sharded gap computation, but p50/p90/"
+        "p99 from one-pass mergeable GK sketches (approx_percentile, "
+        f"accuracy {GAP_SKETCH_ACCURACY} → each reported gap sits "
+        f"within n/{GAP_SKETCH_ACCURACY} ranks of the true percentile) "
+        "instead of the exact per-group percentile sort — bounded "
+        "partial state regardless of gap cardinality."
+    ),
+)
+def q_interarrival_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pcts = F.approx_percentile(
+        "gap_us",
+        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        F.lit(GAP_SKETCH_ACCURACY),
+    )
+    return (
+        _interarrival_gaps(ev)
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            pcts.alias("_p"),
+            F.max("gap_us").alias("max_us"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            F.col("_p")[0].alias("p50_us"),
+            F.col("_p")[1].alias("p90_us"),
+            F.col("_p")[2].alias("p99_us"),
+            "max_us",
         )
     )
 
