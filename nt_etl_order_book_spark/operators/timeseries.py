@@ -195,7 +195,13 @@ GAP_SKETCH_ACCURACY = 10_000
     ),
 )
 def q_interarrival_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    return interarrival_stats_approx_frame(load_table(spark, sf_dir, "events"))
+
+
+def interarrival_stats_approx_frame(ev: DataFrame) -> DataFrame:
+    """Sketch-percentile gap summary over any events-shaped frame —
+    split out so the rank-error bound test can drive it on a
+    constructed uniform gap distribution."""
     pcts = F.approx_percentile(
         "gap_us",
         F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),

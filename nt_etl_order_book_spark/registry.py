@@ -81,163 +81,159 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # CORRECTNESS_r{N}.json has N >= this value, the window below has been
 # consumed and the rotation gate reports "rotation pending" instead of
 # failing; run `python tools/rotate_sweep.py`, paste, and bump this.
-_SWEEP_ROTATED_FOR_ROUND = 5
+# r7 window (slots 1-50); history through r6
+_SWEEP_ROTATED_FOR_ROUND = 7
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # -- never driver-swept: registered after the r4 window closed (14);
-    # same order they were queued in the r4 tuple's slot-51+ block --
-    "contamination_span",
-    "multimodal_frame_sample",
-    "cross_source_dup",
-    "corpus_filter_funnel",
-    "multimodal_resize",
-    "domain_kl_divergence",
-    "subword_token_count",
-    "dedup_survivorship",
-    "bigram_logprob",
-    "embed_quantize_stats",
-    "length_profile_by_source",
-    "repetition_battery",
-    "winnow_fingerprint",
-    "winnow_dedup",
-    # -- last driver row is round 3 (36) --
-    "unigram_logprob",
-    "agg_multi",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "agg_stats",
-    "agg_median",
-    "agg_string_concat",
-    "agg_weighted_avg",
-    "agg_cube",
-    "agg_having",
-    "agg_grouping_id",
-    "composite_shipping_priority",
-    "pivot_event_types",
-    "subquery_scalar",
-    "subquery_correlated",
-    "json_roundtrip",
-    "join_broadcast",
-    "join_left_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_theta_range",
-    "sort_limit",
-    "sort_nulls",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "agg_salted_skew",
-    "filter_msg_type",
-    "project_rename",
-    "cast_schema",
-    "json_encode_decode",
-    "explode_ladder",
-    "unpivot_sides",
-    "add_event_ts_ms",
-    "notnull_guard",
-    # ---- slot 51+: r6 queue (the remaining r3-row queries; they hit the
-    # 3-round staleness bound after r5 so the r6 rotation must promote
-    # them — listed here so it is mechanical; r5-new queries follow,
-    # local-oracle verified via tools/check.py this round) ----
-    "seq_gap_check",
-    "win_lag_lead",
-    "win_moving_avg",
-    "win_range_frame",
-    "win_first_last",
-    "session_islands",
-    "win_cume_dist",
-    "paragraph_dedup",
-    "sample_split",
-    "bloom_filter_dedup",
-    "text_stats",
-    "repetition_stats",
-    "tfidf_topterms",
-    "udaf_grouped",
-    "rag_chunk",            # new r5: overlapping-window RAG chunking
-    "embed_centroid_stats",  # new r5: per-label cluster-tightness audit
-    "shared_run_audit",     # new r5: exact shared-run verify of winnow pairs
-    "table_profile",        # new r5: per-column DESCRIBE/SUMMARY profiler
-    "dsir_weights",         # new r5: DSIR hashed-ngram importance weights
-    "ann_pq_topk",          # new r5: product-quantization ADC ANN (rows-only)
-    "bpe_merges",           # new r5: BPE vocab induction (rows-only; pytest-exact)
-    "pmi_collocations",     # new r5: PMI collocation extraction
-    "semdedup",             # new r5: SemDeDup cluster-blocked dedup (rows-only)
-    "zipf_fit",             # new r5: Zipf slope/R² vocabulary diagnostic
-    "ann_ivfpq_topk",       # new r5: IVF-PQ composed ANN (rows-only)
-    "approx_quantile_audit",  # new r5: GK quantile sketch vs exact (rows-only)
-    "ccnet_buckets",        # new r5: CCNet perplexity head/middle/tail terciles
-    "lang_id_confusion",    # new r5: classifier-evaluation confusion matrix
-    "license_tag",          # new r5: license-marker compliance census
-    "resample_ffill",       # new r5: daily-grid resample + forward fill
-    "ngram_novelty",        # new r5: per-doc memorization/overlap census
-    "ohlc_bars",            # new r5: hourly OHLC downsampler (min_by/max_by)
-    "realized_volatility",  # new r5: daily realized variance (intraday log returns)
-    "max_drawdown",         # new r5: running-peak drawdown per market
-    "interarrival_stats",   # new r5: inter-arrival gap percentiles per type
-    "hypertable_rollup",    # new r5: hourly->daily continuous-aggregate cascade
-    "funnel_conversion",    # new r5: strict-order first-touch funnel
-    "retention_cohorts",    # new r5: weekly cohort retention matrix
-    "anomaly_zscore",       # new r5: median/MAD robust outlier scan
-    "char_entropy",         # new r5: per-doc character entropy (narrow HOF fold)
-    "compression_ratio",    # new r5: zlib compressibility signal (rows-only)
-    "composite_large_orders",  # new r5: TPC-H Q18 shape (HAVING before joins)
-    "delta_dedup",          # new r5: incremental batch-vs-corpus exact dedup
-    "event_heatmap",        # new r5: hour x value-bucket 2-D pre-aggregation
-    "heavy_hitters",        # new r5: Misra-Gries candidates + exact recount
-    "pagerank_docs",        # new r5: fixed-K PageRank over the dup graph (oracled)
-    "share_of_total",       # new r5: ratio-to-report window over the Q5 aggregate
-    "roll_spread",          # new r5: Roll (1984) effective-spread estimator
-    "order_flow_imbalance",  # new r5: tick-rule daily buy/sell pressure
-    "prefix_dedup",         # new r5: truncation-variant dedup by head digest
-    "market_correlation",   # new r5: top-N daily-return correlation matrix
-    "benford_audit",        # new r5: first-digit data-quality tripwire
-    "hhi_concentration",    # new r5: daily volume-concentration index
-    "cusum_drift",          # new r5: Page-test regime-change statistic
-    "equi_depth_histogram",  # new r5: ANALYZE-style quartile histogram
-    "dollar_bars",          # new r5: information-driven notional bars
-    "ann_filtered_topk",    # new r5: metadata-filtered exact vector search
-    "amihud_illiquidity",   # new r5: price-impact-per-dollar proxy
-    "moments_profile",      # new r5: skewness/kurtosis shape profile
-    # -- r5 third-continuation additions (all local-oracle verified at
-    # sf0.01 AND sf0.1 in normal + driver-mimic modes this session) --
-    "kyle_lambda",          # new r5: price-impact OLS, all-BIGINT components
-    "vpin",                 # new r5: volume-clock flow toxicity
-    "ohlc_volatility",      # new r5: Parkinson/Garman-Klass range variance
-    "autocorr_returns",     # new r5: lag-1 daily-return autocorrelation
-    "effective_spread",     # new r5: trades-to-quotes as-of composition
-    "composite_returned_items",     # new r5: TPC-H Q10 shape
-    "composite_promo_revenue",      # new r5: TPC-H Q14 shape
-    "composite_top_supplier",       # new r5: TPC-H Q15 shape
-    "composite_small_qty_revenue",  # new r5: TPC-H Q17 shape
-    "composite_nation_trade",       # new r5: TPC-H Q7 shape
-    "composite_brand_disjunction",  # new r5: TPC-H Q19 shape
-    "composite_idle_customers",     # new r5: TPC-H Q22 shape
-    "referential_integrity_audit",  # new r5: orphan-FK census (6 edges)
-    "uniqueness_audit",             # new r5: candidate-key census
-    "split_leakage_audit",          # new r5: temporal-split entity leakage
-    "label_balance",                # new r5: class balance + chi-square
-    "winsorize_stats",              # new r5: clipped robust moments
-    "markov_transitions",           # new r5: event-type transition matrix
-    "attribution_last_touch",       # new r5: last-touch attribution
-    "source_vocab_overlap",         # new r5: vocab Jaccard matrix
-    "ngram_coverage_curve",         # new r5: head-vocab coverage (bands)
-    "lexical_complexity",           # new r5: reading-level triple
-    "typo_pairs",                   # new r5: deletion-neighborhood lev-1
-    "bm25_search",                  # new r5: BM25 lexical retrieval
-    "pairwise_cosine_histogram",    # new r5: embedding-space census
-    "twap",                         # new r5: time-weighted average price
-    "gini_concentration",           # new r5: volume-inequality Gini
-    "bpe_encode",                   # new r5: tokenizer apply (rows-only)
-    "scd2_intervals",               # new r5: SCD-2 validity intervals
-    "triangle_count",               # new r5: degree-oriented triangles
-    "rolling_features",             # new r5: multi-horizon feature matrix
-    "minhash_eval",                 # new r5: LSH precision/recall self-audit (rows-only)
-    "graph_reachability",           # new r5: recursive-CTE bounded BFS
-    "knn_label_eval",               # new r5: k-NN label-consistency accuracy
-    "embedding_drift",              # new r5: per-label centroid-drift audit
-    "overnight_gap",                # new r5: session-boundary gap profile
+    "rag_chunk",  # never swept
+    "embed_centroid_stats",  # never swept
+    "shared_run_audit",  # never swept
+    "table_profile",  # never swept
+    "dsir_weights",  # never swept
+    "ann_pq_topk",  # never swept
+    "bpe_merges",  # never swept
+    "pmi_collocations",  # never swept
+    "semdedup",  # never swept
+    "zipf_fit",  # never swept
+    "ann_ivfpq_topk",  # never swept
+    "approx_quantile_audit",  # never swept
+    "ccnet_buckets",  # never swept
+    "lang_id_confusion",  # never swept
+    "license_tag",  # never swept
+    "resample_ffill",  # never swept
+    "ngram_novelty",  # never swept
+    "ohlc_bars",  # never swept
+    "realized_volatility",  # never swept
+    "max_drawdown",  # never swept
+    "interarrival_stats",  # never swept
+    "hypertable_rollup",  # never swept
+    "funnel_conversion",  # never swept
+    "retention_cohorts",  # never swept
+    "anomaly_zscore",  # never swept
+    "char_entropy",  # never swept
+    "compression_ratio",  # never swept
+    "composite_large_orders",  # never swept
+    "delta_dedup",  # never swept
+    "event_heatmap",  # never swept
+    "heavy_hitters",  # never swept
+    "pagerank_docs",  # never swept
+    "share_of_total",  # never swept
+    "roll_spread",  # never swept
+    "order_flow_imbalance",  # never swept
+    "prefix_dedup",  # never swept
+    "market_correlation",  # never swept
+    "benford_audit",  # never swept
+    "hhi_concentration",  # never swept
+    "cusum_drift",  # never swept
+    "equi_depth_histogram",  # never swept
+    "dollar_bars",  # never swept
+    "ann_filtered_topk",  # never swept
+    "amihud_illiquidity",  # never swept
+    "moments_profile",  # never swept
+    "kyle_lambda",  # never swept
+    "vpin",  # never swept
+    "ohlc_volatility",  # never swept
+    "autocorr_returns",  # never swept
+    "effective_spread",  # never swept
+    # ---- slot 51+: next-round queue ----
+    "composite_returned_items",  # never swept
+    "composite_promo_revenue",  # never swept
+    "composite_top_supplier",  # never swept
+    "composite_small_qty_revenue",  # never swept
+    "composite_nation_trade",  # never swept
+    "composite_brand_disjunction",  # never swept
+    "composite_idle_customers",  # never swept
+    "referential_integrity_audit",  # never swept
+    "uniqueness_audit",  # never swept
+    "split_leakage_audit",  # never swept
+    "label_balance",  # never swept
+    "winsorize_stats",  # never swept
+    "markov_transitions",  # never swept
+    "attribution_last_touch",  # never swept
+    "source_vocab_overlap",  # never swept
+    "ngram_coverage_curve",  # never swept
+    "lexical_complexity",  # never swept
+    "typo_pairs",  # never swept
+    "bm25_search",  # never swept
+    "pairwise_cosine_histogram",  # never swept
+    "twap",  # never swept
+    "gini_concentration",  # never swept
+    "bpe_encode",  # never swept
+    "scd2_intervals",  # never swept
+    "triangle_count",  # never swept
+    "rolling_features",  # never swept
+    "minhash_eval",  # never swept
+    "graph_reachability",  # never swept
+    "knn_label_eval",  # never swept
+    "embedding_drift",  # never swept
+    "overnight_gap",  # never swept
+    "equi_depth_histogram_approx",  # never swept
+    "winsorize_stats_approx",  # never swept
+    "interarrival_stats_approx",  # never swept
+    "seq_gap_check",  # last r3
+    "win_lag_lead",  # last r3
+    "win_moving_avg",  # last r3
+    "win_range_frame",  # last r3
+    "win_first_last",  # last r3
+    "session_islands",  # last r3
+    "win_cume_dist",  # last r3
+    "paragraph_dedup",  # last r3
+    "sample_split",  # last r3
+    "bloom_filter_dedup",  # last r3
+    "text_stats",  # last r3
+    "repetition_stats",  # last r3
+    "tfidf_topterms",  # last r3
+    "udaf_grouped",  # last r3
+    "agg_groupby_sum",  # last r4
+    "agg_grouping_sets",  # last r4
+    "book_reconstruct",  # last r4
+    "composite_regional_revenue",  # last r4
+    "join_inner_hash",  # last r4
+    "join_asof",  # last r4
+    "join_interval",  # last r4
+    "set_union_all",  # last r4
+    "dedup_exact",  # last r4
+    "scan_parquet",  # last r4
+    "win_rank_topk_depth",  # last r4
+    "win_running_sum",  # last r4
+    "win_ntile",  # last r4
+    "best_bid_ask",  # last r4
+    "dedup_exact_docs",  # last r4
+    "minhash_dedup",  # last r4
+    "simhash_dedup",  # last r4
+    "ngram_jaccard",  # last r4
+    "decontaminate_ngram",  # last r4
+    "stratified_sample",  # last r4
+    "dedup_components",  # last r4
+    "multimodal_meta",  # last r4
+    "multimodal_features",  # last r4
+    "seq_pack",  # last r4
+    "domain_mix",  # last r4
+    "dup_cluster_stats",  # last r4
+    "fn_string",  # last r4
+    "fn_date",  # last r4
+    "fn_math",  # last r4
+    "fn_array",  # last r4
+    "fn_map_json",  # last r4
+    "fn_map_ops",  # last r4
+    "fn_bitwise",  # last r4
+    "fn_null_safe_eq",  # last r4
+    "fn_conditional",  # last r4
+    "cosine_topk",  # last r4
+    "ann_lsh_topk",  # last r4
+    "ann_ivf_topk",  # last r4
+    "embed_norm_stats",  # last r4
+    "embed_cosine_dedup",  # last r4
+    "tokenize_tf",  # last r4
+    "lang_id",  # last r4
+    "quality_score",  # last r4
+    "token_count",  # last r4
+    "doc_fingerprint",  # last r4
+    "topk_ngrams",  # last r4
+    "doc_length_histogram",  # last r4
+    "redact_pii",  # last r4
+    "udf_scalar_pandas",  # last r4
+    "udtf_explode_custom",  # last r4
 )
 
 

@@ -33,7 +33,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # harness path (conftest, tools/battery.py): override via
 # SPARK_GRAFT_TESTDATA on a checkout whose fixtures live elsewhere,
 # else derived from SPARK_GRAFT_SF_DIR's parent.
-TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", os.path.dirname(DEFAULT_SF_DIR))
+TESTDATA_ROOT = os.environ.get(
+    # normpath: a trailing slash on SPARK_GRAFT_SF_DIR would otherwise make
+    # dirname return the sf dir itself and nest sf_path (e.g. /d/sf1/sf0.01).
+    "SPARK_GRAFT_TESTDATA", os.path.dirname(os.path.normpath(DEFAULT_SF_DIR))
+)
 
 
 def sf_path(sf: str) -> str:

@@ -1076,3 +1076,72 @@ def test_graph_reachability_bfs_distances(spark):
     assert out[0] == 0 and out[1] == 1 and out[2] == 2 and out[3] == 3
     assert 4 not in out or out[4] > 3  # beyond the hop bound (REACH_HOPS=3)
     assert out[50] == 0 and out[51] == 1
+
+
+def test_equi_depth_histogram_approx_rank_error_bound(spark):
+    # The bound the operator's docstring promises, asserted on a uniform
+    # 20k-value corpus (values 1..n, so value == rank): each GK-sketch
+    # quartile boundary sits within n/QHIST_ACCURACY ranks of the exact
+    # quartile, hence each bucket's count deviates from n/4 by at most
+    # 2*n/QHIST_ACCURACY.
+    from nt_etl_order_book_spark.operators.aggregates import (
+        QHIST_ACCURACY,
+        _quartile_histogram,
+    )
+
+    n = 20_000
+    li = spark.range(1, n + 1).select(F.col("id").cast("double").alias("l_extendedprice"))
+    q = (
+        li.agg(
+            F.approx_percentile(
+                "l_extendedprice",
+                F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)),
+                F.lit(QHIST_ACCURACY),
+            ).alias("qs")
+        )
+        .select(
+            F.col("qs")[0].alias("q1"),
+            F.col("qs")[1].alias("q2"),
+            F.col("qs")[2].alias("q3"),
+        )
+    )
+    rank_tol = n / QHIST_ACCURACY  # = 2
+    bounds = q.collect()[0]
+    for frac, val in ((0.25, bounds["q1"]), (0.50, bounds["q2"]), (0.75, bounds["q3"])):
+        assert abs(val - frac * n) <= rank_tol, (frac, val)
+    buckets = {int(r["bucket"]): r for r in _quartile_histogram(li, q).collect()}
+    assert set(buckets) == {0, 1, 2, 3}
+    for b, r in buckets.items():
+        assert abs(r["n"] - n / 4) <= 2 * rank_tol, (b, r["n"])
+
+
+def test_winsorize_stats_approx_cutoff_and_clip_bounds(spark):
+    # Promised in winsorize_stats_approx's oracle comment: on a uniform
+    # constructed corpus (values 1..n, value == rank) each sketch cutoff
+    # is within n/WINSOR_SKETCH_ACCURACY ranks of the exact [p01, p99],
+    # and n_clipped deviates from the exact clip count by at most
+    # 2*n/WINSOR_SKETCH_ACCURACY.
+    from nt_etl_order_book_spark.operators.audits import (
+        WINSOR_SKETCH_ACCURACY,
+        _winsorized_moments,
+    )
+
+    n = 20_000
+    ev = spark.range(1, n + 1).select(
+        F.lit("t").alias("event_type"), F.col("id").cast("double").alias("value")
+    )
+    pcts = F.approx_percentile(
+        "value", F.array(F.lit(0.01), F.lit(0.99)), F.lit(WINSOR_SKETCH_ACCURACY)
+    )
+    cuts = ev.groupBy("event_type").agg(
+        pcts.getItem(0).cast("double").alias("p01"),
+        pcts.getItem(1).cast("double").alias("p99"),
+    )
+    rank_tol = n / WINSOR_SKETCH_ACCURACY  # = 2
+    c = cuts.collect()[0]
+    assert abs(c["p01"] - 0.01 * n) <= rank_tol, c["p01"]
+    assert abs(c["p99"] - 0.99 * n) <= rank_tol, c["p99"]
+    out = _winsorized_moments(ev, cuts).collect()[0]
+    # Exact cutoffs (200, 19800) clip {1..199} and {19801..20000} → 399.
+    exact_clip = (0.01 * n - 1) + (n - 0.99 * n)
+    assert abs(out["n_clipped"] - exact_clip) <= 2 * rank_tol, out["n_clipped"]

@@ -830,3 +830,28 @@ def test_embedding_drift_detects_planted_rotation(spark):
     assert out[0].centroid_cos == 1.0
     assert out[1].centroid_cos == 0.0
     assert out[0].n_a == out[0].n_b == 10
+
+
+def test_topk_per_query_guard_and_pruned_parity(spark):
+    # Reserved-column guard (mirrors salted_join's): feeding a frame that
+    # already carries _tk_salt / _tk_rn1 must raise, not silently
+    # overwrite-and-drop. And the pruned=True single-window path must
+    # return exactly the two-phase result on the same input.
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nt_etl_order_book_spark.functions.similarity import topk_per_query
+
+    scored = (
+        spark.range(0, 400)
+        .select(
+            (F.col("id") % 4).alias("qid"),
+            F.col("id").alias("vec_id"),
+            (F.pmod(F.col("id") * 37, F.lit(101)) / 101.0).alias("cos_sim"),
+        )
+    )
+    with pytest.raises(ValueError, match="_tk_salt"):
+        topk_per_query(scored.withColumn("_tk_salt", F.lit(1)), k=3)
+    two_phase = sorted(map(tuple, topk_per_query(scored, k=3).collect()))
+    single = sorted(map(tuple, topk_per_query(scored, k=3, pruned=True).collect()))
+    assert two_phase == single and len(single) == 12

@@ -1041,3 +1041,40 @@ def test_overnight_gap_hand_computed(spark):
     assert r.n_gaps == 2
     assert r.mean_abs_gap_bps == pytest.approx(round((g2 + g3) / 2, 6))
     assert r.max_abs_gap_bps == pytest.approx(round(g3, 6))
+
+
+def test_interarrival_stats_approx_rank_error_bound(spark):
+    # Promised in interarrival_stats_approx's oracle comment: on a
+    # constructed uniform gap distribution (gaps 1..n_gaps microseconds,
+    # so gap value == rank), each reported sketch percentile sits within
+    # n/GAP_SKETCH_ACCURACY ranks of the true percentile.
+    from pyspark.sql import functions as F
+
+    from nt_etl_order_book_spark.operators.timeseries import (
+        GAP_SKETCH_ACCURACY,
+        interarrival_stats_approx_frame,
+    )
+
+    n_gaps = 20_000
+    # Event i sits at the cumulative sum of gaps 1..i microseconds, one
+    # user / one event_type, so _interarrival_gaps recovers exactly the
+    # gaps 1..n_gaps.
+    ev = (
+        spark.range(0, n_gaps + 1)
+        .select(
+            F.col("id").alias("event_id"),
+            F.lit(7).alias("user_id"),
+            F.lit("t").alias("event_type"),
+            F.timestamp_micros(
+                (F.col("id") * (F.col("id") + 1) / 2).cast("long")
+            ).alias("ts"),
+        )
+    )
+    out = interarrival_stats_approx_frame(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_gaps"] == n_gaps
+    rank_tol = n_gaps / GAP_SKETCH_ACCURACY  # = 2
+    for frac, col in ((0.5, "p50_us"), (0.9, "p90_us"), (0.99, "p99_us")):
+        assert abs(r[col] - frac * n_gaps) <= rank_tol, (col, r[col])
+    assert r["max_us"] == n_gaps
