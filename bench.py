@@ -47,6 +47,21 @@ HEADLINE = [
     "sample_split",
 ]
 
+# Second recorded tier (r5/r6 verdict item: bench-gate the post-r1
+# surface): the measured heavies of the later rounds plus one
+# representative each for the time-series and composite families.
+# Timed and reported under "tier2" so they regress against a recorded
+# baseline; excluded from the headline total to keep that series
+# comparable across rounds.
+TIER2 = [
+    "shared_run_audit",
+    "graph_reachability",
+    "minhash_eval",
+    "equi_depth_histogram",
+    "market_correlation",
+    "composite_nation_trade",
+]
+
 
 def stream_throughput(spark, n_msgs: int = 20000) -> float:
     """Replay n_msgs delta messages through the streaming flatten+sink
@@ -111,20 +126,25 @@ def main() -> None:
     # whole-stage-codegen compilation is per-plan and charges ~2 s to the
     # first run of the widest expressions; the timed runs below then
     # measure execution, not compilation.
-    for name in HEADLINE:
+    for name in HEADLINE + TIER2:
         try:
             qs[name](spark, "/root/testdata/sf0.001").count()
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    def timed(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            out[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {n} rows in {out[name]}s", file=sys.stderr)
+        return out
+
+    timings = timed(HEADLINE)
+    tier2 = timed(TIER2)
     msgs_per_sec = stream_throughput(spark)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
@@ -134,6 +154,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "stream_msgs_per_sec": msgs_per_sec,
+        "tier2": tier2,
+        "tier2_total_sec": round(sum(tier2.values()), 3),
     }
     print(json.dumps(out))
 

@@ -391,3 +391,86 @@ def table_diff_summary(before: DataFrame, after: DataFrame, key_cols: list[str])
     return table_diff(before, after, key_cols).groupBy("status").agg(
         F.count(F.lit(1)).alias("n_keys")
     )
+
+
+# Deterministic before/after event-slice fixture for the registered
+# table_diff queries: BEFORE drops keys divisible by 97, AFTER drops
+# keys divisible by 89 and perturbs value on keys divisible by 13 —
+# so all four statuses occur and the oracle can derive them by direct
+# column comparison (no digest replication needed; the digest is an
+# internal device, the CONTRACT is key->status).
+_DIFF_DROP_BEFORE = 97
+_DIFF_DROP_AFTER = 89
+_DIFF_CHANGE = 13
+
+_DIFF_SLICES_SQL = f"""
+    WITH b AS (
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE event_id % {_DIFF_DROP_BEFORE} <> 0
+    ),
+    a AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_id % {_DIFF_CHANGE} = 0 THEN value + 1.0 ELSE value END AS value
+      FROM events WHERE event_id % {_DIFF_DROP_AFTER} <> 0
+    ),
+    j AS (
+      SELECT COALESCE(b.event_id, a.event_id) AS event_id,
+             CASE WHEN b.event_id IS NULL THEN 'added'
+                  WHEN a.event_id IS NULL THEN 'removed'
+                  WHEN b.user_id IS NOT DISTINCT FROM a.user_id
+                   AND b.event_type IS NOT DISTINCT FROM a.event_type
+                   AND b.value IS NOT DISTINCT FROM a.value THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM b FULL OUTER JOIN a ON b.event_id = a.event_id
+    )
+"""
+
+
+def _diff_slices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    before = ev.filter(F.col("event_id") % _DIFF_DROP_BEFORE != 0)
+    after = ev.filter(F.col("event_id") % _DIFF_DROP_AFTER != 0).withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % _DIFF_CHANGE == 0, F.col("value") + F.lit(1.0)
+        ).otherwise(F.col("value")),
+    )
+    return before, after
+
+
+@register(
+    "table_diff",
+    _DIFF_SLICES_SQL + "SELECT event_id, status FROM j WHERE status <> 'unchanged'",
+    doc=(
+        "CDC / migration sign-off as a query: key-level diff of two "
+        "versions of the events table (deterministic slice fixture), "
+        "reporting every added / removed / changed key. The engine side "
+        "collapses each side to (key, order-independent row digest) "
+        "before a full-outer join — keys + 32-byte digests shuffle, "
+        "never rows — which is what makes the same sign-off runnable "
+        "against a 100 TB table pair. The oracle derives the identical "
+        "statuses by direct NULL-safe column comparison, so the hash "
+        "match also certifies the digest scheme introduces no false "
+        "positives/negatives on this corpus."
+    ),
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    before, after = _diff_slices(spark, sf_dir)
+    return table_diff(before, after, ["event_id"]).filter(F.col("status") != "unchanged")
+
+
+@register(
+    "table_diff_summary",
+    _DIFF_SLICES_SQL + "SELECT status, COUNT(*) AS n_keys FROM j GROUP BY status",
+    doc=(
+        "Census of table_diff statuses over the same before/after event "
+        "slices (≤4 rows) — includes the 'unchanged' cardinality the "
+        "detail query filters out, so together the pair proves both the "
+        "exact exception keys and the total key accounting."
+    ),
+)
+def q_table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    before, after = _diff_slices(spark, sf_dir)
+    return table_diff_summary(before, after, ["event_id"])

@@ -170,6 +170,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "equi_depth_histogram_approx",  # never swept
     "winsorize_stats_approx",  # never swept
     "interarrival_stats_approx",  # never swept
+    "table_diff",  # never swept (registered r7, verdict item 5)
+    "table_diff_summary",  # never swept (registered r7, verdict item 5)
     "seq_gap_check",  # last r3
     "win_lag_lead",  # last r3
     "win_moving_avg",  # last r3
