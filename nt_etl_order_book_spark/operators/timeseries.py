@@ -549,12 +549,14 @@ def q_market_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = keyed.groupBy("user_id", "day").agg(
         F.log(F.max_by("value", "k") / F.min_by("value", "k")).alias("ret")
     )
-    wtop = Window.orderBy(F.desc("n_ticks"), F.asc("user_id"))
+    # Top-N selection via orderBy+limit → TakeOrderedAndProject: each
+    # task keeps its local top CORR_TOP_N and the driver merges — no
+    # single-partition rank window over the per-market census.
     top = (
         keyed.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_ticks"))
-        .withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= CORR_TOP_N)
+        .orderBy(F.desc("n_ticks"), F.asc("user_id"))
+        .limit(CORR_TOP_N)
         .select("user_id")
     )
     r = daily.join(F.broadcast(top), "user_id")

@@ -242,10 +242,55 @@ def q_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="NTILE bucketing over a total order (price quartiles; unique tiebreak keeps assignment stable).",
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return orders.select(
-        "o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("price_quartile")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return distributed_ntile(
+        orders, 4, [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    ).withColumnRenamed("ntile", "price_quartile")
+
+
+def distributed_ntile(df: DataFrame, n_buckets: int, order_cols: list) -> DataFrame:
+    """ANSI NTILE over a total order WITHOUT the single-partition window.
+
+    A bare NTILE(k) OVER (ORDER BY ...) moves the whole input into one
+    window task. Decomposition: range-partition on the sort key
+    (partition p holds strictly higher-ordered rows than p+1; the caller
+    must include a unique tiebreak so the order is total), rank locally
+    per partition, lift to a global rank with broadcast per-partition
+    offsets (the only unkeyed window runs over |partitions| rows), then
+    assign the closed-form bucket: the first n % k buckets get
+    ceil(n/k) rows, the rest floor(n/k) — exactly ANSI NTILE, which the
+    DuckDB oracle runs natively, so the hash match proves the
+    decomposition. Output: input columns + ``ntile``.
+    """
+    parts = df.repartitionByRange(32, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = parts.withColumn("_lrn", F.row_number().over(wloc))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(
+            Window.orderBy("_pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    rnk = F.col("_off") + F.col("_lrn")
+    k = F.lit(n_buckets)
+    q = F.floor(F.col("_n") / k)
+    r = F.col("_n") % k
+    cut = r * (q + 1)
+    bucket = (
+        F.when(rnk <= cut, F.floor((rnk - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rnk - 1 - cut) / F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(*df.columns, bucket.alias("ntile"))
     )
 
 

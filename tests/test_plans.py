@@ -328,3 +328,59 @@ def test_similarity_topk_tail_is_two_phase(spark, sf_dir):
         assert windows >= 2, (qname, plan[:800])
         assert "_tk_salt" in plan, (qname, plan[:800])
         assert "WindowGroupLimit" in plan, (qname, plan[:800])
+
+
+def test_win_ntile_is_distributed_not_single_partition(spark, sf_dir):
+    # The naive NTILE(4) OVER (ORDER BY ...) form puts the whole fact in
+    # ONE window task. The decomposed form must range-partition the fact
+    # (RangePartitioning in the exchange) and key the fact-side window by
+    # the partition id, leaving only the |partitions|-row offsets frame
+    # on an unkeyed window.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    df = registry.queries()["win_ntile"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan.lower(), plan[:800]
+    assert "_pid" in plan, plan[:800]
+    # Exact parity with Spark's own single-window NTILE over the same
+    # full table.
+    from pyspark.sql import Window as W
+
+    import pyspark.sql.functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ref = orders.select(
+        "o_orderkey",
+        F.ntile(4)
+        .over(W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+        .alias("q_ref"),
+    )
+    got = registry.queries()["win_ntile"](spark, sf_dir).select("o_orderkey", "price_quartile")
+    assert ref.join(got, "o_orderkey").filter(F.col("q_ref") != F.col("price_quartile")).count() == 0
+    sizes = {r["price_quartile"]: r["n"] for r in got.groupBy("price_quartile").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(sizes.values())
+    expect = {b + 1: n // 4 + (1 if b < n % 4 else 0) for b in range(4)}
+    assert sizes == expect, (sizes, expect)
+
+
+def test_distributed_ntile_uneven_buckets_constructed(spark):
+    # n=1003, k=4 → bucket sizes 251,251,251,250 (first n%k buckets get
+    # the extra row) — exercises the uneven-bucket branch the fixture
+    # tables (n % 4 == 0) never hit; parity against Spark's own ntile.
+    from pyspark.sql import Window as W
+
+    import pyspark.sql.functions as F
+
+    from nt_etl_order_book_spark.operators.windows import distributed_ntile
+
+    df = spark.range(0, 1003).select(
+        F.col("id").alias("k"), F.pmod(F.col("id") * 7919, F.lit(104729)).alias("v")
+    )
+    order = [F.desc("v"), F.asc("k")]
+    got = distributed_ntile(df, 4, order)
+    ref = df.select("k", F.ntile(4).over(W.orderBy(*order)).alias("nt_ref"))
+    assert got.join(ref, "k").filter(F.col("ntile") != F.col("nt_ref")).count() == 0
+    sizes = sorted(
+        r["n"] for r in got.groupBy("ntile").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert sizes == [250, 251, 251, 251]
