@@ -714,7 +714,14 @@ def hot_market_dir(tmp_path_factory):
             .otherwise((F.col("id") % 100) + 1)
             .cast("long")
             .alias("user_id"),
-            F.lit("view").alias("event_type"),
+            # deterministic type mix (view-heavy) so the lifecycle ops
+            # (scd2 signup intervals, last-touch attribution) see real
+            # data on the hot key; the tick-family ops ignore the type.
+            F.when(F.pmod(F.col("id"), F.lit(16)) == 1, F.lit("click"))
+            .when(F.pmod(F.col("id"), F.lit(16)) == 2, F.lit("purchase"))
+            .when(F.pmod(F.col("id"), F.lit(16)) == 3, F.lit("signup"))
+            .otherwise(F.lit("view"))
+            .alias("event_type"),
             (F.pmod(F.col("id") * F.lit(37), F.lit(1000)) / F.lit(10.0) + F.lit(1.0)).alias("value"),
             # real print sizes so the volume-clock ops (vpin,
             # kyle_lambda) run against the hot key too
@@ -855,3 +862,33 @@ def test_topk_per_query_guard_and_pruned_parity(spark):
     two_phase = sorted(map(tuple, topk_per_query(scored, k=3).collect()))
     single = sorted(map(tuple, topk_per_query(scored, k=3, pruned=True).collect()))
     assert two_phase == single and len(single) == 12
+
+
+def test_skew_lifecycle_family_bounded_on_hot_market(spark, hot_market_dir):
+    # r5-window families under the hot key (r6 verdict item 6):
+    # - twap is (user, day)-sharded: the hot market's 190k ticks split
+    #   across ~18 day shards, never one task;
+    # - scd2_intervals / rolling_features / attribution_last_touch are
+    #   per-user ordered passes — linear, bounded frames, one task for
+    #   the hot key by design (the max_drawdown argument);
+    # all four must produce non-degenerate hot-key output and stay
+    # interactive on 200k skewed rows.
+    import time
+
+    from nt_etl_order_book_spark import registry
+
+    qs = registry.queries()
+    t0 = time.time()
+    twap = qs["twap"](spark, hot_market_dir).filter("user_id = 0").collect()
+    assert len(twap) >= 18  # one row per active day on the hot market
+    assert all(r.n_intervals >= 1 and r.twap > 0 for r in twap)
+    scd2 = qs["scd2_intervals"](spark, hot_market_dir).filter("user_id = 0")
+    n_scd2 = scd2.count()
+    assert n_scd2 >= 100  # value changes between consecutive signups
+    assert scd2.filter("is_current = 1").count() == 1  # one open interval
+    rf = qs["rolling_features"](spark, hot_market_dir).filter("user_id = 0").count()
+    assert rf == 190_000  # one feature row per hot-market tick
+    att = qs["attribution_last_touch"](spark, hot_market_dir).collect()
+    assert len(att) >= 1
+    wall = time.time() - t0
+    assert wall < 120, f"lifecycle family took {wall:.0f}s on the hot-market corpus"
