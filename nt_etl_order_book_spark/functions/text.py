@@ -1989,9 +1989,13 @@ TYPO_MIN_LEN, TYPO_MAX_LEN = 3, 20
     "typo_pairs",
     f"""
     WITH vocab AS (
-      SELECT DISTINCT token
-      FROM (SELECT UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
-            FROM documents)
+      SELECT DISTINCT token FROM (
+        SELECT UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        FROM documents
+        UNION ALL
+        SELECT UNNEST(list_filter(string_split(p_name, ' '), t -> t <> '')) AS token
+        FROM part
+      )
       WHERE LENGTH(token) BETWEEN {TYPO_MIN_LEN} AND {TYPO_MAX_LEN}
     ),
     variants AS (
@@ -2022,14 +2026,22 @@ TYPO_MIN_LEN, TYPO_MAX_LEN = 3, 20
         "normalization / crawl-variant collapsing, on the "
         "Heaps-sublinear vocab grain like source_vocab_overlap. "
         "Length bounds keep degenerate tokens out; verify is the "
-        "same levenshtein built-in in both engines."
+        "same levenshtein built-in in both engines. Vocab unions the "
+        "document corpus with the part-name catalog text so the "
+        "fixture exercises real hits (red/rod, cold/old) — the oracle "
+        "row is non-vacuous."
     ),
 )
 def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    part = load_table(spark, sf_dir, "part")
+
+    def toks(col: str) -> Column:
+        return F.filter(F.split(F.col(col), " "), lambda t: t != "")
+
     vocab = (
-        docs.select(F.explode(toks).alias("token"))
+        docs.select(F.explode(toks("text")).alias("token"))
+        .unionByName(part.select(F.explode(toks("p_name")).alias("token")))
         .filter(F.length("token").between(TYPO_MIN_LEN, TYPO_MAX_LEN))
         .distinct()
     )

@@ -879,9 +879,11 @@ def test_typo_pairs_deletion_blocking_finds_all_lev1(spark):
         [(1, "cat cats bat hat chat xyz", "s")],
         "doc_id long, text string, source string",
     )
+    # the query unions the part-name catalog vocab; give it an empty one
+    part = spark.createDataFrame([], "p_partkey long, p_name string")
     orig = textmod.load_table
     try:
-        textmod.load_table = lambda _s, _d, name: docs
+        textmod.load_table = lambda _s, _d, name: part if name == "part" else docs
         got = {
             (r.tok_a, r.tok_b)
             for r in registry.all_specs()["typo_pairs"].fn(spark, "_").collect()
