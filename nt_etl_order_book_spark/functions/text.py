@@ -1439,10 +1439,19 @@ RUN_MAX_GRAM_OCC = 8
     ),
 )
 def q_shared_run_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = winnow_hashes(load_table(spark, sf_dir, "documents"))
+    from nt_etl_order_book_spark.session import checkpoint_frame
+
+    # Stage the shared frames ONCE: docs feeds two branches (fingerprint
+    # index + gram positions) and each branch is then self-joined, so
+    # without materialization the corpus-wide tokenize+gram+hash pipeline
+    # runs up to 6x (measured: 8 parquet scans, 0 ReusedExchange, 11.5 s
+    # at sf0.1 → 3 scans... see PERF.md). This is the MOSS pipeline's
+    # staged shape at 100 TB too: fingerprints and positions are
+    # materialized artifacts, not recomputed per consumer.
+    docs = checkpoint_frame(winnow_hashes(load_table(spark, sf_dir, "documents")))
     idx = docs.select("doc_id", F.explode(winnow_fp_expr()).alias("f"))
     wf = Window.partitionBy("f")
-    idx = (
+    idx = checkpoint_frame(
         idx.withColumn("_df", F.count(F.lit(1)).over(wf))
         .filter(F.col("_df") <= WINNOW_MAX_FP_DF)
         .drop("_df")
@@ -1460,7 +1469,7 @@ def q_shared_run_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode("hs").alias("pos0", "h")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
     wg = Window.partitionBy("doc_id", "h")
-    gpos = (
+    gpos = checkpoint_frame(
         gpos.withColumn("_occ", F.count(F.lit(1)).over(wg))
         .filter(F.col("_occ") <= RUN_MAX_GRAM_OCC)
         .drop("_occ")

@@ -468,6 +468,75 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_percentile_boundaries(df: DataFrame, col: str, fracs: list[float]) -> DataFrame:
+    """Exact interpolated percentiles (Spark/ANSI percentile_cont
+    semantics) as a 1-row frame with columns q1..qk — WITHOUT the
+    builtin ``percentile()``'s single-reducer counts-map merge.
+
+    Spark's exact Percentile aggregate accumulates a value→count map
+    per task and merges ALL of them in one final reducer — ~|distinct|
+    entries of state in a single task (measured 3.5-5.6 s alone on 583k
+    distinct doubles at sf0.1; the dominant cost of this query). The
+    distributed form: collapse to a (value, count) table (shuffle
+    carries distinct values once), range-partition by value and lift
+    per-partition cumulative counts to global ranks with broadcast
+    offsets (the distributed_ntile decomposition, operators/windows.py),
+    then each requested fraction f needs only the two values whose
+    0-based index ranges straddle pos = (n-1)*f, interpolated with
+    Spark's own ``lower + (higher - lower) * (pos - floor(pos))``
+    formula. Every stage is bounded: the widest single-task state is
+    one range partition's distinct values.
+    """
+    counts = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    parts = counts.repartitionByRange(32, F.asc("v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("_pid").orderBy("v")
+    local = parts.withColumn("_lc", F.sum("c").over(wloc))  # incl. current row
+    pcnt = local.groupBy("_pid").agg(F.sum("c").alias("_cnt"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = pcnt.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(
+            Window.orderBy("_pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    cum = local.join(F.broadcast(offsets), "_pid").select(
+        "v", "c", (F.col("_off") + F.col("_lc")).alias("cum"), "_n"
+    )
+    fr = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(i + 1, float(f)) for i, f in enumerate(fracs)], "fi int, f double"
+        )
+    )
+    pos = (F.col("_n") - 1).cast("double") * F.col("f")
+    lo_i = F.floor(pos)
+    hi_i = F.least(lo_i + 1, F.col("_n") - 1)
+    lo_start = F.col("cum") - F.col("c")  # 0-based first index of v's run
+    hits = (
+        cum.join(fr, (lo_i < F.col("cum")) & (hi_i >= lo_start))
+        .select(
+            "fi",
+            (pos - lo_i).alias("fracp"),
+            F.when((lo_i >= lo_start) & (lo_i < F.col("cum")), F.col("v")).alias("lo_v"),
+            F.when((hi_i >= lo_start) & (hi_i < F.col("cum")), F.col("v")).alias("hi_v"),
+        )
+        .groupBy("fi", "fracp")
+        .agg(F.max("lo_v").alias("lo_v"), F.max("hi_v").alias("hi_v"))
+    )
+    boundary = F.col("lo_v") + (F.col("hi_v") - F.col("lo_v")) * F.col("fracp")
+    one = hits.groupBy().agg(
+        *[
+            F.max(F.when(F.col("fi") == i + 1, boundary)).alias(f"q{i + 1}")
+            for i in range(len(fracs))
+        ]
+    )
+    return one
+
+
 @register(
     "equi_depth_histogram",
     """
@@ -489,25 +558,22 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Equi-depth (quartile) histogram of a fact column — the "
         "ANALYZE-TABLE statistic a cost-based optimizer keeps per "
-        "column, as a query: exact interpolated quartile boundaries "
-        "(one percentile aggregate, the agg_median parity pattern), "
-        "then a second scan assigns each row its bucket by comparing "
-        "against the broadcast 1-row boundary frame and folds counts + "
-        "per-bucket envelopes. Bucket assignment is three double "
-        "comparisons against identical boundary values in both "
-        "engines, so the histogram is hash-exact. At 100 TB the "
-        "boundary pass swaps to percentile_approx and the shape "
-        "becomes one scan + one bounded aggregate — the statistics-"
-        "collection recipe for any column."
+        "column, as a query: EXACT interpolated quartile boundaries "
+        "from the distributed counts-table decomposition "
+        "(exact_percentile_boundaries — no builtin percentile(), whose "
+        "single-reducer counts-map merge was this query's dominant "
+        "cost and does not bound at scale), then a second scan assigns "
+        "each row its bucket against the broadcast 1-row boundary "
+        "frame and folds counts + per-bucket envelopes. Bucket "
+        "assignment is three double comparisons against identical "
+        "boundary values in both engines, so the histogram is "
+        "hash-exact. The *_approx twin swaps the boundary pass for GK "
+        "sketches when even one shuffle of distinct values is too much."
     ),
 )
 def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    q = li.agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
-        F.expr("percentile(l_extendedprice, 0.50)").alias("q2"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
-    )
+    q = exact_percentile_boundaries(li, "l_extendedprice", [0.25, 0.50, 0.75])
     return _quartile_histogram(li, q)
 
 

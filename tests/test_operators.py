@@ -1147,3 +1147,31 @@ def test_winsorize_stats_approx_cutoff_and_clip_bounds(spark):
     # Exact cutoffs (200, 19800) clip {1..199} and {19801..20000} → 399.
     exact_clip = (0.01 * n - 1) + (n - 0.99 * n)
     assert abs(out["n_clipped"] - exact_clip) <= 2 * rank_tol, out["n_clipped"]
+
+
+def test_exact_percentile_boundaries_parity_with_builtin(spark):
+    # The distributed counts-table decomposition must reproduce Spark's
+    # own exact interpolated percentile() bit-for-bit — including on a
+    # dup-heavy multiset where boundaries fall inside and between runs,
+    # and at fracs whose position lands exactly on a value (frac 0/1).
+    from nt_etl_order_book_spark.operators.aggregates import (
+        exact_percentile_boundaries,
+    )
+
+    fracs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    df = spark.range(0, 10_007).select(
+        # heavy dup runs (x//7) mixed with a scattered tail
+        F.when(F.col("id") % 3 == 0, F.floor(F.col("id") / 7))
+        .otherwise(F.pmod(F.col("id") * 131, F.lit(997)))
+        .cast("double")
+        .alias("x")
+    )
+    got = exact_percentile_boundaries(df, "x", fracs).collect()[0]
+    ref = df.agg(
+        *[
+            F.expr(f"percentile(x, {f})").alias(f"q{i + 1}")
+            for i, f in enumerate(fracs)
+        ]
+    ).collect()[0]
+    for i in range(len(fracs)):
+        assert got[f"q{i + 1}"] == ref[f"q{i + 1}"], (fracs[i], got[f"q{i + 1}"], ref[f"q{i + 1}"])
