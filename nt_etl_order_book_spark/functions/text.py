@@ -1051,13 +1051,22 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_length_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_etl_order_book_spark.operators.aggregates import (
+        grouped_exact_percentile_boundaries,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.expr("percentile(n_chars, 0.1)").alias("p10_chars"),
-        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
-        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
-        F.max("n_chars").alias("max_chars"),
+    # sort-based grouped exact percentiles; n_docs/max ride along from
+    # the same (source, n_chars, count) table (n_chars is never null).
+    return grouped_exact_percentile_boundaries(
+        docs, ["source"], "n_chars", [0.1, 0.5, 0.9]
+    ).select(
+        "source",
+        F.col("n_vals").alias("n_docs"),
+        F.col("q1").alias("p10_chars"),
+        F.col("q2").alias("p50_chars"),
+        F.col("q3").alias("p90_chars"),
+        F.col("max_val").alias("max_chars"),
     )
 
 

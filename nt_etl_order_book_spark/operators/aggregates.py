@@ -182,9 +182,15 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
-        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+    # grouped_exact_percentile_boundaries, not builtin percentile():
+    # same exact interpolated result, sort-based spillable state
+    # instead of a per-group counts-map merged in one reducer.
+    return grouped_exact_percentile_boundaries(
+        li, ["l_returnflag"], "l_quantity", [0.5, 0.9]
+    ).select(
+        "l_returnflag",
+        F.col("q1").alias("median_qty"),
+        F.col("q2").alias("p90_qty"),
     )
 
 
@@ -512,22 +518,39 @@ def exact_percentile_boundaries(df: DataFrame, col: str, fracs: list[float]) -> 
             [(i + 1, float(f)) for i, f in enumerate(fracs)], "fi int, f double"
         )
     )
-    pos = (F.col("_n") - 1).cast("double") * F.col("f")
+    # Interpolation replicates Spark's Percentile.getPercentile (and
+    # DuckDB's quantile_cont) BIT-FOR-BIT: position = f * (n - 1),
+    # lower = floor, higher = ceil, and the two-sided weighted form
+    # (higher - position) * lowerVal + (position - lower) * higherVal.
+    # A rearranged lo + (hi - lo) * frac differs in the final ulp and
+    # hash-mismatches the oracle (caught at sf0.01).
+    pos = F.col("f") * (F.col("_n") - 1).cast("double")
     lo_i = F.floor(pos)
-    hi_i = F.least(lo_i + 1, F.col("_n") - 1)
+    hi_i = F.ceil(pos)
     lo_start = F.col("cum") - F.col("c")  # 0-based first index of v's run
     hits = (
         cum.join(fr, (lo_i < F.col("cum")) & (hi_i >= lo_start))
         .select(
             "fi",
-            (pos - lo_i).alias("fracp"),
+            pos.alias("pos"),
+            lo_i.alias("lo_i"),
+            hi_i.alias("hi_i"),
             F.when((lo_i >= lo_start) & (lo_i < F.col("cum")), F.col("v")).alias("lo_v"),
             F.when((hi_i >= lo_start) & (hi_i < F.col("cum")), F.col("v")).alias("hi_v"),
         )
-        .groupBy("fi", "fracp")
-        .agg(F.max("lo_v").alias("lo_v"), F.max("hi_v").alias("hi_v"))
+        .groupBy("fi")
+        .agg(
+            F.max("pos").alias("pos"),
+            F.max("lo_i").alias("lo_i"),
+            F.max("hi_i").alias("hi_i"),
+            F.max("lo_v").alias("lo_v"),
+            F.max("hi_v").alias("hi_v"),
+        )
     )
-    boundary = F.col("lo_v") + (F.col("hi_v") - F.col("lo_v")) * F.col("fracp")
+    boundary = F.when(F.col("lo_i") == F.col("hi_i"), F.col("lo_v")).otherwise(
+        (F.col("hi_i") - F.col("pos")) * F.col("lo_v")
+        + (F.col("pos") - F.col("lo_i")) * F.col("hi_v")
+    )
     one = hits.groupBy().agg(
         *[
             F.max(F.when(F.col("fi") == i + 1, boundary)).alias(f"q{i + 1}")
@@ -535,6 +558,90 @@ def exact_percentile_boundaries(df: DataFrame, col: str, fracs: list[float]) -> 
         ]
     )
     return one
+
+
+def grouped_exact_percentile_boundaries(
+    df: DataFrame, group_cols: list[str], col: str, fracs: list[float]
+) -> DataFrame:
+    """Per-group exact interpolated percentiles (Spark percentile() /
+    ANSI percentile_cont semantics, nulls ignored): one row per group
+    with columns group_cols + q1..qk + n_vals + min_val + max_val.
+
+    The grouped twin of exact_percentile_boundaries. Spark's builtin
+    per-group percentile() accumulates a value→count HASH MAP per group
+    and merges all partial maps in the group's single final reducer —
+    unspillable state proportional to the group's distinct values. This
+    form collapses to a (group, value, count) table first (shuffle
+    carries each distinct value once) and ranks with a KEYED cumulative
+    window — sort-based, spillable, and the per-task input is distinct
+    values, not raw rows. Groups whose values are all NULL disappear
+    from the output (builtin would emit a NULL percentile row) — no
+    caller here aggregates an all-NULL group.
+    """
+    g = list(group_cols)
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*g, F.col(col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = Window.partitionBy(*g).orderBy("_v")
+    wgrp = Window.partitionBy(*g)
+    cum = counts.select(
+        *g,
+        "_v",
+        "_c",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wgrp).alias("_n"),
+    )
+    fr = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(i + 1, float(f)) for i, f in enumerate(fracs)], "fi int, f double"
+        )
+    )
+    # Same bit-exact interpolation as exact_percentile_boundaries (see
+    # the comment there): position = f * (n - 1), two-sided weighted
+    # form, collapse-to-lowerVal when the position is integral.
+    pos = F.col("f") * (F.col("_n") - 1).cast("double")
+    lo_i = F.floor(pos)
+    hi_i = F.ceil(pos)
+    lo_start = F.col("_cum") - F.col("_c")
+    boundary = F.when(F.col("lo_i") == F.col("hi_i"), F.col("lo_v")).otherwise(
+        (F.col("hi_i") - F.col("pos")) * F.col("lo_v")
+        + (F.col("pos") - F.col("lo_i")) * F.col("hi_v")
+    )
+    pcts = (
+        cum.join(fr, (lo_i < F.col("_cum")) & (hi_i >= lo_start))
+        .select(
+            *g,
+            "fi",
+            pos.alias("pos"),
+            lo_i.alias("lo_i"),
+            hi_i.alias("hi_i"),
+            F.when((lo_i >= lo_start) & (lo_i < F.col("_cum")), F.col("_v")).alias("lo_v"),
+            F.when((hi_i >= lo_start) & (hi_i < F.col("_cum")), F.col("_v")).alias("hi_v"),
+        )
+        .groupBy(*g, "fi")
+        .agg(
+            F.max("pos").alias("pos"),
+            F.max("lo_i").alias("lo_i"),
+            F.max("hi_i").alias("hi_i"),
+            F.max("lo_v").alias("lo_v"),
+            F.max("hi_v").alias("hi_v"),
+        )
+        .groupBy(*g)
+        .agg(
+            *[
+                F.max(F.when(F.col("fi") == i + 1, boundary)).alias(f"q{i + 1}")
+                for i in range(len(fracs))
+            ]
+        )
+    )
+    stats = counts.groupBy(*g).agg(
+        F.sum("_c").cast("bigint").alias("n_vals"),
+        F.min("_v").alias("min_val"),
+        F.max("_v").alias("max_val"),
+    )
+    return pcts.join(stats, g)
 
 
 @register(

@@ -277,10 +277,16 @@ def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    cuts = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.01)").alias("p01"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
+    # grouped sort-based exact percentiles (see aggregates.
+    # grouped_exact_percentile_boundaries) — not the builtin whose
+    # per-group counts-map merges in one reducer.
+    from nt_etl_order_book_spark.operators.aggregates import (
+        grouped_exact_percentile_boundaries,
     )
+
+    cuts = grouped_exact_percentile_boundaries(
+        ev, ["event_type"], "value", [0.01, 0.99]
+    ).select("event_type", F.col("q1").alias("p01"), F.col("q2").alias("p99"))
     return _winsorized_moments(ev, cuts)
 
 

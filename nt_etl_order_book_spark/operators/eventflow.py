@@ -159,12 +159,23 @@ MAD_SIGMA = 1.4826
     ),
 )
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_etl_order_book_spark.operators.aggregates import (
+        grouped_exact_percentile_boundaries,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    # both medians via the sort-based grouped exact percentile (see
+    # aggregates.grouped_exact_percentile_boundaries), not the builtin
+    # whose per-group counts-map merges in one reducer
+    med = grouped_exact_percentile_boundaries(
+        ev, ["event_type"], "value", [0.5]
+    ).select("event_type", F.col("q1").alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    mad = grouped_exact_percentile_boundaries(
+        dev, ["event_type"], "adev", [0.5]
+    ).select("event_type", F.col("q1").alias("mad"))
     z = (
         ev.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")

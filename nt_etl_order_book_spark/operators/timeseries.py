@@ -151,17 +151,22 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_etl_order_book_spark.operators.aggregates import (
+        grouped_exact_percentile_boundaries,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    return (
-        _interarrival_gaps(ev)
-        .groupBy("event_type")
-        .agg(
-            F.count("gap_us").alias("n_gaps"),
-            F.expr("percentile(gap_us, 0.5)").alias("p50_us"),
-            F.expr("percentile(gap_us, 0.9)").alias("p90_us"),
-            F.expr("percentile(gap_us, 0.99)").alias("p99_us"),
-            F.max("gap_us").alias("max_us"),
-        )
+    # sort-based grouped exact percentiles; n_gaps and max_us come from
+    # the same (type, gap, count) table — one gap pass feeds everything.
+    return grouped_exact_percentile_boundaries(
+        _interarrival_gaps(ev), ["event_type"], "gap_us", [0.5, 0.9, 0.99]
+    ).select(
+        "event_type",
+        F.col("n_vals").alias("n_gaps"),
+        F.col("q1").alias("p50_us"),
+        F.col("q2").alias("p90_us"),
+        F.col("q3").alias("p99_us"),
+        F.col("max_val").alias("max_us"),
     )
 
 

@@ -1175,3 +1175,39 @@ def test_exact_percentile_boundaries_parity_with_builtin(spark):
     ).collect()[0]
     for i in range(len(fracs)):
         assert got[f"q{i + 1}"] == ref[f"q{i + 1}"], (fracs[i], got[f"q{i + 1}"], ref[f"q{i + 1}"])
+
+
+def test_grouped_exact_percentile_boundaries_parity_with_builtin(spark):
+    # Grouped twin of the test above: per-group bit-exact parity with
+    # builtin percentile(), plus the n/min/max ride-along columns.
+    from nt_etl_order_book_spark.operators.aggregates import (
+        grouped_exact_percentile_boundaries,
+    )
+
+    fracs = [0.1, 0.5, 0.9]
+    df = spark.range(0, 9_001).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        F.when(F.col("id") % 4 == 0, F.floor(F.col("id") / 11))
+        .otherwise(F.pmod(F.col("id") * 211, F.lit(787)))
+        .cast("double")
+        .alias("x"),
+    )
+    got = {
+        r["g"]: r
+        for r in grouped_exact_percentile_boundaries(df, ["g"], "x", fracs).collect()
+    }
+    ref = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            *[F.expr(f"percentile(x, {f})").alias(f"q{i + 1}") for i, f in enumerate(fracs)],
+            F.count("x").alias("n_vals"),
+            F.min("x").alias("min_val"),
+            F.max("x").alias("max_val"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for gk in ref:
+        for c in ("q1", "q2", "q3", "n_vals", "min_val", "max_val"):
+            assert got[gk][c] == ref[gk][c], (gk, c, got[gk][c], ref[gk][c])
