@@ -91,28 +91,46 @@ def q_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Maximum drawdown per market: running peak over the (ts, "
         "event_id)-ordered price path, drawdown = (peak - value)/peak, "
-        "report the worst. Inherently a per-key prefix scan — the ONE "
-        "operator in this family whose window must see a key's whole "
-        "history in order, so per-task work is bounded by events per "
-        "market within the table's retention, not shardable further "
-        "without a two-pass carry-in scheme; deployments bound it by "
-        "scoping the scan to the retention window they care about. "
-        "Peak is a running MAX of doubles (exact, order-fixed by the "
-        "unique sort key), so no decimal accumulation is needed until "
-        "the final MAX, which is also exact."
+        "report the worst. The oracle is the single whole-history "
+        "window; the engine runs the two-pass carry-in decomposition "
+        "so no task ever sees a key's full history: (1) local running "
+        "peak within (market, day) shards — the hot market's history "
+        "fans across its days, exactly realized_volatility's sharding; "
+        "(2) per-(market, day) maxima collapse to a day-grain frame "
+        "(|markets|×|days| rows) where a keyed cumulative-max window "
+        "computes each day's carry-in peak from all PRIOR days; "
+        "(3) joined back on (market, day) — co-partitioned with the "
+        "phase-1 exchange — the true prefix peak is "
+        "greatest(carry_in, local_peak). MAX of doubles is exact and "
+        "associative, so the decomposition is bit-identical to the "
+        "single window and the oracle hash is the equivalence proof."
     ),
 )
 def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
-    w = (
-        Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id", "ts", "event_id", "value", F.date_trunc("day", "ts").alias("chunk")
+    )
+    wloc = (
+        Window.partitionBy("user_id", "chunk")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    peak = F.max("value").over(w)
+    local = base.withColumn("local_peak", F.max("value").over(wloc))
+    cmax = base.groupBy("user_id", "chunk").agg(F.max("value").alias("cmax"))
+    wcarry = (
+        Window.partitionBy("user_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = cmax.select("user_id", "chunk", F.max("cmax").over(wcarry).alias("carry_peak"))
+    peak = F.when(
+        F.col("carry_peak").isNull(), F.col("local_peak")
+    ).otherwise(F.greatest(F.col("local_peak"), F.col("carry_peak")))
     dd = (peak - F.col("value")) / peak
     return (
-        ev.select("user_id", dd.alias("dd"))
+        local.join(carry, ["user_id", "chunk"])
+        .select("user_id", dd.alias("dd"))
         .groupBy("user_id")
         .agg(F.round(F.max("dd"), 6).alias("max_drawdown"), F.count(F.lit(1)).alias("n_events"))
     )

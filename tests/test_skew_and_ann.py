@@ -735,11 +735,13 @@ def hot_market_dir(tmp_path_factory):
 
 def test_skew_timeseries_family_bounded_on_hot_market(spark, hot_market_dir):
     # The hot market (190k ticks) must not break the per-key passes:
-    # realized_volatility is day-sharded (hot key splits across 20-day
-    # shards), while drawdown/roll/OFI are documented whole-history
-    # prefix scans — linear per key, one task, still fine at this
-    # volume. Assert results exist for the hot key and the day-shard
-    # claim holds in the plan (window keyed by user AND day).
+    # realized_volatility AND max_drawdown are day-sharded (the hot
+    # key's history fans across its ~18 day shards; drawdown's carry-in
+    # peak propagates via the day-grain cumulative-max frame), while
+    # roll/OFI are documented whole-history prefix scans — linear per
+    # key, one task, still fine at this volume. Assert results exist
+    # for the hot key and the day-shard claim holds in the plan
+    # (window keyed by user AND day).
     import time
 
     from nt_etl_order_book_spark import registry

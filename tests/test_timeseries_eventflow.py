@@ -1078,3 +1078,45 @@ def test_interarrival_stats_approx_rank_error_bound(spark):
     for frac, col in ((0.5, "p50_us"), (0.9, "p90_us"), (0.99, "p99_us")):
         assert abs(r[col] - frac * n_gaps) <= rank_tol, (col, r[col])
     assert r["max_us"] == n_gaps
+
+
+def test_max_drawdown_cross_day_carry_in(spark):
+    # The two-phase decomposition must carry the peak ACROSS day chunks:
+    # peak 100 on day 1, quiet day 2, trough 40 on day 3 → drawdown 0.6
+    # even though day 3's local peak is only 50. Parity vs the
+    # single-window form on the same frame.
+    import datetime as dtm
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i, (day, val) in enumerate(
+        [(1, 80.0), (1, 100.0), (1, 90.0), (2, 85.0), (2, 95.0), (3, 50.0), (3, 40.0), (3, 45.0)]
+    ):
+        rows.append((i, dtm.datetime(2024, 3, day, 12, 0, i), 7, "view", val, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    orig = tsmod.load_table
+    try:
+        tsmod.load_table = lambda _s, _d, name: ev
+        got = registry.all_specs()["max_drawdown"].fn(spark, "_").collect()
+    finally:
+        tsmod.load_table = orig
+    assert len(got) == 1
+    assert got[0]["max_drawdown"] == 0.6 and got[0]["n_events"] == 8
+    # bit-parity with the single whole-history window on the same frame
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    peak = F.max("value").over(w)
+    ref = (
+        ev.select("user_id", ((peak - F.col("value")) / peak).alias("dd"))
+        .groupBy("user_id")
+        .agg(F.round(F.max("dd"), 6).alias("md"))
+        .collect()[0]["md"]
+    )
+    assert got[0]["max_drawdown"] == ref
