@@ -699,23 +699,48 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "association (DuckDB windows aggregate via segment trees, "
         "Spark row-by-row — decimal addition is associative so both "
         "land on the identical value). Window ordered by the unique "
-        "(ts, event_id) key; whole-history per key like max_drawdown, "
-        "documented bound: events per market within retention."
+        "(ts, event_id) key; runs as the day-chunked carry-in "
+        "decomposition (see max_drawdown), so no task sees a market's "
+        "full history — the oracle's whole-history window is the "
+        "equivalence proof."
     ),
 )
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nt_etl_order_book_spark.operators.aggregates import davg
 
+    # Same day-chunked carry-in decomposition as max_drawdown /
+    # dollar_bars — decimal addition is exact and associative, so the
+    # chunked cumulative sum is bit-identical to the whole-history
+    # window the oracle runs, and no task sees a market's full history.
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     m = ev.groupBy("user_id").agg(davg("value").alias("mean_v"))
-    w = (
-        Window.partitionBy("user_id")
+    base = ev.join(F.broadcast(m), "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value") - F.col("mean_v")).cast("decimal(38,18)").alias("dev"),
+        F.date_trunc("day", "ts").alias("chunk"),
+    )
+    wloc = (
+        Window.partitionBy("user_id", "chunk")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    dev = (F.col("value") - F.col("mean_v")).cast("decimal(38,18)")
-    c = ev.join(F.broadcast(m), "user_id").select(
-        "user_id", F.sum(dev).over(w).alias("cusum")
+    local = base.withColumn("local_cum", F.sum("dev").over(wloc))
+    dsum_day = base.groupBy("user_id", "chunk").agg(F.sum("dev").alias("day_dev"))
+    wcarry = (
+        Window.partitionBy("user_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    zero_dec = F.lit(0).cast("decimal(38,18)")
+    carry = dsum_day.select(
+        "user_id",
+        "chunk",
+        F.coalesce(F.sum("day_dev").over(wcarry), zero_dec).alias("carry_dev"),
+    )
+    c = local.join(carry, ["user_id", "chunk"]).select(
+        "user_id", (F.col("carry_dev") + F.col("local_cum")).alias("cusum")
     )
     return c.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -768,22 +793,49 @@ DOLLAR_BAR_CENTS = 100_000
         "differently) — no decimal division, no double accumulation. "
         "One per-market ordered pass for the running notional, then "
         "the OHLC hash aggregate on the unique-key min_by/max_by "
-        "pattern. Whole-history per key like max_drawdown; bar count "
+        "pattern. Day-chunked carry-in decomposition like max_drawdown "
+        "(no whole-history task); bar count "
         "per market = notional / K regardless of tick volume."
     ),
 )
 def q_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Running notional via the max_drawdown day-chunked carry-in
+    # decomposition (BIGINT sum is associative, so bit-identical to the
+    # whole-history window the oracle runs): local cumsum within
+    # (market, day), day-grain totals give each day's carry-in offset,
+    # join back co-partitioned — no task sees a market's full history.
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     k = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000) + F.col("event_id")
-    w = (
-        Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        c.alias("c"),
+        k.alias("k"),
+        F.date_trunc("day", "ts").alias("chunk"),
+    )
+    wloc = (
+        Window.partitionBy("user_id", "chunk")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = ev.select(
-        "user_id", "ts", "event_id", "value", c.alias("c"), k.alias("k")
-    ).withColumn("cum_c", F.sum("c").over(w))
+    local = base.withColumn("local_cum", F.sum("c").over(wloc))
+    dsum_day = base.groupBy("user_id", "chunk").agg(F.sum("c").alias("day_c"))
+    wcarry = (
+        Window.partitionBy("user_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = dsum_day.select(
+        "user_id",
+        "chunk",
+        F.coalesce(F.sum("day_c").over(wcarry), F.lit(0)).cast("bigint").alias("carry_c"),
+    )
+    cum = local.join(carry, ["user_id", "chunk"]).withColumn(
+        "cum_c", F.col("carry_c") + F.col("local_cum")
+    )
     bar = F.expr(f"(cum_c - c) div {DOLLAR_BAR_CENTS}")
     return cum.groupBy("user_id", bar.alias("bar_id")).agg(
         F.min_by("value", "k").alias("open"),
