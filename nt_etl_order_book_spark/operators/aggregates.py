@@ -574,9 +574,12 @@ def grouped_exact_percentile_boundaries(
     form collapses to a (group, value, count) table first (shuffle
     carries each distinct value once) and ranks with a KEYED cumulative
     window — sort-based, spillable, and the per-task input is distinct
-    values, not raw rows. Groups whose values are all NULL disappear
-    from the output (builtin would emit a NULL percentile row) — no
-    caller here aggregates an all-NULL group.
+    values, not raw rows. Groups whose values are all NULL keep their
+    row (NULL percentiles, n_vals = 0), exactly like the builtin: the
+    stats frame aggregates the UNFILTERED input and left-joins the
+    percentile frame. The percentile side broadcasts — group keys here
+    are low-cardinality profile dimensions; for a high-cardinality key
+    drop the hint and let AQE pick the join.
     """
     g = list(group_cols)
     counts = (
@@ -636,12 +639,12 @@ def grouped_exact_percentile_boundaries(
             ]
         )
     )
-    stats = counts.groupBy(*g).agg(
-        F.sum("_c").cast("bigint").alias("n_vals"),
-        F.min("_v").alias("min_val"),
-        F.max("_v").alias("max_val"),
+    stats = df.groupBy(*g).agg(
+        F.count(F.col(col)).alias("n_vals"),  # non-null count; keeps all-NULL groups
+        F.min(col).alias("min_val"),
+        F.max(col).alias("max_val"),
     )
-    return pcts.join(stats, g)
+    return stats.join(F.broadcast(pcts), g, "left")
 
 
 @register(

@@ -31,6 +31,43 @@ from nt_etl_order_book_spark.registry import register
 from nt_etl_order_book_spark.tables import load_table
 
 
+def chunked_lag(
+    df: DataFrame, key: str, order_cols: list[str], col: str, out: str, chunk: str = "chunk"
+) -> DataFrame:
+    """``lag(col) over (partitionBy key orderBy order_cols)`` WITHOUT a
+    whole-history window: local lag within (key, chunk) shards plus the
+    chunk-grain boundary carry (each chunk's first row takes the
+    previous chunk's last value; a chunk-keyed lag over the tiny
+    per-chunk frame supplies it). The first row of a key's first chunk
+    gets NULL — exactly the global lag. Result = input columns + `out`.
+
+    This is the lag half of the max_drawdown carry-in family: at scale
+    a hot key's history fans across its chunks instead of sorting in
+    one task, and the only unsharded window runs over |key|×|chunks|
+    rows. The value it returns is the SAME double/decimal the global
+    window would produce (no rearranged arithmetic), so consumers stay
+    bit-identical to their whole-history oracles.
+    """
+    wloc = Window.partitionBy(key, chunk).orderBy(*order_cols)
+    okey = F.struct(*order_cols)
+    last = df.groupBy(key, chunk).agg(F.max_by(col, okey).alias("_chl_last"))
+    wch = Window.partitionBy(key).orderBy(chunk)
+    prev = last.select(
+        key, chunk, F.lag("_chl_last").over(wch).alias("_chl_prev")
+    )
+    return (
+        df.join(prev, [key, chunk])
+        .withColumn("_chl_rn", F.row_number().over(wloc))
+        .withColumn(
+            out,
+            F.when(F.col("_chl_rn") == 1, F.col("_chl_prev")).otherwise(
+                F.lag(col).over(wloc)
+            ),
+        )
+        .drop("_chl_prev", "_chl_rn")
+    )
+
+
 @register(
     "realized_volatility",
     """
@@ -341,13 +378,19 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both ordered passes (price diffs, then lagged diffs) run through
+    # the day-chunked lag carry (chunked_lag) — no whole-history window;
+    # the oracle's global-window SQL is the equivalence proof.
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    d = F.col("value") - F.lag("value").over(w)
-    dp = (
-        ev.select("user_id", "ts", "event_id", d.alias("d"))
-        .withColumn("dprev", F.lag("d").over(w))
-        .drop("ts", "event_id")
+    base = ev.select(
+        "user_id", "ts", "event_id", "value", F.date_trunc("day", "ts").alias("chunk")
+    )
+    s1 = chunked_lag(base, "user_id", ["ts", "event_id"], "value", "prev_v")
+    dd = s1.select(
+        "user_id", "ts", "event_id", "chunk", (F.col("value") - F.col("prev_v")).alias("d")
+    )
+    dp = chunked_lag(dd, "user_id", ["ts", "event_id"], "d", "dprev").select(
+        "user_id", "d", "dprev"
     )
     pairs = dp.filter(F.col("d").isNotNull() & F.col("dprev").isNotNull())
     m = pairs.groupBy("user_id").agg(
@@ -411,15 +454,49 @@ def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_order_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Day-chunked decomposition of both ordered passes: the tick diff
+    # runs through chunked_lag, and the running last-real-sign carry
+    # becomes local last-ignore-nulls within (market, day) + a day-grain
+    # last-ignore-nulls over prior days (the carry crosses midnight, as
+    # the tick-rule convention requires). coalesce(local, carry) is
+    # exactly the global running last: local is NULL iff the day has no
+    # real sign so far. No whole-history window; the oracle's global
+    # form is the equivalence proof.
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d = F.col("value") - F.lag("value").over(w)
-    raw = F.when(d > 0, 1).when(d < 0, -1)
-    s2 = ev.select(
-        "user_id",
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        F.last(raw, ignorenulls=True).over(wrun).alias("s"),
+    base = ev.select(
+        "user_id", "ts", "event_id", "value", F.date_trunc("day", "ts").alias("chunk")
+    )
+    s1 = chunked_lag(base, "user_id", ["ts", "event_id"], "value", "prev_v")
+    raw = F.when(F.col("value") - F.col("prev_v") > 0, 1).when(
+        F.col("value") - F.col("prev_v") < 0, -1
+    )
+    r = s1.withColumn("raw", raw)
+    wrun = (
+        Window.partitionBy("user_id", "chunk")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    okey = F.when(F.col("raw").isNotNull(), F.struct("ts", "event_id"))
+    day_last = r.groupBy("user_id", "chunk").agg(
+        F.max_by("raw", okey).alias("_dl")
+    )
+    wcarry = (
+        Window.partitionBy("user_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day_last.select(
+        "user_id", "chunk", F.last("_dl", ignorenulls=True).over(wcarry).alias("_cs")
+    )
+    s2 = (
+        r.join(carry, ["user_id", "chunk"])
+        .select(
+            "user_id",
+            F.col("chunk").alias("day"),
+            F.coalesce(
+                F.last("raw", ignorenulls=True).over(wrun), F.col("_cs")
+            ).alias("s"),
+        )
     )
     n_up = F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
     n_down = F.sum(F.when(F.col("s") == -1, 1).otherwise(0))

@@ -450,11 +450,26 @@ def test_order_flow_imbalance_tick_rule_carry_forward(spark):
     assert (r.n_up, r.n_down, r.ofi) == (3, 2, 0.2)
 
 
-def test_order_flow_imbalance_single_window_exchange(spark, sf_dir):
-    # lag + running-last share the same (user) partitioning: Spark must
-    # plan ONE exchange for both windows plus the day-grain aggregate.
+def test_order_flow_imbalance_day_sharded_no_whole_history_window(spark, sf_dir):
+    # r7 decomposition contract (replaces the old single-exchange gate,
+    # which asserted exactly the whole-history-window shape we removed):
+    # every FACT-side window is keyed by (user, day-chunk) — the plan
+    # carries date_trunc partition keys and no Window node partitioned
+    # by user_id alone over the fact. The day-grain carry frames add
+    # small exchanges (|markets|×|days| rows); bound the total.
+    import re
+
     df = registry.queries()["order_flow_imbalance"](spark, sf_dir)
-    assert count_shuffles(df) <= 2
+    plan = formatted_plan(df)
+    assert "date_trunc" in plan.lower()
+    assert count_shuffles(df) <= 8
+    # No window runs partitioned by user_id ALONE over the raw events:
+    # every partition spec that mentions user_id also mentions the
+    # chunk column (day). Window specs print as
+    # "windowspecdefinition(user_id#.., chunk#.., ts#.. ASC ...".
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan.lower()):
+        if "user_id" in spec:
+            assert "chunk" in spec or "day" in spec, spec
 
 
 # ------------------------------------------------- materialized rollup MV
@@ -1120,3 +1135,30 @@ def test_max_drawdown_cross_day_carry_in(spark):
         .collect()[0]["md"]
     )
     assert got[0]["max_drawdown"] == ref
+
+
+def test_chunked_lag_matches_global_lag_on_awkward_chunks(spark):
+    # Single-row chunks, multi-row chunks, and a key appearing in only
+    # one chunk — the chunked decomposition must equal the global lag
+    # row-for-row, including the NULL on each key's first row.
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from nt_etl_order_book_spark.operators.timeseries import chunked_lag
+
+    rows = []
+    i = 0
+    for key in (1, 2):
+        for day, n in ((1, 1), (2, 3), (3, 1), (5, 2)):  # gap day 4
+            for j in range(n):
+                rows.append((i, dt.datetime(2024, 4, day, 10, 0, j), key, float(10 * key + i)))
+                i += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    base = ev.withColumn("chunk", F.date_trunc("day", "ts"))
+    got = {
+        r.event_id: r.prev
+        for r in chunked_lag(base, "user_id", ["ts", "event_id"], "value", "prev").collect()
+    }
+    wg = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ref = {r.event_id: r.prev for r in ev.select("event_id", F.lag("value").over(wg).alias("prev")).collect()}
+    assert got == ref
