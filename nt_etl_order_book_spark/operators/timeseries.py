@@ -32,7 +32,12 @@ from nt_etl_order_book_spark.tables import load_table
 
 
 def chunked_lag(
-    df: DataFrame, key: str, order_cols: list[str], col: str, out: str, chunk: str = "chunk"
+    df: DataFrame,
+    key: str | list[str],
+    order_cols: list[str],
+    col: str,
+    out: str,
+    chunk: str = "chunk",
 ) -> DataFrame:
     """``lag(col) over (partitionBy key orderBy order_cols)`` WITHOUT a
     whole-history window: local lag within (key, chunk) shards plus the
@@ -48,15 +53,16 @@ def chunked_lag(
     window would produce (no rearranged arithmetic), so consumers stay
     bit-identical to their whole-history oracles.
     """
-    wloc = Window.partitionBy(key, chunk).orderBy(*order_cols)
+    keys = [key] if isinstance(key, str) else list(key)
+    wloc = Window.partitionBy(*keys, chunk).orderBy(*order_cols)
     okey = F.struct(*order_cols)
-    last = df.groupBy(key, chunk).agg(F.max_by(col, okey).alias("_chl_last"))
-    wch = Window.partitionBy(key).orderBy(chunk)
+    last = df.groupBy(*keys, chunk).agg(F.max_by(col, okey).alias("_chl_last"))
+    wch = Window.partitionBy(*keys).orderBy(chunk)
     prev = last.select(
-        key, chunk, F.lag("_chl_last").over(wch).alias("_chl_prev")
+        *keys, chunk, F.lag("_chl_last").over(wch).alias("_chl_prev")
     )
     return (
-        df.join(prev, [key, chunk])
+        df.join(prev, [*keys, chunk])
         .withColumn("_chl_rn", F.row_number().over(wloc))
         .withColumn(
             out,
@@ -229,10 +235,25 @@ def _interarrival_gaps(ev: DataFrame) -> DataFrame:
     """(event_type, gap_us) pairs: microsecond gaps between consecutive
     events of the same type within a user's stream — shared by the exact
     and approx percentile variants."""
-    tus = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    gap = tus - F.lag(tus).over(w)
-    return ev.select("event_type", gap.alias("gap_us"))
+    # day-chunked lag on the (market, type) composite key: a hot
+    # market-type stream fans across its days; integer-microsecond
+    # subtraction is exact, so gaps equal the whole-history form
+    # bit-for-bit (gaps legitimately span midnight — the carry
+    # supplies the previous day's last timestamp).
+    base = ev.select(
+        "event_type",
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.date_trunc("day", "ts").alias("chunk"),
+    )
+    lagged = chunked_lag(
+        base, ["user_id", "event_type"], ["ts", "event_id"], "tus", "prev_tus"
+    )
+    return lagged.select(
+        "event_type", (F.col("tus") - F.col("prev_tus")).alias("gap_us")
+    )
 
 
 # GK sketch accuracy for interarrival_stats_approx (rank error ≤ n/acc).

@@ -1162,3 +1162,19 @@ def test_chunked_lag_matches_global_lag_on_awkward_chunks(spark):
     wg = W.partitionBy("user_id").orderBy("ts", "event_id")
     ref = {r.event_id: r.prev for r in ev.select("event_id", F.lag("value").over(wg).alias("prev")).collect()}
     assert got == ref
+
+
+def test_attribution_carry_crosses_midnight(spark):
+    # A purchase first thing on day 2 must credit the LAST touch of day
+    # 1 (the day-grain carry), and a same-day later purchase must credit
+    # the day-2 touch instead (local beats carry once present).
+    rows = [
+        (1, T(2024, 6, 1, 9), 7, "click", 1.0),
+        (2, T(2024, 6, 1, 23), 7, "view", 1.0),     # last touch of day 1
+        (3, T(2024, 6, 2, 0, 0, 1), 7, "purchase", 10.0),  # -> view (carried)
+        (4, T(2024, 6, 2, 8), 7, "click", 1.0),
+        (5, T(2024, 6, 2, 9), 7, "purchase", 5.0),  # -> click (local)
+    ]
+    out = {r.channel: (r.n_conversions, r.attributed_value)
+           for r in _run(flowmod, "attribution_last_touch", spark, _events(spark, rows))}
+    assert out == {"view": (1, 10.0), "click": (1, 5.0)}
