@@ -487,16 +487,20 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from nt_etl_order_book_spark.operators.timeseries import chunked_lag, chunked_lead
 
+    # Both ordered passes day-chunked (lag over the signup stream, lead
+    # over the change points) — a hot entity's change history never
+    # sorts in one task; the whole-history oracle proves equivalence.
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = ev.select(
-        "user_id", "ts", "event_id", "value", F.lag("value").over(w).alias("prev")
+    base = ev.select(
+        "user_id", "ts", "event_id", "value", F.date_trunc("day", "ts").alias("chunk")
     )
+    marked = chunked_lag(base, "user_id", ["ts", "event_id"], "value", "prev")
     changes = marked.filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
-    nxt = F.lead("ts").over(w)
-    return changes.select(
+    withnext = chunked_lead(changes, "user_id", ["ts", "event_id"], "ts", "_next_ts")
+    nxt = F.col("_next_ts")
+    return withnext.select(
         "user_id",
         "value",
         F.col("ts").alias("valid_from"),

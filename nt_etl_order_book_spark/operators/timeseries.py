@@ -74,6 +74,40 @@ def chunked_lag(
     )
 
 
+def chunked_lead(
+    df: DataFrame,
+    key: str | list[str],
+    order_cols: list[str],
+    col: str,
+    out: str,
+    chunk: str = "chunk",
+) -> DataFrame:
+    """Mirror of chunked_lag for ``lead()``: local lead within
+    (key, chunk), each chunk's LAST row takes the NEXT chunk's first
+    value (chunk-grain lag over descending chunk order). The last row
+    of a key's last chunk gets NULL — exactly the global lead."""
+    keys = [key] if isinstance(key, str) else list(key)
+    wloc = Window.partitionBy(*keys, chunk).orderBy(*order_cols)
+    wrev = Window.partitionBy(*keys, chunk).orderBy(*[F.desc(c) for c in order_cols])
+    okey = F.struct(*order_cols)
+    first = df.groupBy(*keys, chunk).agg(F.min_by(col, okey).alias("_chd_first"))
+    wch = Window.partitionBy(*keys).orderBy(F.desc(chunk))
+    nxt = first.select(
+        *keys, chunk, F.lag("_chd_first").over(wch).alias("_chd_next")
+    )
+    return (
+        df.join(nxt, [*keys, chunk])
+        .withColumn("_chd_rn", F.row_number().over(wrev))
+        .withColumn(
+            out,
+            F.when(F.col("_chd_rn") == 1, F.col("_chd_next")).otherwise(
+                F.lead(col).over(wloc)
+            ),
+        )
+        .drop("_chd_next", "_chd_rn")
+    )
+
+
 @register(
     "realized_volatility",
     """

@@ -211,19 +211,56 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Day-chunked decomposition of both ordered passes (see
+    # timeseries.chunked_lag): the gap flag takes the previous
+    # timestamp via the chunk-boundary carry (a session spanning
+    # midnight stays one session), and the running session counter is
+    # the dollar_bars prefix-sum carry — local cumsum within
+    # (user, day) + day-grain totals as offsets. Integer arithmetic,
+    # bit-identical to the whole-history windows the oracle runs.
+    from nt_etl_order_book_spark.operators.timeseries import chunked_lag
+
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))
-    prev_ms = F.unix_millis(F.lag(F.col("ts")).over(w).cast("timestamp"))
-    marked = events.select(
+    base = events.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(prev_ms.isNull() | ((ms - prev_ms) > 3_600_000), 1).otherwise(0).alias("new_session"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        F.date_trunc("day", "ts").alias("chunk"),
     )
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sessions = marked.select(
-        "user_id", "ts", "event_id", F.sum("new_session").over(wrun).alias("session_id")
+    lagged = chunked_lag(base, "user_id", ["ts", "event_id"], "ms", "prev_ms")
+    marked = lagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "chunk",
+        F.when(
+            F.col("prev_ms").isNull() | ((F.col("ms") - F.col("prev_ms")) > 3_600_000), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wloc = (
+        Window.partitionBy("user_id", "chunk")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = marked.withColumn("local_cum", F.sum("new_session").over(wloc))
+    day_tot = marked.groupBy("user_id", "chunk").agg(
+        F.sum("new_session").alias("day_ns")
+    )
+    wcarry = (
+        Window.partitionBy("user_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day_tot.select(
+        "user_id",
+        "chunk",
+        F.coalesce(F.sum("day_ns").over(wcarry), F.lit(0)).alias("carry_ns"),
+    )
+    sessions = local.join(carry, ["user_id", "chunk"]).select(
+        "user_id", "ts", (F.col("carry_ns") + F.col("local_cum")).alias("session_id")
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),

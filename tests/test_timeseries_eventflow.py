@@ -1178,3 +1178,29 @@ def test_attribution_carry_crosses_midnight(spark):
     out = {r.channel: (r.n_conversions, r.attributed_value)
            for r in _run(flowmod, "attribution_last_touch", spark, _events(spark, rows))}
     assert out == {"view": (1, 10.0), "click": (1, 5.0)}
+
+
+def test_chunked_lead_matches_global_lead_on_awkward_chunks(spark):
+    # Mirror of the chunked_lag test: single-row chunks, a chunk gap,
+    # and the NULL on each key's final row.
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from nt_etl_order_book_spark.operators.timeseries import chunked_lead
+
+    rows = []
+    i = 0
+    for key in (1, 2):
+        for day, n in ((1, 2), (3, 1), (4, 3)):
+            for j in range(n):
+                rows.append((i, dt.datetime(2024, 5, day, 10, 0, j), key, float(100 * key + i)))
+                i += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    base = ev.withColumn("chunk", F.date_trunc("day", "ts"))
+    got = {
+        r.event_id: r.nxt
+        for r in chunked_lead(base, "user_id", ["ts", "event_id"], "value", "nxt").collect()
+    }
+    wg = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ref = {r.event_id: r.nxt for r in ev.select("event_id", F.lead("value").over(wg).alias("nxt")).collect()}
+    assert got == ref
