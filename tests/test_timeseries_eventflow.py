@@ -1204,3 +1204,44 @@ def test_chunked_lead_matches_global_lead_on_awkward_chunks(spark):
     wg = W.partitionBy("user_id").orderBy("ts", "event_id")
     ref = {r.event_id: r.nxt for r in ev.select("event_id", F.lead("value").over(wg).alias("nxt")).collect()}
     assert got == ref
+
+
+def test_session_islands_chunk_carries_cross_midnight(spark):
+    # Pins the single-fork day-chunked decomposition (operators/
+    # windows.py q_session_islands): a <1h silence across midnight must
+    # NOT split the session (lag carry), a >1h gap across midnight MUST
+    # start a new one, in-day gaps still split, and session ids stay
+    # globally consecutive per key (prefix-sum carry over day totals —
+    # in_gaps + the chunk-grain first-row flag).
+    from nt_etl_order_book_spark.operators import windows as winmod
+
+    rows = [
+        # key 7: session A spans midnight (23:00 -> 23:50 -> 00:20, all
+        # gaps < 1h); a 9h40m silence starts session B; an in-day >1h
+        # gap starts session C the same day.
+        (1, T(2024, 7, 1, 23, 0), 7, "view", 1.0),
+        (2, T(2024, 7, 1, 23, 50), 7, "view", 1.0),
+        (3, T(2024, 7, 2, 0, 20), 7, "view", 1.0),   # same session: 30m
+        (4, T(2024, 7, 2, 10, 0), 7, "view", 1.0),   # new session: 9h40m
+        (5, T(2024, 7, 2, 12, 0), 7, "view", 1.0),   # new session: 2h gap
+        # key 8: single event per day, days 1 and 3 — >1h apart, two
+        # sessions; exercises single-row chunks and a missing day.
+        (6, T(2024, 7, 1, 9, 0), 8, "view", 1.0),
+        (7, T(2024, 7, 3, 9, 0), 8, "view", 1.0),
+    ]
+    out = _run(winmod, "session_islands", spark, _events(spark, rows))
+    by_key = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.session_id)):
+        by_key.setdefault(r.user_id, []).append(
+            (r.session_id, r.n_events, r.session_start_ms, r.session_end_ms)
+        )
+    ms = lambda *a: int(dt.datetime(*a, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert by_key[7] == [
+        (1, 3, ms(2024, 7, 1, 23, 0), ms(2024, 7, 2, 0, 20)),
+        (2, 1, ms(2024, 7, 2, 10, 0), ms(2024, 7, 2, 10, 0)),
+        (3, 1, ms(2024, 7, 2, 12, 0), ms(2024, 7, 2, 12, 0)),
+    ]
+    assert by_key[8] == [
+        (1, 1, ms(2024, 7, 1, 9, 0), ms(2024, 7, 1, 9, 0)),
+        (2, 1, ms(2024, 7, 3, 9, 0), ms(2024, 7, 3, 9, 0)),
+    ]
