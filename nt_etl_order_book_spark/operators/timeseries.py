@@ -433,19 +433,65 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Both ordered passes (price diffs, then lagged diffs) run through
-    # the day-chunked lag carry (chunked_lag) — no whole-history window;
-    # the oracle's global-window SQL is the equivalence proof.
+    # Day-chunked lag-DEPTH-2 carry in a single fork (no whole-history
+    # window; the oracle's global-window SQL is the equivalence proof).
+    # Both lags the estimator needs reduce to lag1/lag2 of the price
+    # (d = v - lag1(v), dprev = lag1(v) - lag2(v)), so instead of two
+    # sequential chunked_lag calls — whose second call re-ran the whole
+    # first pipeline for its chunk frame (measured 1.93 s at sf0.1) —
+    # ONE chunk-grain frame carries each chunk's last TWO prices and
+    # the row pass takes lag1/lag2 locally, patching rows 1-2 of each
+    # chunk from the carry (1.27 s, values bit-identical: same
+    # operands, same subtraction). The prior-history last-two come from
+    # flattening each prior chunk's last-two in chunk order — the
+    # global tail survives because any element dropped by a chunk's
+    # last-2 cap is older than every element kept, including when
+    # single-row chunks make the tail span multiple days.
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     base = ev.select(
         "user_id", "ts", "event_id", "value", F.date_trunc("day", "ts").alias("chunk")
     )
-    s1 = chunked_lag(base, "user_id", ["ts", "event_id"], "value", "prev_v")
-    dd = s1.select(
-        "user_id", "ts", "event_id", "chunk", (F.col("value") - F.col("prev_v")).alias("d")
+    rev = F.reverse(F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))))
+    day = (
+        base.groupBy("user_id", "chunk")
+        .agg(F.reverse(F.slice(rev, 1, 2)).alias("last2s"))
+        .select(
+            "user_id", "chunk", F.transform("last2s", lambda s: s["value"]).alias("last2")
+        )
     )
-    dp = chunked_lag(dd, "user_id", ["ts", "event_id"], "d", "dprev").select(
-        "user_id", "d", "dprev"
+    wch = (
+        Window.partitionBy("user_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunk_frame = day.select(
+        "user_id",
+        "chunk",
+        F.flatten(F.coalesce(F.collect_list("last2").over(wch), F.array())).alias("prior"),
+    ).select(
+        "user_id",
+        "chunk",
+        F.get("prior", F.size("prior") - 1).alias("prior_last"),
+        F.get("prior", F.size("prior") - 2).alias("prior_2nd"),
+    )
+    wloc = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    rows = base.join(chunk_frame, ["user_id", "chunk"]).select(
+        "user_id",
+        "value",
+        F.row_number().over(wloc).alias("rn"),
+        F.lag("value", 1).over(wloc).alias("l1"),
+        F.lag("value", 2).over(wloc).alias("l2"),
+        "prior_last",
+        "prior_2nd",
+    )
+    lag1 = F.when(F.col("rn") == 1, F.col("prior_last")).otherwise(F.col("l1"))
+    lag2 = (
+        F.when(F.col("rn") == 1, F.col("prior_2nd"))
+        .when(F.col("rn") == 2, F.col("prior_last"))
+        .otherwise(F.col("l2"))
+    )
+    dp = rows.select(
+        "user_id", (F.col("value") - lag1).alias("d"), (lag1 - lag2).alias("dprev")
     )
     pairs = dp.filter(F.col("d").isNotNull() & F.col("dprev").isNotNull())
     m = pairs.groupBy("user_id").agg(

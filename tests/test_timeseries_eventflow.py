@@ -1245,3 +1245,46 @@ def test_session_islands_chunk_carries_cross_midnight(spark):
         (1, 1, ms(2024, 7, 1, 9, 0), ms(2024, 7, 1, 9, 0)),
         (2, 1, ms(2024, 7, 3, 9, 0), ms(2024, 7, 3, 9, 0)),
     ]
+
+
+def test_roll_spread_lag2_carry_matches_global_windows(spark):
+    # Pins the single-fork lag-depth-2 decomposition in q_roll_spread:
+    # single-row days force the prior-history last-two to span multiple
+    # chunks (rn==1 takes both carries, rn==2 patches lag2 from the
+    # prior last), and the result must equal a plain whole-history
+    # double-lag reference bit-for-bit. Prices chosen so adjacent
+    # changes alternate sign (negative autocov -> non-NULL spread).
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from nt_etl_order_book_spark.operators import timeseries as tsmod
+
+    prices = [100.0, 99.0, 100.5, 99.2, 100.8, 99.5, 100.2]
+    rows = []
+    # key 7: days sized (1,1,3,2) — two single-row chunks up front mean
+    # the day-3 first row's lag2 reaches back across BOTH of them.
+    sizes = [(1, 1), (2, 1), (3, 3), (4, 2)]
+    i = 0
+    for day, n in sizes:
+        for j in range(n):
+            rows.append((i, T(2024, 8, day, 10, 0, j), 7, "view", prices[i]))
+            i += 1
+    got = _run(tsmod, "roll_spread", spark, _events(spark, rows))
+
+    ev = _events(spark, rows)
+    wg = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (F.col("value") - F.lag("value").over(wg)).alias("d")
+    d1 = ev.filter(F.col("value") > 0).select("user_id", "ts", "event_id", d)
+    dp = d1.select("user_id", "d", F.lag("d").over(wg).alias("dprev"))
+    pairs = dp.filter(F.col("d").isNotNull() & F.col("dprev").isNotNull())
+    ref = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("d") * F.col("dprev")).cast("decimal(38,18)")).cast("double").alias("sxy"),
+        F.sum(F.col("d").cast("decimal(38,18)")).cast("double").alias("sx"),
+        F.sum(F.col("dprev").cast("decimal(38,18)")).cast("double").alias("sy"),
+    ).collect()[0]
+    cov = (ref.sxy - ref.sx * ref.sy / ref.n) / ref.n
+    [g] = got
+    assert g.n_pairs == ref.n == 5
+    assert g.autocov == round(cov, 6)
+    assert cov < 0 and g.roll_spread == round(2.0 * math.sqrt(-cov), 6)
