@@ -17,7 +17,7 @@ narrower than the input rows":
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nt_etl_order_book_spark.operators.aggregates import dsum, sql_dsum
@@ -487,20 +487,82 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nt_etl_order_book_spark.operators.timeseries import chunked_lag, chunked_lead
-
-    # Both ordered passes day-chunked (lag over the signup stream, lead
-    # over the change points) — a hot entity's change history never
-    # sorts in one task; the whole-history oracle proves equivalence.
+    # Both ordered passes day-chunked in a SINGLE fork — a hot entity's
+    # change history never sorts in one task; the whole-history oracle
+    # proves equivalence. One chunk-grain frame (from the sorted per-day
+    # (ts, id, value) array) carries BOTH cross-midnight facts:
+    #   - prior_last_v: previous day's closing value, so each day's
+    #     first row decides change-point status locally, and
+    #   - next_change_ts: the ts of the first change point in any LATER
+    #     day, closing each day's final interval. A day's first-change
+    #     ts is itself chunk-grain arithmetic: row 0 is a change iff its
+    #     value differs from prior_last_v (or nothing precedes it), else
+    #     the first within-day adjacent difference wins.
+    # The row pass then runs lag -> filter changes -> lead over ONE
+    # (entity, day) exchange+sort (the filter preserves ordering, so the
+    # lead window re-sorts nothing).
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
     base = ev.select(
         "user_id", "ts", "event_id", "value", F.date_trunc("day", "ts").alias("chunk")
     )
-    marked = chunked_lag(base, "user_id", ["ts", "event_id"], "value", "prev")
-    changes = marked.filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
-    withnext = chunked_lead(changes, "user_id", ["ts", "event_id"], "ts", "_next_ts")
-    nxt = F.col("_next_ts")
-    return withnext.select(
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    day = base.groupBy("user_id", "chunk").agg(arr.alias("arr"))
+    n1 = F.greatest(F.size("arr") - 1, F.lit(0))
+    in_chg_ts = F.array_compact(
+        F.zip_with(
+            F.slice(F.col("arr"), 2, n1),
+            F.slice(F.col("arr"), 1, n1),
+            lambda a, b: F.when(a["value"] != b["value"], a["ts"]),
+        )
+    )
+    day = day.select(
+        "user_id",
+        "chunk",
+        F.element_at("arr", 1)["ts"].alias("first_ts"),
+        F.element_at("arr", 1)["value"].alias("first_v"),
+        F.element_at("arr", -1)["value"].alias("last_v"),
+        F.get(in_chg_ts, 0).alias("in_first_chg_ts"),
+    )
+    wch = Window.partitionBy("user_id").orderBy("chunk")
+    day2 = day.select(
+        "user_id",
+        "chunk",
+        F.lag("last_v").over(wch).alias("prior_last_v"),
+        "first_ts",
+        "first_v",
+        "in_first_chg_ts",
+    ).withColumn(
+        "first_chg_ts",
+        F.when(
+            F.col("prior_last_v").isNull() | (F.col("first_v") != F.col("prior_last_v")),
+            F.col("first_ts"),
+        ).otherwise(F.col("in_first_chg_ts")),
+    )
+    wnext = wch.rowsBetween(1, Window.unboundedFollowing)
+    chunk_frame = day2.select(
+        "user_id",
+        "chunk",
+        "prior_last_v",
+        F.first("first_chg_ts", ignorenulls=True).over(wnext).alias("next_change_ts"),
+    )
+    wloc = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    rows = base.join(chunk_frame, ["user_id", "chunk"]).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "chunk",
+        "value",
+        "next_change_ts",
+        F.row_number().over(wloc).alias("rn"),
+        F.lag("value").over(wloc).alias("l1"),
+        "prior_last_v",
+    )
+    prev = F.when(F.col("rn") == 1, F.col("prior_last_v")).otherwise(F.col("l1"))
+    changes = rows.withColumn("prev", prev).filter(
+        F.col("prev").isNull() | (F.col("value") != F.col("prev"))
+    )
+    nxt = F.coalesce(F.lead("ts").over(wloc), F.col("next_change_ts"))
+    return changes.select(
         "user_id",
         "value",
         F.col("ts").alias("valid_from"),
