@@ -344,6 +344,17 @@ def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    # Materialize the edge list ONCE before the recursion: each
+    # recursive step joins against the `_reach_edges` view, and without
+    # the lineage cut Spark re-executes the whole edge-construction
+    # subtree (paragraph digest + DF filter + self-join) per hop —
+    # measured 6.1 s -> 1.8 s at sf0.1 with REACH_HOPS=3. Same
+    # checkpoint flavor as the connected-components rounds
+    # (session.checkpoint_frame: reliable when a checkpoint dir is set,
+    # local otherwise).
+    from nt_etl_order_book_spark.session import checkpoint_frame
+
+    edges = checkpoint_frame(edges, eager=False)
     seeds = (
         edges.filter(F.col("src") % REACH_SEED_MOD == 0)
         .select(F.col("src").alias("node"))
