@@ -1169,11 +1169,19 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a", "b")
     )
-    hit = pred.join(truth, ["a", "b"], "left_semi")
-    out = (
-        pred.agg(F.count(F.lit(1)).alias("n_pred"))
-        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
-        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    # One full-outer join + one aggregate yields all three counts with a
+    # SINGLE consumption of each side (the left_semi + three separate
+    # aggregates form re-ran both the LSH pipeline and the exact-truth
+    # self-join once per count; on a cluster neither side is cached).
+    j = pred.withColumn("p", F.lit(1)).join(
+        truth.withColumn("t", F.lit(1)), ["a", "b"], "full_outer"
+    )
+    out = j.agg(
+        F.sum(F.coalesce(F.col("p"), F.lit(0))).alias("n_pred"),
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("n_truth"),
+        F.sum(
+            F.when(F.col("p").isNotNull() & F.col("t").isNotNull(), 1).otherwise(0)
+        ).alias("n_hit"),
     )
     return out.select(
         "n_pred",
