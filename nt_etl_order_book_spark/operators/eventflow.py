@@ -508,11 +508,18 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
     day = base.groupBy("user_id", "chunk").agg(arr.alias("arr"))
     n1 = F.greatest(F.size("arr") - 1, F.lit(0))
+    # A row is a change point iff prev IS NULL OR value <> prev (the
+    # global filter) — the prev-IS-NULL arm matters INSIDE a chunk too:
+    # a row following a NULL-valued row is always a change, even though
+    # NULL != x evaluates to NULL. The fixture has no NULL values, so
+    # only the constructed test (not the oracle hash) can catch this.
     in_chg_ts = F.array_compact(
         F.zip_with(
             F.slice(F.col("arr"), 2, n1),
             F.slice(F.col("arr"), 1, n1),
-            lambda a, b: F.when(a["value"] != b["value"], a["ts"]),
+            lambda a, b: F.when(
+                b["value"].isNull() | (a["value"] != b["value"]), a["ts"]
+            ),
         )
     )
     day = day.select(

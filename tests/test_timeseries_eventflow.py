@@ -1153,6 +1153,14 @@ def test_chunked_lag_matches_global_lag_on_awkward_chunks(spark):
             for j in range(n):
                 rows.append((i, dt.datetime(2024, 4, day, 10, 0, j), key, float(10 * key + i)))
                 i += 1
+    # NULL values at a chunk boundary: day-6 closes on NULL, so day-7's
+    # first row must carry a genuine NULL (max_by keeps the NULL value,
+    # it must not skip back to an earlier non-null).
+    rows += [
+        (i, dt.datetime(2024, 4, 6, 10, 0, 0), 1, 77.0),
+        (i + 1, dt.datetime(2024, 4, 6, 10, 0, 1), 1, None),
+        (i + 2, dt.datetime(2024, 4, 7, 10, 0, 0), 1, 88.0),
+    ]
     ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
     base = ev.withColumn("chunk", F.date_trunc("day", "ts"))
     got = {
@@ -1288,3 +1296,50 @@ def test_roll_spread_lag2_carry_matches_global_windows(spark):
     assert g.n_pairs == ref.n == 5
     assert g.autocov == round(cov, 6)
     assert cov < 0 and g.roll_spread == round(2.0 * math.sqrt(-cov), 6)
+
+
+def test_scd2_intervals_null_values_and_chunk_carries_match_global(spark):
+    # The global change filter is `prev IS NULL OR value <> prev`: a row
+    # AFTER a NULL-valued row is always a change (prev IS NULL), and a
+    # NULL-valued row after a real value is NOT (NULL <> x is NULL).
+    # The fixture has no NULL values, so the oracle hash can't exercise
+    # this arm of the day-chunked decomposition — pin it against a
+    # plain whole-history reference on data that also crosses midnight
+    # and includes single-row days.
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, T(2024, 9, 1, 9), 1, "signup", 10.0),
+        (2, T(2024, 9, 1, 10), 1, "signup", None),    # not a change (NULL<>10 -> NULL)
+        (3, T(2024, 9, 1, 11), 1, "signup", 10.0),    # CHANGE: prev IS NULL
+        (4, T(2024, 9, 2, 9), 1, "signup", 10.0),     # not a change (10 == 10 across midnight)
+        (5, T(2024, 9, 2, 10), 1, "signup", 20.0),    # change
+        (6, T(2024, 9, 4, 9), 1, "signup", None),     # day 4 single NULL row: not a change
+        (7, T(2024, 9, 5, 9), 1, "signup", 20.0),     # CHANGE: prev (day-4 NULL) IS NULL, carried
+        (8, T(2024, 9, 1, 9), 2, "signup", None),     # first row of key: change (prev IS NULL)
+        (9, T(2024, 9, 2, 9), 2, "signup", None),     # after NULL: change
+    ]
+    got = sorted(
+        _run(flowmod, "scd2_intervals", spark, _events(spark, rows)),
+        key=lambda r: (r.user_id, r.valid_from),
+    )
+
+    ev = _events(spark, rows).filter(F.col("event_type") == "signup")
+    wg = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select("user_id", "ts", "event_id", "value", F.lag("value").over(wg).alias("prev"))
+    changes = marked.filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+    nxt = F.lead("ts").over(wg)
+    ref = sorted(
+        changes.select(
+            "user_id", "value", F.col("ts").alias("valid_from"), nxt.alias("valid_to"),
+            F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        ).collect(),
+        key=lambda r: (r.user_id, r.valid_from),
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+    # spot-pin the NULL arms: event 3 opens an interval, event 6 does not
+    k1 = [r for r in got if r.user_id == 1]
+    assert [r.valid_from for r in k1] == [
+        T(2024, 9, 1, 9), T(2024, 9, 1, 11), T(2024, 9, 2, 10), T(2024, 9, 5, 9)
+    ]
