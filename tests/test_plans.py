@@ -384,3 +384,37 @@ def test_distributed_ntile_uneven_buckets_constructed(spark):
         r["n"] for r in got.groupBy("ntile").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert sizes == [250, 251, 251, 251]
+
+
+def test_single_fork_carry_ops_scan_at_most_twice(spark, sf_dir):
+    # The day-chunked carry decompositions are SINGLE-fork by design:
+    # one scan feeds the chunk-grain side frame, one feeds the row
+    # pass. The first drafts forked the pipeline after the lag join and
+    # re-ran the whole chain per branch (session_islands showed FOUR
+    # parquet scans); this pins the fixed shape so a refactor can't
+    # silently reintroduce the double-compute.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    for name in (
+        "session_islands",
+        "roll_spread",
+        "order_flow_imbalance",
+        "scd2_intervals",
+    ):
+        plan = formatted_plan(registry.queries()[name](spark, sf_dir))
+        n_scans = plan.count(") Scan parquet")
+        assert n_scans <= 2, f"{name}: {n_scans} parquet scans (expected <= 2)"
+
+
+def test_graph_reachability_edges_checkpointed_before_recursion(spark, sf_dir):
+    # The recursive CTE re-executes whatever plan the `_reach_edges`
+    # view wraps once per hop — the edge construction (paragraph digest
+    # + DF filter + self-join) must therefore be a materialized
+    # LogicalRDD scan, not a live parquet subtree (measured 6.1 s ->
+    # 1.8 s at sf0.1).
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    df = registry.queries()["graph_reachability"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert ") Scan parquet" not in plan
