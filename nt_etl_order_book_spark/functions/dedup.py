@@ -61,6 +61,57 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     return df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
+def shingle_pair_stats(docs: DataFrame, *, n: int = 3, cap: int = MAX_SHINGLE_DF) -> DataFrame:
+    """(a, b, inter, sz_a, sz_b) for every doc pair sharing a surviving shingle.
+
+    One materialized pass over the inverted index instead of three: the
+    df cap is a streaming window count on the shingle partitioning (no
+    postings array exists yet, so a zipf-head shingle can't blow up a
+    reducer), the capped frame is checkpointed ONCE, and pair candidates
+    are generated IN-ARRAY per shingle (i<j over the sorted postings
+    list, bounded at `cap` entries by construction) instead of a
+    two-sided self-join. The alias-differing s1/s2 self-join branches
+    defeated ReusedExchange, so the tokenize+gram+window pipeline ran
+    ~3x (sizes + both join sides) — the same lesson shared_run_audit's
+    staged index learned (PERF.md round 7). The groupBy(shingle) that
+    builds postings adds no exchange: the window already partitioned by
+    shingle. Sorted postings make i<j equivalent to a<b, matching the
+    oracle's `s1.doc_id < s2.doc_id` under binary string comparison.
+    """
+    from nt_etl_order_book_spark.session import checkpoint_frame
+
+    sh = shingles(docs, "doc_id", "text", n=n)
+    w = Window.partitionBy("shingle")
+    capped = checkpoint_frame(
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= cap)
+        .drop("_df")
+    )
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    grouped = capped.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    inter = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = F.broadcast(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")))
+    zb = F.broadcast(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")))
+    return inter.join(za, "a").join(zb, "b")
+
+
 def minhash_signature_col(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """One row per doc with its 32-long minhash signature.
 
@@ -339,35 +390,13 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", n=3)
-    # Hot-shingle cap: same window-count-filter shape as lsh_candidates'
-    # max_bucket. The window reuses the shingle-hash partitioning the
-    # self-join needs anyway, so it adds no extra exchange on the index.
-    w = Window.partitionBy("shingle")
-    sh = (
-        sh.withColumn("_df", F.count(F.lit(1)).over(w))
-        .filter(F.col("_df") <= MAX_SHINGLE_DF)
-        .drop("_df")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    s1 = sh.select(F.col("doc_id").alias("a"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        s1.join(s2, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    jac = (
-        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), "b")
-        .select(
-            "a",
-            "b",
-            (F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias(
-                "jaccard"
-            ),
-        )
+    st = shingle_pair_stats(docs)
+    jac = st.select(
+        "a",
+        "b",
+        (F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias(
+            "jaccard"
+        ),
     )
     return jac.filter(F.col("jaccard") >= 0.8)
 
@@ -1141,30 +1170,11 @@ def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = q_minhash_dedup(spark, sf_dir).select("a", "b")
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", n=3)
-    w = Window.partitionBy("shingle")
-    sh = (
-        sh.withColumn("_df", F.count(F.lit(1)).over(w))
-        .filter(F.col("_df") <= MAX_SHINGLE_DF)
-        .drop("_df")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    s1 = sh.select(F.col("doc_id").alias("a"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        s1.join(s2, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    za = F.broadcast(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")))
-    zb = F.broadcast(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")))
     truth = (
-        inter.join(za, "a")
-        .join(zb, "b")
+        shingle_pair_stats(docs)
         .filter(
             F.col("inter").cast("double")
-            / (F.col("sza") + F.col("szb") - F.col("inter"))
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
             >= 0.5
         )
         .select("a", "b")
