@@ -1465,10 +1465,26 @@ def q_shared_run_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_df") <= WINNOW_MAX_FP_DF)
         .drop("_df")
     )
+    # Pair candidates in-array per fingerprint (i<j over the sorted
+    # postings, bounded at WINNOW_MAX_FP_DF by the window cap above)
+    # instead of a two-sided self-join — the alias-differing s1/s2
+    # branches defeat ReusedExchange and shuffle the index twice (same
+    # single-pass lesson as dedup.shingle_pair_stats).
+    fp_ids = F.col("ids")
+    fp_pairs = F.flatten(
+        F.transform(
+            fp_ids,
+            lambda x, i: F.transform(
+                F.slice(fp_ids, i + 2, F.greatest(F.size(fp_ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     pairs = (
-        idx.select(F.col("doc_id").alias("a"), "f")
-        .join(idx.select(F.col("doc_id").alias("b"), "f"), "f")
-        .filter(F.col("a") < F.col("b"))
+        idx.groupBy("f")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .select(F.explode(fp_pairs).alias("p"))
+        .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("_nf"))
         .filter(F.col("_nf") >= WINNOW_MIN_SHARED)
