@@ -418,3 +418,25 @@ def test_graph_reachability_edges_checkpointed_before_recursion(spark, sf_dir):
     plan = formatted_plan(df)
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
     assert ") Scan parquet" not in plan
+
+
+def test_pair_stats_ops_are_single_pass(spark, sf_dir):
+    # ngram_jaccard / minhash_eval's truth side / shared_run_audit
+    # generate candidate pairs IN-ARRAY from capped postings lists
+    # instead of a two-sided self-join whose alias-differing branches
+    # defeat ReusedExchange (the tokenize+gram pipeline ran ~3x: sizes
+    # + both join sides). The capped index is checkpointed, so the
+    # downstream plan must read LogicalRDD scans — any live parquet
+    # subtree beyond the single sizes/doc pass means the fork is back.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(registry.queries()["ngram_jaccard"](spark, sf_dir))
+    assert ") Scan parquet" not in plan, "pair pipeline re-reads parquet past the checkpoint"
+    assert "SortMergeJoin" not in plan, "postings self-join reappeared"
+
+    plan = formatted_plan(registry.queries()["shared_run_audit"](spark, sf_dir))
+    n_smj = plan.count("SortMergeJoin")
+    assert ") Scan parquet" not in plan
+    # runs-stage joins (pairs x gpos x gpos) may sort-merge; the pairs
+    # stage itself must not — 2 joins is the runs stage's budget.
+    assert n_smj <= 2, f"shared_run_audit: {n_smj} SortMergeJoins (pairs self-join back?)"
