@@ -1480,7 +1480,7 @@ def q_shared_run_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
+    pairs = checkpoint_frame(
         idx.groupBy("f")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .select(F.explode(fp_pairs).alias("p"))
@@ -1490,9 +1490,19 @@ def q_shared_run_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_nf") >= WINNOW_MIN_SHARED)
         .select("a", "b")
     )
-    gpos = docs.select(
-        "doc_id", F.posexplode("hs").alias("pos0", "h")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    # Position index ONLY for candidate docs (MOSS's staged shape): the
+    # runs stage probes gram positions solely for docs that appear in a
+    # pair, so the posexplode + occurrence window over the other ~90% of
+    # the corpus was dead weight — and at 100 TB the positions artifact
+    # for non-candidates would dwarf the candidate set. The pair-doc
+    # list is pair-bounded and broadcast into a semi-join BEFORE the
+    # explode, so pruning happens at the doc grain, not the gram grain.
+    pair_docs = pairs.select(F.explode(F.array("a", "b")).alias("doc_id")).distinct()
+    gpos = (
+        docs.join(F.broadcast(pair_docs), "doc_id", "left_semi")
+        .select("doc_id", F.posexplode("hs").alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
     wg = Window.partitionBy("doc_id", "h")
     gpos = checkpoint_frame(
         gpos.withColumn("_occ", F.count(F.lit(1)).over(wg))
