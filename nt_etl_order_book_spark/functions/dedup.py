@@ -450,8 +450,9 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the only full-index exchange in the plan. The blocklist aggregate
     # shuffles partial (shingle, count) states and the list itself is
     # tiny (only shingles OVER the cap), so it broadcasts too.
-    # (ngram_jaccard keeps the window form: its self-join shuffles by
-    # shingle anyway and the window reuses that exchange for free.)
+    # (shingle_pair_stats keeps the window form: its postings groupBy
+    # needs the shingle exchange anyway and the window cap streams on
+    # it, bounding the collect_list that follows.)
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
