@@ -24,7 +24,7 @@ Scale shape — the loop body is the textbook distributed PageRank:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nt_etl_order_book_spark.functions.dedup import _sql_paragraphs, paragraphs
@@ -37,6 +37,58 @@ PR_ITERS = 3
 # would contribute O(df^2) edges; cap the digest's doc-frequency the
 # same way the other pair-ops cap hot shingles/fingerprints.
 PR_PARA_CAP = 50
+
+
+def paragraph_edges(docs: DataFrame, *, directed: bool) -> DataFrame:
+    """Distinct doc-pair edges of the shared-paragraph graph.
+
+    `directed=True` → (src, dst) both directions, src != dst (pagerank,
+    reachability); `directed=False` → (src, dst) with src < dst
+    (triangle counting's undirected form). One grouped pass generates
+    pairs IN-ARRAY per paragraph digest (the dedup.shingle_pair_stats
+    shape): the df bounds stay a streaming window count on the digest
+    partitioning, so the postings list that follows is bounded at
+    PR_PARA_CAP before any array materializes; the earlier kept/a/b
+    fork re-ran the paragraph+md5 pipeline once per branch (three
+    scans) and its alias-differing self-join blocked ReusedExchange.
+    """
+    dp = paragraphs(docs).select("doc_id", F.md5(F.col("par")).alias("h")).distinct()
+    w = Window.partitionBy("h")
+    capped = (
+        dp.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= PR_PARA_CAP))
+        .drop("_df")
+    )
+    ids = F.col("ids")
+    if directed:
+        pair_arr = F.flatten(
+            F.transform(
+                ids,
+                lambda x: F.transform(
+                    F.filter(ids, lambda y: y != x),
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            )
+        )
+        agg_ids = F.collect_list("doc_id")
+    else:
+        pair_arr = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            )
+        )
+        agg_ids = F.array_sort(F.collect_list("doc_id"))
+    return (
+        capped.groupBy("h")
+        .agg(agg_ids.alias("ids"))
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.src", "p.dst")
+        .distinct()
+    )
 
 
 def _sql_pagerank_iters(k: int) -> str:
@@ -97,22 +149,7 @@ def _sql_pagerank_iters(k: int) -> str:
 )
 def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    dp = paragraphs(docs).select("doc_id", F.md5(F.col("par")).alias("h")).distinct()
-    kept = (
-        dp.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= PR_PARA_CAP))
-        .select("h")
-    )
-    pe = dp.join(kept, "h", "left_semi")
-    a = pe.select("h", F.col("doc_id").alias("src"))
-    b = pe.select("h", F.col("doc_id").alias("dst"))
-    edges = (
-        a.join(b, "h")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    edges = paragraph_edges(docs, directed=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("src", "node")
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     # edges annotated with source degree once; every iteration reuses it
@@ -212,21 +249,8 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    dp = paragraphs(docs).select("doc_id", F.md5(F.col("par")).alias("h")).distinct()
-    kept = (
-        dp.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= PR_PARA_CAP))
-        .select("h")
-    )
-    pe = dp.join(kept, "h", "left_semi")
-    a = pe.select("h", F.col("doc_id").alias("u"))
-    b = pe.select("h", F.col("doc_id").alias("v"))
-    und = (
-        a.join(b, "h")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
+    und = paragraph_edges(docs, directed=False).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -328,22 +352,7 @@ REACH_SEED_MOD = 50
 )
 def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    dp = paragraphs(docs).select("doc_id", F.md5(F.col("par")).alias("h")).distinct()
-    kept = (
-        dp.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= PR_PARA_CAP))
-        .select("h")
-    )
-    pe = dp.join(kept, "h", "left_semi")
-    a = pe.select("h", F.col("doc_id").alias("src"))
-    b = pe.select("h", F.col("doc_id").alias("dst"))
-    edges = (
-        a.join(b, "h")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    edges = paragraph_edges(docs, directed=True)
     # Materialize the edge list ONCE before the recursion: each
     # recursive step joins against the `_reach_edges` view, and without
     # the lineage cut Spark re-executes the whole edge-construction
