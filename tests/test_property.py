@@ -344,3 +344,58 @@ def test_gini_matches_mean_absolute_difference(spark_prop, vols):
     want = round(mad / (2 * mu), 6)
     assert g.n_markets == n
     assert abs(g.gini - want) <= 1e-6
+
+
+WORDS = ["aa", "bb", "cc", "dd"]
+doc_texts = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=6).map(" ".join),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=doc_texts)
+def test_shingle_pair_stats_matches_bruteforce(spark_prop, texts):
+    # The in-array pair generation (capped postings, i<j over the
+    # sorted list) against a python oracle of the same semantics:
+    # distinct 3-gram shingles per doc (short docs contribute one
+    # partial gram — including the "" shingle of an empty doc), df cap
+    # applied across docs, pair rows for every doc pair sharing >= 1
+    # surviving shingle with exact (inter, sz_a, sz_b).
+    from nt_etl_order_book_spark.functions.dedup import shingle_pair_stats
+
+    spark = spark_prop
+    CAP = 3
+
+    def sh_of(text: str) -> set:
+        toks = [t for t in text.split(" ") if t != ""]
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 3, 0) + 1)}
+
+    shingle_sets = {i: sh_of(t) for i, t in enumerate(texts)}
+    df_count: dict = defaultdict(int)
+    for s in shingle_sets.values():
+        for g in s:
+            df_count[g] += 1
+    surviving = {i: {g for g in s if df_count[g] <= CAP} for i, s in shingle_sets.items()}
+    want = {}
+    ids = sorted(surviving)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                inter = len(surviving[x] & surviving[y])
+                if inter >= 1:
+                    want[(x, y)] = (inter, len(surviving[x]), len(surviving[y]))
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] or [(0, "placeholder never matches")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a, r.b): (r.inter, r.sz_a, r.sz_b)
+        for r in shingle_pair_stats(docs, cap=CAP).collect()
+    }
+    if not texts:
+        assert got == {}
+        return
+    assert got == want
