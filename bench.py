@@ -138,6 +138,8 @@ def main() -> None:
         # root-cause); two executions per query inside one recording
         # absorb the single-run tail at ~1 min total cost and make the
         # per-round series comparable.
+        import gc
+
         out: dict[str, float] = {}
         for name in names:
             fn = qs[name]
@@ -148,6 +150,11 @@ def main() -> None:
                 runs.append(round(time.time() - t0, 3))
             out[name] = min(runs)
             print(f"# {name}: {n} rows in {out[name]}s (runs: {runs})", file=sys.stderr)
+            # Release the dropped frames' localCheckpoint RDD blocks:
+            # they're freed by the ContextCleaner only after the driver
+            # GCs the DataFrames, and letting them accumulate squeezes
+            # executor storage for the later (heavier) entries.
+            gc.collect()
         return out
 
     timings = timed(HEADLINE)
