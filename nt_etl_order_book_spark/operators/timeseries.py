@@ -442,11 +442,15 @@ def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE chunk-grain frame carries each chunk's last TWO prices and
     # the row pass takes lag1/lag2 locally, patching rows 1-2 of each
     # chunk from the carry (1.27 s, values bit-identical: same
-    # operands, same subtraction). The prior-history last-two come from
-    # flattening each prior chunk's last-two in chunk order — the
-    # global tail survives because any element dropped by a chunk's
-    # last-2 cap is older than every element kept, including when
-    # single-row chunks make the tail span multiple days.
+    # operands, same subtraction). The prior-history last-two are two
+    # LAGS over the chunk frame, not a flatten of every prior chunk's
+    # tail (the first draft's unbounded collect_list window was
+    # O(chunks²) per key — harmless at 18 fixture days, hostile at
+    # years of history): prior_last = previous chunk's last price;
+    # prior_2nd = previous chunk's 2nd-to-last when that chunk had ≥2
+    # rows, else the chunk-before-that's last — single-row days chain
+    # through the coalesce exactly like the flattened-tail form, since
+    # a NULL 2nd-to-last means "this chunk contributed only one price".
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     base = ev.select(
         "user_id", "ts", "event_id", "value", F.date_trunc("day", "ts").alias("chunk")
@@ -454,25 +458,22 @@ def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.reverse(F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))))
     day = (
         base.groupBy("user_id", "chunk")
-        .agg(F.reverse(F.slice(rev, 1, 2)).alias("last2s"))
+        .agg(F.slice(rev, 1, 2).alias("tail2"))
         .select(
-            "user_id", "chunk", F.transform("last2s", lambda s: s["value"]).alias("last2")
+            "user_id",
+            "chunk",
+            F.col("tail2")[0]["value"].alias("_c_last"),
+            F.when(F.size("tail2") == 2, F.col("tail2")[1]["value"]).alias("_c_2nd"),
         )
     )
-    wch = (
-        Window.partitionBy("user_id")
-        .orderBy("chunk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    wch = Window.partitionBy("user_id").orderBy("chunk")
     chunk_frame = day.select(
         "user_id",
         "chunk",
-        F.flatten(F.coalesce(F.collect_list("last2").over(wch), F.array())).alias("prior"),
-    ).select(
-        "user_id",
-        "chunk",
-        F.get("prior", F.size("prior") - 1).alias("prior_last"),
-        F.get("prior", F.size("prior") - 2).alias("prior_2nd"),
+        F.lag("_c_last").over(wch).alias("prior_last"),
+        F.coalesce(
+            F.lag("_c_2nd").over(wch), F.lag("_c_last", 2).over(wch)
+        ).alias("prior_2nd"),
     )
     wloc = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
     rows = base.join(chunk_frame, ["user_id", "chunk"]).select(

@@ -1,7 +1,8 @@
-"""Generate the 10× documents corpora PERF.md's scaling tables use.
+"""Generate the 10× corpora PERF.md's scaling tables use.
 
-Two regimes, both schema-faithful (BIGINT doc_id = id*10+copy — the
-graph ops' `% seed_mod` filters and every oracle assume numeric ids):
+Documents (default) — two regimes, both schema-faithful (BIGINT
+doc_id = id*10+copy — the graph ops' `% seed_mod` filters and every
+oracle assume numeric ids):
 
 - saturated (default): every doc becomes a 10-way near-dup group
   (per-copy filler token). Worst case for pair ops — found-duplication
@@ -11,8 +12,17 @@ graph ops' `% seed_mod` filters and every oracle assume numeric ids):
   every token, so they share NO 3-gram shingle or winnow fingerprint
   with anything. ~10% duplication — the realistic web-dedup regime.
 
-Usage: python tools/gen_scale_corpus.py [--sparse] [out_dir]
-  (default out_dir: /tmp/docs10x or /tmp/docs10xsparse)
+Events (--events): 10× the events tape by DAY-SHIFTED copies —
+event_id = id*10+copy, ts shifted by copy × (span+1 day). Every
+market's (user_id's) history grows 10× in DEPTH (10× the days, same
+per-day density): the adversarial regime for the day-chunked carry-in
+decompositions, whose whole point is that a key's history must never
+sort in one task. event_type/value/props ride through unchanged so
+the tick-rule signs, notional sums, and lifecycle change-points all
+still exercise.
+
+Usage: python tools/gen_scale_corpus.py [--sparse|--events] [out_dir]
+  (default out_dir: /tmp/docs10x, /tmp/docs10xsparse, or /tmp/events10x)
 """
 
 from __future__ import annotations
@@ -28,13 +38,41 @@ from nt_etl_order_book_spark.session import get_spark, tune_session
 from nt_etl_order_book_spark.tables import load_table
 
 
+def gen_events(spark, src: str, out: str) -> None:
+    ev = load_table(spark, src, "events")
+    span = ev.agg(
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date")).alias("span_d")
+    )
+    copies = spark.range(10).select(F.col("id").alias("copy_id"))
+    big = (
+        ev.crossJoin(F.broadcast(span))
+        .crossJoin(copies)
+        .withColumn(
+            "ts",
+            F.col("ts") + F.make_dt_interval(F.col("copy_id") * (F.col("span_d") + 1)),
+        )
+        .withColumn("event_id", (F.col("event_id") * 10 + F.col("copy_id")).cast("long"))
+        .drop("copy_id", "span_d")
+    )
+    big.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    n = spark.read.parquet(f"{out}/events.parquet").count()
+    print(f"wrote {n} events to {out}/events.parquet (day-shifted 10x)")
+
+
 def main() -> int:
     sparse = "--sparse" in sys.argv
+    events = "--events" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    out = args[0] if args else ("/tmp/docs10xsparse" if sparse else "/tmp/docs10x")
+    out = args[0] if args else (
+        "/tmp/events10x" if events else ("/tmp/docs10xsparse" if sparse else "/tmp/docs10x")
+    )
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     spark = tune_session(get_spark("gen-scale-corpus", shuffle_partitions=32))
+    if events:
+        gen_events(spark, src, out)
+        spark.stop()
+        return 0
     docs = load_table(spark, src, "documents")
     copies = spark.range(10).select(F.col("id").alias("copy_id"))
     near_dup = F.concat(F.col("text"), F.lit(" filler"), F.col("copy_id"))
