@@ -108,6 +108,111 @@ def chunked_lead(
     )
 
 
+def chunked_tick_rule(base: DataFrame, price, *, vol_offsets: bool = False) -> DataFrame:
+    """Row-grain tick-rule columns WITHOUT a whole-history window.
+
+    Input `base` must carry user_id, ts, event_id, value, chunk
+    (+ vol when vol_offsets). `price` maps a raw print value Column to
+    the price the rule classifies on (identity for order-flow /
+    volume-clock ops, integer cents for kyle_lambda — the sign of a
+    sub-cent move differs between the two, so the mapping must be the
+    op's own). Returns base's columns plus:
+
+    - ``d``   — price(value) − price(previous print), crossing
+      midnight via the chunk-grain prior-close carry (NULL on a key's
+      first print, exactly the global lag);
+    - ``sgn`` — running last REAL sign: coalesce(local last-ignore-
+      nulls within (key, day), carry over prior days) where the
+      day-grain carry uses the per-day recurrence eff = (last nonzero
+      within-day diff) else (boundary-diff sign vs the prior close) —
+      a day with neither stays NULL and last-ignore-nulls skips it;
+    - ``carry_vol`` (vol_offsets only) — sum of vol over PRIOR days'
+      vol>0 prints: the day-grain offset of the dollar_bars prefix-sum
+      pattern, so a volume clock adds only a LOCAL cumsum.
+
+    This is order_flow_imbalance's measured single-fork decomposition
+    (PERF.md round 7) extracted so kyle_lambda and vpin stop sorting a
+    market's whole history in one task: the day pass groups one sorted
+    array per (key, day) — bounded by a market-day, the bound the
+    (key, day) window task already assumes — and the row pass patches
+    rows from the chunk-grain frame. Values are the SAME comparisons
+    and subtractions the global window performs, so consumers stay
+    bit-identical to their whole-history oracles.
+    """
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    aggs = [arr.alias("arr")]
+    if vol_offsets:
+        aggs.append(
+            F.sum(F.when(F.col("vol") > 0, F.col("vol")).otherwise(F.lit(0))).alias("_ctr_dayvol")
+        )
+    day = base.groupBy("user_id", "chunk").agg(*aggs)
+    n1 = F.greatest(F.size("arr") - 1, F.lit(0))
+    diffs = F.zip_with(
+        F.slice(F.col("arr"), 2, n1),
+        F.slice(F.col("arr"), 1, n1),
+        lambda a, b: price(a["value"]) - price(b["value"]),
+    )
+    nz = F.filter(diffs, lambda d: d != 0)
+    day = day.select(
+        "user_id",
+        "chunk",
+        *(["_ctr_dayvol"] if vol_offsets else []),
+        price(F.element_at("arr", 1)["value"]).alias("_ctr_first_p"),
+        price(F.element_at("arr", -1)["value"]).alias("_ctr_last_p"),
+        F.when(F.get(nz, F.size(nz) - 1) > 0, 1)
+        .when(F.get(nz, F.size(nz) - 1) < 0, -1)
+        .alias("_ctr_in_sign"),
+    )
+    wch = Window.partitionBy("user_id").orderBy("chunk")
+    day2 = day.select(
+        "user_id",
+        "chunk",
+        "_ctr_first_p",
+        "_ctr_in_sign",
+        *(["_ctr_dayvol"] if vol_offsets else []),
+        F.lag("_ctr_last_p").over(wch).alias("_ctr_prior_p"),
+    )
+    bdiff = F.col("_ctr_first_p") - F.col("_ctr_prior_p")
+    day2 = day2.withColumn(
+        "_ctr_eff",
+        F.coalesce(F.col("_ctr_in_sign"), F.when(bdiff > 0, 1).when(bdiff < 0, -1)),
+    )
+    wcarry = wch.rowsBetween(Window.unboundedPreceding, -1)
+    carry_cols = [
+        F.col("user_id"),
+        F.col("chunk"),
+        F.col("_ctr_prior_p"),
+        F.last("_ctr_eff", ignorenulls=True).over(wcarry).alias("_ctr_carry_sign"),
+    ]
+    if vol_offsets:
+        carry_cols.append(
+            F.coalesce(F.sum("_ctr_dayvol").over(wcarry), F.lit(0)).alias("carry_vol")
+        )
+    chunk_frame = day2.select(*carry_cols)
+    wloc = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    wrun = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = price(F.col("value"))
+    rows = (
+        base.join(chunk_frame, ["user_id", "chunk"])
+        .withColumn("_ctr_rn", F.row_number().over(wloc))
+        .withColumn("_ctr_l1", F.lag(p).over(wloc))
+    )
+    prev_p = F.when(F.col("_ctr_rn") == 1, F.col("_ctr_prior_p")).otherwise(F.col("_ctr_l1"))
+    d = p - prev_p
+    raw = F.when(d > 0, 1).when(d < 0, -1)
+    return (
+        rows.withColumn("_ctr_raw", raw)
+        .withColumn("d", d)
+        .withColumn(
+            "sgn",
+            F.coalesce(
+                F.last("_ctr_raw", ignorenulls=True).over(wrun), F.col("_ctr_carry_sign")
+            ),
+        )
+        .drop("_ctr_rn", "_ctr_l1", "_ctr_raw", "_ctr_prior_p", "_ctr_carry_sign")
+    )
+
+
 @register(
     "realized_volatility",
     """
@@ -567,75 +672,12 @@ def q_order_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "user_id", "ts", "event_id", "value", F.date_trunc("day", "ts").alias("chunk")
     )
-    # Chunk-grain frame in ONE pass over the sorted per-day price array
-    # (the first draft ran chunked_lag and then forked its output into
-    # the day-sign aggregate and the join probe, re-running the whole
-    # lag pipeline per branch — 1.29 s at sf0.1; this form is 0.98 s):
-    #   - prior_last_v: previous day's closing price, patching each
-    #     day's first tick diff (the chunked_lag carry, inlined);
-    #   - carry_sign: last REAL sign over all prior days, from the
-    #     per-day recurrence eff = (last nonzero within-day diff) else
-    #     (boundary-diff sign vs the prior close) — a day with neither
-    #     stays NULL and last-ignore-nulls skips to an earlier day.
-    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
-    day = base.groupBy("user_id", "chunk").agg(arr.alias("arr"))
-    n1 = F.greatest(F.size("arr") - 1, F.lit(0))
-    diffs = F.zip_with(
-        F.slice(F.col("arr"), 2, n1),
-        F.slice(F.col("arr"), 1, n1),
-        lambda a, b: a["value"] - b["value"],
-    )
-    nz = F.filter(diffs, lambda d: d != 0)
-    day = day.select(
-        "user_id",
-        "chunk",
-        F.element_at("arr", 1)["value"].alias("first_v"),
-        F.element_at("arr", -1)["value"].alias("last_v"),
-        F.when(F.get(nz, F.size(nz) - 1) > 0, 1)
-        .when(F.get(nz, F.size(nz) - 1) < 0, -1)
-        .alias("in_sign"),
-    )
-    wch = Window.partitionBy("user_id").orderBy("chunk")
-    day2 = day.select(
-        "user_id",
-        "chunk",
-        "first_v",
-        "in_sign",
-        F.lag("last_v").over(wch).alias("prior_last_v"),
-    )
-    bdiff = F.col("first_v") - F.col("prior_last_v")
-    day2 = day2.withColumn(
-        "eff",
-        F.coalesce(F.col("in_sign"), F.when(bdiff > 0, 1).when(bdiff < 0, -1)),
-    )
-    wcarry = wch.rowsBetween(Window.unboundedPreceding, -1)
-    chunk_frame = day2.select(
-        "user_id",
-        "chunk",
-        "prior_last_v",
-        F.last("eff", ignorenulls=True).over(wcarry).alias("carry_sign"),
-    )
-    wloc = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
-    wrun = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rows = base.join(chunk_frame, ["user_id", "chunk"]).select(
-        "user_id",
-        "ts",
-        "event_id",
-        "chunk",
-        "value",
-        "carry_sign",
-        F.row_number().over(wloc).alias("rn"),
-        F.lag("value").over(wloc).alias("l1"),
-        "prior_last_v",
-    )
-    prev_v = F.when(F.col("rn") == 1, F.col("prior_last_v")).otherwise(F.col("l1"))
-    raw = F.when(F.col("value") - prev_v > 0, 1).when(F.col("value") - prev_v < 0, -1)
-    s2 = rows.withColumn("raw", raw).select(
-        "user_id",
-        F.col("chunk").alias("day"),
-        F.coalesce(F.last("raw", ignorenulls=True).over(wrun), F.col("carry_sign")).alias(
-            "s"
-        ),
+    # The day-array single-fork machinery now lives in chunked_tick_rule
+    # (kyle_lambda and vpin share it); identity price — OFI classifies
+    # on the raw double diff. Measured history: forked chunked_lag
+    # draft 1.29 s at sf0.1, this form 0.98 s.
+    s2 = chunked_tick_rule(base, lambda v: v).select(
+        "user_id", F.col("chunk").alias("day"), F.col("sgn").alias("s")
     )
     n_up = F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
     n_down = F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
@@ -1192,24 +1234,25 @@ def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "classified prints per market at these magnitudes; a larger "
         "retention widens the two products to DECIMAL(38,0) — still "
         "exact integers. Prints before the first classifiable tick "
-        "and first prints are excluded in both engines. One per-market "
-        "ordered pass (cents-lag + running last share a single window "
-        "exchange), then a market-grain hash aggregate."
+        "and first prints are excluded in both engines. Day-chunked "
+        "tick-rule pass (chunked_tick_rule with the CENTS price "
+        "mapping — the sign of a sub-cent move must come from the "
+        "cents diff, not the raw double diff), then a market-grain "
+        "hash aggregate; no task ever sorts a market's full history."
     ),
 )
 def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-    d = c - F.lag(c).over(w)
-    raw = F.when(d > 0, 1).when(d < 0, -1)
-    s = ev.select(
+    base = ev.select(
         "user_id",
+        "ts",
+        "event_id",
+        "value",
         F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
-        d.alias("d"),
-        F.last(raw, ignorenulls=True).over(wrun).alias("sgn"),
+        F.date_trunc("day", "ts").alias("chunk"),
     )
+    cents = lambda v: F.floor(v * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    s = chunked_tick_rule(base, cents)
     xy = s.filter(F.col("sgn").isNotNull() & F.col("d").isNotNull()).select(
         "user_id",
         (F.col("sgn") * F.col("vol")).alias("x"),
@@ -1290,20 +1333,31 @@ VPIN_BUCKET_VOL = 500
     ),
 )
 def q_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Day-chunked tick rule + day-chunked volume clock: the sign carry
+    # comes from chunked_tick_rule (identity price — vpin classifies on
+    # the raw double diff), and the running volume is carry_vol (sum of
+    # prior days' vol>0 prints, a chunk-grain offset) + a LOCAL BIGINT
+    # cumsum within (market, day) — the dollar_bars prefix-sum pattern,
+    # associative so bit-exact vs the oracle's global window. The vol>0
+    # filter happens AFTER the sign pass (zero-size prints classify on
+    # the full tape but drop from the clock, as the oracle's CTE order
+    # requires) and preserves the (market, day) partitioning, so the
+    # local cumsum rides the same exchange.
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d = F.col("value") - F.lag("value").over(w)
-    raw = F.when(d > 0, 1).when(d < 0, -1)
-    vol = F.get_json_object("props", "$.k").cast("bigint")
-    s = ev.select(
+    base = ev.select(
         "user_id",
         "ts",
         "event_id",
-        vol.alias("vol"),
-        F.last(raw, ignorenulls=True).over(wrun).alias("sgn"),
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+        F.date_trunc("day", "ts").alias("chunk"),
     )
-    v = s.filter(F.col("vol") > 0).withColumn("cum_vol", F.sum("vol").over(wrun))
+    s = chunked_tick_rule(base, lambda v: v, vol_offsets=True)
+    wloc = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    wrun = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = s.filter(F.col("vol") > 0).withColumn(
+        "cum_vol", F.col("carry_vol") + F.sum("vol").over(wrun)
+    )
     bucket = F.expr(f"(cum_vol - vol) div {VPIN_BUCKET_VOL}")
     buckets = v.groupBy("user_id", bucket.alias("bucket_id")).agg(
         F.sum(F.when(F.col("sgn") == 1, F.col("vol")).otherwise(0)).alias("buy_vol"),
