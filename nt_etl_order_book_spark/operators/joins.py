@@ -48,7 +48,20 @@ def asof_join(
     calls: per-column ignorenulls would stitch a NULL-bearing right row
     together with older rows' values, emitting a composite right row
     that never existed.
+
+    When the ts columns are timestamps the running last is DAY-CHUNKED
+    (the max_drawdown carry-in family): local last-ignore-nulls within
+    (key, day) + a chunk-grain carry holding each day's last right row
+    (unique by the (key, ts) contract, so the carry is deterministic),
+    last-ignore-nulls'd over PRIOR days — left-only days get their
+    carry through the union's distinct (key, day) frame. No task ever
+    sorts a hot key's whole tape; the picked row is the same row the
+    global window picks, so consumers stay bit-identical to their
+    native-ASOF oracles. Non-timestamp ts falls back to the single
+    keyed window.
     """
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
     lcols = [c for c in left.columns]
     r_struct_type = "struct<" + ",".join(
         f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
@@ -67,14 +80,47 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
         F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunkable = isinstance(
+        left.schema[left_ts].dataType, (TimestampType, TimestampNTZType, DateType)
+    ) and isinstance(
+        right.schema[right_ts].dataType, (TimestampType, TimestampNTZType, DateType)
     )
-    matched = l_tagged.unionByName(r_tagged).select(
-        "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
-    )
+    if not chunkable:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", "_is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = l_tagged.unionByName(r_tagged).select(
+            "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
+        )
+    else:
+        u = l_tagged.unionByName(r_tagged).withColumn(
+            "_ch", F.date_trunc("day", F.col("_ts"))
+        )
+        day_last = r_tagged.groupBy(
+            "_k", F.date_trunc("day", F.col("_ts")).alias("_ch")
+        ).agg(F.max_by("_r", "_ts").alias("_day_r"))
+        chunks = u.select("_k", "_ch").distinct()
+        wch = (
+            Window.partitionBy("_k")
+            .orderBy("_ch")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = chunks.join(day_last, ["_k", "_ch"], "left").select(
+            "_k", "_ch", F.last("_day_r", ignorenulls=True).over(wch).alias("_c_r")
+        )
+        wloc = (
+            Window.partitionBy("_k", "_ch")
+            .orderBy("_ts", "_is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.join(carry, ["_k", "_ch"]).select(
+            "*",
+            F.coalesce(F.last("_r", ignorenulls=True).over(wloc), F.col("_c_r")).alias(
+                "_m"
+            ),
+        )
     return matched.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
         *[F.col("_m")[c].alias(f"asof_{c}") for c in value_cols],

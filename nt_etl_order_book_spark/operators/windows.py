@@ -471,16 +471,20 @@ def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the most recent event value at or before it (NULL before the "
         "first event — the day-boundary grid start precedes it). The "
         "gap-filling half of every OHLC/telemetry downsampler. "
-        "Implementation reuses the join_asof union+window trick: grid "
-        "rows union with (per-(user, ts) deduped, max-event_id) events, "
-        "one keyed window does last(value, ignorenulls) with events "
-        "ordered BEFORE grid points at equal ts — one shuffle, no range "
-        "join, no NestedLoop. Grid size is span/day per key (bounded by "
-        "retention, independent of event volume); the DuckDB oracle is "
-        "a native ASOF LEFT JOIN against the same deduped events."
+        "Implementation IS asof_join(grid, deduped events): grid points "
+        "are the left side, (per-(user, ts) deduped, max-event_id) "
+        "events the right, ≤ semantics from the shared kernel — which "
+        "also brings its day-chunked running last (no whole-key sort; "
+        "the value rides in a struct so a null-valued event is still "
+        "'a row' and never filled past). Grid size is span/day per key "
+        "(bounded by retention, independent of event volume); the "
+        "DuckDB oracle is a native ASOF LEFT JOIN against the same "
+        "deduped events."
     ),
 )
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_etl_order_book_spark.operators.joins import asof_join
+
     ev_raw = load_table(spark, sf_dir, "events")
     # Same-timestamp events collapse to the max-event_id row so the
     # as-of pick is deterministic (mirrors the oracle's ROW_NUMBER).
@@ -499,36 +503,9 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 day"))).alias("gts"),
     )
-    # Event values ride in a STRUCT so a genuinely-NULL value still
-    # counts as "a row": last(ignorenulls) must skip only the grid
-    # placeholders, never fill PAST a null-valued event — the same
-    # composite-row hazard asof_join's docstring documents (the ASOF
-    # oracle returns the last ROW's value, null or not).
-    wrapped = F.struct(F.col("value").alias("value"))
-    unioned = grid.select(
-        "user_id",
-        F.col("gts").alias("ts"),
-        F.lit(None).cast("struct<value:double>").alias("ev_row"),
-        F.lit(1).alias("is_grid"),
-        F.col("gts"),
-    ).unionByName(
-        ev.select(
-            "user_id", "ts", wrapped.alias("ev_row"), F.lit(0).alias("is_grid"),
-            F.lit(None).cast(grid.schema["gts"].dataType).alias("gts"),
-        )
-    )
-    # Events sort before grid points at equal ts (is_grid ascending), so
-    # a grid point on an exact event timestamp picks that event up.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"), F.asc("is_grid"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        unioned.withColumn("ffill_value", F.last("ev_row", ignorenulls=True).over(w)["value"])
-        .filter(F.col("is_grid") == 1)
-        .select("user_id", "gts", "ffill_value")
-    )
+    return asof_join(
+        grid, ev, key="user_id", left_ts="gts", right_ts="ts", value_cols=["value"]
+    ).select("user_id", "gts", F.col("asof_value").alias("ffill_value"))
 
 
 @register(

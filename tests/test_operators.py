@@ -78,6 +78,36 @@ def test_asof_join_tie_and_no_match(spark):
     assert got == {("A", 10, 80.0), ("A", 5, 50.0), ("B", 1, None)}
 
 
+def test_asof_join_day_chunked_carry(spark):
+    # Timestamp ts engages the day-chunked path. Pins the carries the
+    # fixture can't: a left row early on day D matching day D-1's last
+    # right row, a LEFT-ONLY day whose carry must hop the day-distinct
+    # frame, a multi-day gap, and the ≤ tie at a day boundary.
+    left = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 00:00:00", 1),  # before any right → NULL
+            ("A", "2024-01-02 00:00:01", 2),  # day 2 early → day 1's last (20.0)
+            ("A", "2024-01-03 12:00:00", 3),  # left-only day → carry 25.0
+            ("A", "2024-01-05 00:00:00", 4),  # 2-day gap → still 25.0
+            ("A", "2024-01-05 06:00:00", 5),  # tie with right at same ts → 50.0
+            ("B", "2024-01-04 00:00:00", 6),  # other key, no rights → NULL
+        ],
+        "k string, ts string, lid int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 09:00:00", 10.0),
+            ("A", "2024-01-01 23:59:59", 20.0),  # day 1 close
+            ("A", "2024-01-02 08:00:00", 25.0),  # day 2's only right
+            ("A", "2024-01-05 06:00:00", 50.0),  # exact-tie row
+        ],
+        "k string, ts string, snap double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="ts", value_cols=["snap"])
+    got = {r.lid: r.asof_snap for r in out.collect()}
+    assert got == {1: None, 2: 20.0, 3: 25.0, 4: 25.0, 5: 50.0, 6: None}
+
+
 def test_asof_join_null_value_not_stitched(spark):
     # The matched right row must arrive WHOLE: with per-column
     # last(ignorenulls) a NULL in one value column was stitched from an

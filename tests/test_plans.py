@@ -52,14 +52,24 @@ def test_multimodal_meta_never_reads_payload(spark, sf_dir):
 
 
 def test_asof_join_is_single_key_shuffle_per_input(spark, sf_dir):
-    # union + window implementation: one agg shuffle for the snapshot
-    # dedup + one window shuffle — NOT a quadratic range join.
-    df = registry.queries()["join_asof"](spark, sf_dir)
-    plan = count_shuffles(df)
-    assert plan <= 3
+    # Day-chunked union + window implementation — NOT a quadratic range
+    # join, and no whole-key sort: the row-grain union shuffles ONCE for
+    # the (key, day) window; every other exchange carries map-side-
+    # combined chunk-grain frames (day-last rights, the distinct
+    # (key, day) set, the tiny carry window), and the carry attaches to
+    # the row-grain side via BROADCAST, never a row-grain reshuffle.
     from nt_etl_order_book_spark.plans.explain import formatted_plan
 
-    assert "NestedLoop" not in formatted_plan(df)
+    df = registry.queries()["join_asof"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan
+    assert count_shuffles(df) <= 8
+    assert "BroadcastExchange" in plan
+    # the row-grain running-last window is sharded by (key, day), not key
+    import re
+
+    win_specs = re.findall(r"windowspecdefinition\(_k#?\w*, _ch[^)]*", plan)
+    assert win_specs, "expected the row window to partition by (_k, _ch)"
 
 
 def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
@@ -269,14 +279,18 @@ def test_pmi_collocations_distributed_topk(spark, sf_dir):
 
 
 def test_resample_ffill_no_range_join(spark, sf_dir):
-    # The as-of semantics must come from the union+window trick, never a
-    # NestedLoop range join; budget = dedup window + bounds aggregate +
-    # the ffill window.
+    # The as-of semantics must come from the shared asof_join kernel,
+    # never a NestedLoop range join; budget = dedup window + bounds
+    # aggregate + the kernel's day-chunked shape (row window + the
+    # chunk-grain day-last/distinct/carry frames, which attach back via
+    # BROADCAST — see test_asof_join_is_single_key_shuffle_per_input).
     from nt_etl_order_book_spark.plans.explain import formatted_plan
 
     df = registry.queries()["resample_ffill"](spark, sf_dir)
-    assert "NestedLoop" not in formatted_plan(df)
-    assert count_shuffles(df) <= 4
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan
+    assert count_shuffles(df) <= 10
+    assert "BroadcastExchange" in plan
 
 
 def test_ccnet_buckets_has_no_ranking_window(spark, sf_dir):

@@ -57,6 +57,43 @@ def test_asof_join_matches_bruteforce(spark_prop, left, right):
         assert got[i] == expected, f"lid={i} key={k} ts={ts}: {got[i]} != {expected}"
 
 
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=left_rows, right=right_rows)
+def test_asof_join_day_chunked_matches_bruteforce(spark_prop, left, right):
+    # Same brute-force contract as above but with TIMESTAMP ts (int tick
+    # t → day t//5, hour t%5) so the DAY-CHUNKED path runs: carries must
+    # hop left-only days, multi-day gaps, and day boundaries exactly as
+    # the global window would.
+    from datetime import datetime, timedelta
+
+    spark = spark_prop
+    epoch = datetime(2024, 1, 1)
+
+    def to_ts(t: int) -> datetime:
+        return epoch + timedelta(days=t // 5, hours=t % 5)
+
+    rd: dict[tuple, int] = {}
+    for k, ts, v in right:
+        rd[(k, ts)] = max(v, rd.get((k, ts), v))
+    left_ids = [(k, ts, i) for i, (k, ts) in enumerate(left)]
+
+    ldf = spark.createDataFrame(
+        [(k, to_ts(ts), i) for k, ts, i in left_ids] or [("Z", epoch, -1)],
+        "k string, ts timestamp, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [(k, to_ts(ts), v) for (k, ts), v in rd.items()] or [("Z", epoch, 0)],
+        "k string, ts timestamp, snap int",
+    )
+    out = asof_join(ldf, rdf, key="k", left_ts="ts", right_ts="ts", value_cols=["snap"])
+    got = {r.lid: r.asof_snap for r in out.collect()}
+
+    for k, ts, i in left_ids:
+        cands = [(rts, v) for (rk, rts), v in rd.items() if rk == k and rts <= ts]
+        expected = max(cands)[1] if cands else None
+        assert got[i] == expected, f"lid={i} key={k} ts={ts}: {got[i]} != {expected}"
+
+
 maybe_val = st.one_of(st.none(), VAL)
 nullable_right = st.lists(
     st.tuples(st.sampled_from(KEYS), TS, maybe_val, maybe_val), min_size=0, max_size=10
