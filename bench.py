@@ -122,13 +122,32 @@ def main() -> None:
         load_table(spark, SF_DIR, t).count()
 
     qs = registry.queries()
+
+    def consume(df) -> int:
+        # Force FULL evaluation: a bare count() lets ColumnPruning
+        # delete any computed column nothing downstream references —
+        # including whole Window operators (verified: win_running_sum's
+        # optimized count plan contains no windowspecdefinition), so a
+        # pure-projection query would be timed against a gutted plan.
+        # xxhash64 over the full row struct makes every output column
+        # load-bearing at ~one hash per row of overhead, JVM-side.
+        from pyspark.sql import functions as F
+
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("chk"),
+        ).collect()[0]
+        return row["n"]
+
     # Pre-compile each headline query at the smallest sf: Catalyst +
     # whole-stage-codegen compilation is per-plan and charges ~2 s to the
     # first run of the widest expressions; the timed runs below then
-    # measure execution, not compilation.
+    # measure execution, not compilation. Warm-up consumes the FULL
+    # plan too, so the window/projection codegen it compiles is the
+    # codegen the timed run executes.
     for name in HEADLINE + TIER2:
         try:
-            qs[name](spark, "/root/testdata/sf0.001").count()
+            consume(qs[name](spark, "/root/testdata/sf0.001"))
         except Exception:
             pass
 
@@ -146,7 +165,7 @@ def main() -> None:
             runs = []
             for _ in range(2):
                 t0 = time.time()
-                n = fn(spark, SF_DIR).count()
+                n = consume(fn(spark, SF_DIR))
                 runs.append(round(time.time() - t0, 3))
             out[name] = min(runs)
             print(f"# {name}: {n} rows in {out[name]}s (runs: {runs})", file=sys.stderr)

@@ -65,15 +65,49 @@ def q_win_rank_topk_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Price change vs previous observation (lag/lead over the time-ordered key window).",
 )
 def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Day-chunked lag AND lead from ONE chunk-grain frame (prior day's
+    # last value + next day's first value — the roll_spread single-fork
+    # lesson: two sequential chunked_lag/chunked_lead calls would re-run
+    # the day pass per call): local lag/lead within (user, day), first
+    # row patches from the prior-day carry, last row from the next-day
+    # carry. Same picked rows as the global window — bit-identical
+    # (max_by/min_by keep a NULL value of the picked row, probed).
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
+    base = events.select(
+        "user_id", "event_id", "ts", "value", F.date_trunc("day", "ts").alias("chunk")
+    )
+    okey = F.struct("ts", "event_id")
+    day = base.groupBy("user_id", "chunk").agg(
+        F.min_by("value", okey).alias("_first_v"),
+        F.max_by("value", okey).alias("_last_v"),
+    )
+    wch = Window.partitionBy("user_id").orderBy("chunk")
+    cf = day.select(
+        "user_id",
+        "chunk",
+        F.lag("_last_v").over(wch).alias("_prior_v"),
+        F.lead("_first_v").over(wch).alias("_next_v"),
+    )
+    wloc = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    wrev = Window.partitionBy("user_id", "chunk").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    rows = (
+        base.join(cf, ["user_id", "chunk"])
+        .withColumn("_rn", F.row_number().over(wloc))
+        .withColumn("_rrn", F.row_number().over(wrev))
+    )
+    return rows.select(
         "user_id",
         "event_id",
         "ts",
         "value",
-        F.lag("value").over(w).alias("prev_value"),
-        F.lead("value").over(w).alias("next_value"),
+        F.when(F.col("_rn") == 1, F.col("_prior_v"))
+        .otherwise(F.lag("value").over(wloc))
+        .alias("prev_value"),
+        F.when(F.col("_rrn") == 1, F.col("_next_v"))
+        .otherwise(F.lead("value").over(wloc))
+        .alias("next_value"),
     )
 
 
@@ -90,17 +124,43 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Cumulative depth: running sum over the full history per key.",
 )
 def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Day-chunked prefix sum (the dollar_bars/cusum carry-in pattern):
+    # local running DECIMAL sum within (user, day) + day-grain total
+    # offsets over prior days. Scale-6 decimal addition is exact and
+    # associative, so carry + local is bit-identical to the global
+    # window the oracle runs — and a hot key's tape fans across its day
+    # shards instead of sorting in one task.
     events = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return events.select(
+    base = events.select(
         "user_id",
         "event_id",
         "ts",
-        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+        F.col("value").cast(DEC).alias("_dv"),
+        F.date_trunc("day", "ts").alias("chunk"),
+    )
+    wloc = (
+        Window.partitionBy("user_id", "chunk")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    day = base.groupBy("user_id", "chunk").agg(F.sum("_dv").alias("_day_sum"))
+    wcarry = (
+        Window.partitionBy("user_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day.select(
+        "user_id",
+        "chunk",
+        F.coalesce(
+            F.sum("_day_sum").over(wcarry), F.lit(0).cast("decimal(38,6)")
+        ).alias("_carry"),
+    )
+    return base.join(carry, ["user_id", "chunk"]).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("_carry") + F.sum("_dv").over(wloc)).cast("double").alias("running_value"),
     )
 
 
@@ -145,15 +205,50 @@ def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="RANGE frame on event-time seconds: all observations within the trailing hour per key (time-range window, not row-count).",
 )
 def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Day-chunked via GHOST-ROW overlap: the trailing-hour frame of a
+    # row in the first hour of day D reaches only rows from the LAST
+    # hour of day D-1 (1 h < 1 day, so the reach never spans two
+    # boundaries). Each last-hour row is therefore copied — flagged —
+    # into the next calendar day's chunk (date_trunc(ts + 1 h) differs
+    # from its own day exactly for last-hour rows), the RANGE window
+    # runs within (user, day) over reals + ghosts, and ghosts are
+    # dropped from the output. Every global frame's row set is present
+    # in-chunk exactly once, and COUNT/decimal-SUM are order-free, so
+    # the result is bit-identical to the whole-history window the
+    # oracle runs. Cost: duplicating the last-hour fraction of the
+    # tape (frame/chunk ratio) instead of sorting hot keys whole.
     events = load_table(spark, sf_dir, "events")
-    with_ms = events.withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
-    w = Window.partitionBy("user_id").orderBy("ts_ms").rangeBetween(-3_600_000, 0)
-    return with_ms.select(
+    base = events.select(
         "user_id",
         "event_id",
         "ts",
-        F.count(F.lit(1)).over(w).alias("n_last_hour"),
-        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_last_hour"),
+        "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.date_trunc("day", "ts").alias("chunk"),
+    )
+    spill = F.date_trunc("day", F.col("ts") + F.expr("interval 1 hour"))
+    ghosts = (
+        base.filter(spill != F.col("chunk"))
+        .withColumn("chunk", spill)
+        .withColumn("_g", F.lit(1))
+    )
+    u = base.withColumn("_g", F.lit(0)).unionByName(ghosts)
+    w = (
+        Window.partitionBy("user_id", "chunk")
+        .orderBy("ts_ms")
+        .rangeBetween(-3_600_000, 0)
+    )
+    return (
+        u.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "_g",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_last_hour"),
+        )
+        .filter(F.col("_g") == 0)
+        .drop("_g")
     )
 
 
@@ -171,12 +266,18 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Latest observation per key (latest snapshot per ticker analog).",
 )
 def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_by aggregate, NOT a row_number window: partial (map-side)
+    # max states combine per key, so a hot market's tape never sorts —
+    # the (ts, event_id) struct max picks the same unique row the
+    # ROW_NUMBER-desc oracle keeps.
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        events.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", F.col("ts").alias("last_ts"), F.col("value").alias("last_value"))
+    picked = events.groupBy("user_id").agg(
+        F.max_by(F.struct("ts", "value"), F.struct("ts", "event_id")).alias("_m")
+    )
+    return picked.select(
+        "user_id",
+        F.col("_m")["ts"].alias("last_ts"),
+        F.col("_m")["value"].alias("last_value"),
     )
 
 

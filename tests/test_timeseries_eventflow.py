@@ -1343,3 +1343,98 @@ def test_scd2_intervals_null_values_and_chunk_carries_match_global(spark):
     assert [r.valid_from for r in k1] == [
         T(2024, 9, 1, 9), T(2024, 9, 1, 11), T(2024, 9, 2, 10), T(2024, 9, 5, 9)
     ]
+
+
+# ------------------------------------------------- chunked §2.6 windows
+
+
+def test_win_lag_lead_chunk_carries_cross_midnight(spark):
+    # Pins the single-chunk-frame lag+lead decomposition (operators/
+    # windows.py q_win_lag_lead): prev/next must cross day boundaries,
+    # chain through single-row days, and stay NULL at each key's ends.
+    from nt_etl_order_book_spark.operators import windows as winmod
+
+    rows = [
+        (1, T(2024, 7, 1, 23, 0), 7, "view", 10.0),
+        (2, T(2024, 7, 2, 0, 30), 7, "view", 20.0),   # prev=10 across midnight
+        (3, T(2024, 7, 2, 9, 0), 7, "view", 30.0),
+        # key 8: one row per day (single-row chunks), with a missing day
+        (4, T(2024, 7, 1, 9, 0), 8, "view", 1.0),
+        (5, T(2024, 7, 3, 9, 0), 8, "view", 2.0),
+        (6, T(2024, 7, 4, 9, 0), 8, "view", 3.0),
+    ]
+    out = _run(winmod, "win_lag_lead", spark, _events(spark, rows))
+    got = {r.event_id: (r.prev_value, r.next_value) for r in out}
+    assert got == {
+        1: (None, 20.0),
+        2: (10.0, 30.0),
+        3: (20.0, None),
+        4: (None, 2.0),
+        5: (1.0, 3.0),
+        6: (2.0, None),
+    }
+
+
+def test_win_running_sum_chunk_carry_cross_midnight(spark):
+    # Pins the day-grain prefix-sum offsets: running totals must carry
+    # across midnight and through single-row days exactly.
+    from nt_etl_order_book_spark.operators import windows as winmod
+
+    rows = [
+        (1, T(2024, 7, 1, 9, 0), 7, "view", 1.5),
+        (2, T(2024, 7, 1, 23, 0), 7, "view", 2.25),
+        (3, T(2024, 7, 2, 0, 30), 7, "view", 4.0),
+        (4, T(2024, 7, 4, 9, 0), 7, "view", 8.0),
+    ]
+    out = _run(winmod, "win_running_sum", spark, _events(spark, rows))
+    got = {r.event_id: r.running_value for r in out}
+    assert got == {1: 1.5, 2: 3.75, 3: 7.75, 4: 15.75}
+
+
+def test_win_range_frame_ghost_rows_at_midnight(spark):
+    # Pins the ghost-row overlap: the trailing-hour frame of a row just
+    # after midnight must reach prior-day rows, INCLUSIVE at exactly
+    # t-1h; rows beyond the hour never leak in, and ghosts never emit.
+    from nt_etl_order_book_spark.operators import windows as winmod
+
+    rows = [
+        (1, T(2024, 7, 1, 23, 0), 7, "view", 1.0),
+        (2, T(2024, 7, 1, 23, 30), 7, "view", 2.0),
+        (3, T(2024, 7, 2, 0, 0), 7, "view", 4.0),    # reaches 23:00 (edge) + 23:30
+        (4, T(2024, 7, 2, 0, 15), 7, "view", 8.0),   # reaches 23:30 + 00:00
+        (5, T(2024, 7, 2, 1, 30), 7, "view", 16.0),  # reaches nothing
+        # key 8: prior-day row OUTSIDE the last hour must not be ghosted
+        (6, T(2024, 7, 1, 22, 0), 8, "view", 1.0),
+        (7, T(2024, 7, 2, 0, 30), 8, "view", 2.0),
+    ]
+    out = _run(winmod, "win_range_frame", spark, _events(spark, rows))
+    assert len(out) == len(rows)  # no ghost rows in the output
+    got = {r.event_id: (r.n_last_hour, r.sum_last_hour) for r in out}
+    assert got == {
+        1: (1, 1.0),
+        2: (2, 3.0),
+        3: (3, 7.0),
+        4: (3, 14.0),
+        5: (1, 16.0),
+        6: (1, 1.0),
+        7: (1, 2.0),
+    }
+
+
+def test_win_first_last_null_value_and_tie(spark):
+    # max_by must return the PICKED row's value (even NULL — probed
+    # semantics), and break same-ts ties by max event_id.
+    from nt_etl_order_book_spark.operators import windows as winmod
+
+    rows = [
+        (1, T(2024, 7, 1, 9, 0), 7, "view", 5.0),
+        (2, T(2024, 7, 2, 9, 0), 7, "view", None),   # latest row, NULL value
+        (3, T(2024, 7, 1, 9, 0), 8, "view", 1.0),
+        (4, T(2024, 7, 1, 9, 0), 8, "view", 2.0),    # same ts, higher event_id
+    ]
+    out = _run(winmod, "win_first_last", spark, _events(spark, rows))
+    got = {r.user_id: (r.last_ts, r.last_value) for r in out}
+    assert got == {
+        7: (T(2024, 7, 2, 9, 0), None),
+        8: (T(2024, 7, 1, 9, 0), 2.0),
+    }
