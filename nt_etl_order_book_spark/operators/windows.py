@@ -484,6 +484,42 @@ def distributed_ntile(df: DataFrame, n_buckets: int, order_cols: list) -> DataFr
     )
 
 
+def distributed_rank(df: DataFrame, keys: list[str], order_cols: list) -> DataFrame:
+    """Keyed global ROW_NUMBER + per-key count WITHOUT sorting a key's
+    partition in one task — distributed_ntile's decomposition
+    generalized to PARTITION BY keys: range-partition on (keys +
+    order_cols) so each key's rows stay order-contiguous across
+    partitions, rank locally per (partition, key), lift with per-
+    (key, partition) count offsets (the only cross-partition window
+    runs over |partitions|×|keys| rows, broadcast back). The caller
+    must make order_cols a TOTAL order (unique tiebreak) — then the
+    lifted rank equals RANK()/ROW_NUMBER() and per-key ``n`` feeds the
+    PERCENT_RANK/CUME_DIST closed forms exactly. Output: input columns
+    + ``_rnk`` + ``_n``.
+    """
+    kcols = [F.col(k) for k in keys]
+    parts = df.repartitionByRange(32, *kcols, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("_pid", *keys).orderBy(*order_cols)
+    local = parts.withColumn("_lrn", F.row_number().over(wloc))
+    counts = local.groupBy("_pid", *keys).agg(F.count(F.lit(1)).alias("_cnt"))
+    woff = (
+        Window.partitionBy(*keys)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        *keys,
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(Window.partitionBy(*keys)).alias("_n"),
+    )
+    return local.join(F.broadcast(offsets), ["_pid", *keys]).select(
+        *df.columns, (F.col("_off") + F.col("_lrn")).alias("_rnk"), "_n"
+    )
+
+
 @register(
     "best_bid_ask",
     """
@@ -532,16 +568,24 @@ def q_best_bid_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed_rank decomposition: with the unique (o_totalprice,
+    # o_orderkey) tiebreak the order is TOTAL, so RANK == ROW_NUMBER,
+    # PERCENT_RANK = (rnk-1)/(n-1), CUME_DIST = rnk/n — the same
+    # integer-ratio IEEE divisions the builtin windows produce, without
+    # ever sorting a priority class (5 keys at any scale) in one task.
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.asc("o_totalprice"), F.asc("o_orderkey")
+    sel = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    r = distributed_rank(
+        sel, ["o_orderpriority"], [F.asc("o_totalprice"), F.asc("o_orderkey")]
     )
-    return orders.select(
+    rnk = F.col("_rnk").cast("double")
+    n = F.col("_n").cast("double")
+    return r.select(
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        F.when(F.col("_n") > 1, (rnk - 1) / (n - 1)).otherwise(F.lit(0.0)).alias("pct_rank"),
+        (rnk / n).alias("cume"),
     )
 
 

@@ -1241,3 +1241,36 @@ def test_grouped_exact_percentile_boundaries_parity_with_builtin(spark):
     for gk in ref:
         for c in ("q1", "q2", "q3", "n_vals", "min_val", "max_val"):
             assert got[gk][c] == ref[gk][c], (gk, c, got[gk][c], ref[gk][c])
+
+
+def test_win_cume_dist_distributed_rank_parity(spark):
+    # distributed_rank vs the builtin PERCENT_RANK/CUME_DIST windows on
+    # a constructed frame that spans range partitions (97 rows, 3
+    # classes) and includes a single-row class (the n=1 → pct_rank=0
+    # ANSI arm the closed form must reproduce).
+    from pyspark.sql import Window
+
+    from nt_etl_order_book_spark.operators.windows import distributed_rank
+
+    rows = [(i, ["A", "B", "C"][i % 3 if i < 96 else 2], float((i * 37) % 50)) for i in range(96)]
+    rows.append((999, "solo", 1.0))
+    df = spark.createDataFrame(rows, "k long, cls string, v double")
+    r = distributed_rank(df, ["cls"], [F.asc("v"), F.asc("k")])
+    rnk, n = F.col("_rnk").cast("double"), F.col("_n").cast("double")
+    got = {
+        row.k: (row.p, row.c)
+        for row in r.select(
+            "k",
+            F.when(F.col("_n") > 1, (rnk - 1) / (n - 1)).otherwise(F.lit(0.0)).alias("p"),
+            (rnk / n).alias("c"),
+        ).collect()
+    }
+    w = Window.partitionBy("cls").orderBy(F.asc("v"), F.asc("k"))
+    want = {
+        row.k: (row.p, row.c)
+        for row in df.select(
+            "k", F.percent_rank().over(w).alias("p"), F.cume_dist().over(w).alias("c")
+        ).collect()
+    }
+    assert got == want
+    assert got[999] == (0.0, 1.0)
