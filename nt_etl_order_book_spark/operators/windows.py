@@ -19,6 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nt_etl_order_book_spark.operators.aggregates import DEC
+
+# Rank-chunk width for the ghost-row ROWS-frame decomposition
+# (win_moving_avg). Must exceed the frame depth so the previous chunk
+# always holds the full lookback; tests shrink it to force multi-chunk
+# keys on small constructed frames.
+MOVING_AVG_CHUNK = 4096
 from nt_etl_order_book_spark.registry import register
 from nt_etl_order_book_spark.tables import load_table
 
@@ -178,15 +184,44 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Moving average over the last 5 observations per key (frame-spec window).",
 )
 def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded ROWS frames decompose too — RANK-chunked ghost rows:
+    # distributed_rank lifts a key-global row number without a
+    # whole-key sort, rows chunk in blocks of B = 4096 ≥ frame depth
+    # (every non-final chunk is exactly B rows, so the previous chunk
+    # always holds the full lookback — the chain problem day-chunking
+    # has with ROWS frames disappears), each chunk's last 4 rows copy
+    # flagged into the next chunk, and the 4-PRECEDING frame runs
+    # locally per (key, chunk) over reals + ghosts. Every row's frame
+    # is exactly its global frame (ghosts ARE its global predecessors,
+    # ordered by the same _rnk), so the decimal sum / non-null count
+    # are bit-identical to the whole-history window the oracle runs.
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
-    return events.select(
-        "user_id",
-        "event_id",
-        "ts",
-        (F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count("value").over(w))
-        .cast("double")
-        .alias("moving_avg5"),
+    sel = events.select("user_id", "event_id", "ts", "value")
+    r = distributed_rank(sel, ["user_id"], [F.asc("ts"), F.asc("event_id")])
+    B, K = MOVING_AVG_CHUNK, 4
+    chunked = r.withColumn("_ch", F.floor((F.col("_rnk") - 1) / B))
+    ghosts = (
+        chunked.filter(((F.col("_rnk") - 1) % B) >= B - K)
+        .withColumn("_ch", F.col("_ch") + 1)
+        .withColumn("_g", F.lit(1))
+    )
+    u = chunked.withColumn("_g", F.lit(0)).unionByName(ghosts)
+    w = Window.partitionBy("user_id", "_ch").orderBy("_rnk").rowsBetween(-K, 0)
+    return (
+        u.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "_g",
+            (
+                F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+                / F.count("value").over(w)
+            )
+            .cast("double")
+            .alias("moving_avg5"),
+        )
+        .filter(F.col("_g") == 0)
+        .drop("_g")
     )
 
 
@@ -452,11 +487,17 @@ def distributed_ntile(df: DataFrame, n_buckets: int, order_cols: list) -> DataFr
     DuckDB oracle runs natively, so the hash match proves the
     decomposition. Output: input columns + ``ntile``.
     """
+    from nt_etl_order_book_spark.session import checkpoint_frame
+
     parts = df.repartitionByRange(32, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     wloc = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = parts.withColumn("_lrn", F.row_number().over(wloc))
+    # Materialized before the counts/probe fork — spark_partition_id is
+    # nondeterministic and range boundaries re-sample per execution; see
+    # distributed_rank below (the keyed generalization) for the row-loss
+    # this prevents.
+    local = checkpoint_frame(parts.withColumn("_lrn", F.row_number().over(wloc)))
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
@@ -497,12 +538,21 @@ def distributed_rank(df: DataFrame, keys: list[str], order_cols: list) -> DataFr
     PERCENT_RANK/CUME_DIST closed forms exactly. Output: input columns
     + ``_rnk`` + ``_n``.
     """
+    from nt_etl_order_book_spark.session import checkpoint_frame
+
     kcols = [F.col(k) for k in keys]
     parts = df.repartitionByRange(32, *kcols, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     wloc = Window.partitionBy("_pid", *keys).orderBy(*order_cols)
-    local = parts.withColumn("_lrn", F.row_number().over(wloc))
+    # Materialize the ranked frame BEFORE forking into the counts branch
+    # and the join probe: spark_partition_id() is nondeterministic and
+    # repartitionByRange re-SAMPLES its boundaries per execution, so two
+    # recomputations of this subtree can assign different _pid values —
+    # the (\_pid, key) join then silently drops rows (caught as a 28-row
+    # loss on the win_moving_avg oracle; the lineage cut makes both
+    # consumers read the same materialized assignment).
+    local = checkpoint_frame(parts.withColumn("_lrn", F.row_number().over(wloc)))
     counts = local.groupBy("_pid", *keys).agg(F.count(F.lit(1)).alias("_cnt"))
     woff = (
         Window.partitionBy(*keys)

@@ -346,15 +346,21 @@ def test_similarity_topk_tail_is_two_phase(spark, sf_dir):
 
 def test_win_ntile_is_distributed_not_single_partition(spark, sf_dir):
     # The naive NTILE(4) OVER (ORDER BY ...) form puts the whole fact in
-    # ONE window task. The decomposed form must range-partition the fact
-    # (RangePartitioning in the exchange) and key the fact-side window by
-    # the partition id, leaving only the |partitions|-row offsets frame
-    # on an unkeyed window.
+    # ONE window task. The decomposed form range-partitions the fact and
+    # keys the fact-side window by the partition id; since the ranked
+    # frame is now CHECKPOINTED before the counts/probe fork (the
+    # spark_partition_id nondeterminism fix), the final plan reads the
+    # materialized ranked RDD and joins the broadcast offsets — assert
+    # THAT shape, plus no ntile window anywhere (the bucket is closed-
+    # form arithmetic on the lifted rank).
     from nt_etl_order_book_spark.plans.explain import formatted_plan
 
     df = registry.queries()["win_ntile"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "rangepartitioning" in plan.lower(), plan[:800]
+    low = plan.lower()
+    assert "existingrdd" in low or "logicalrdd" in low, plan[:800]
+    assert "broadcast" in low, plan[:800]
+    assert "ntile(" not in low, plan[:800]
     assert "_pid" in plan, plan[:800]
     # Exact parity with Spark's own single-window NTILE over the same
     # full table.

@@ -1438,3 +1438,40 @@ def test_win_first_last_null_value_and_tie(spark):
         7: (T(2024, 7, 2, 9, 0), None),
         8: (T(2024, 7, 1, 9, 0), 2.0),
     }
+
+
+def test_win_moving_avg_ghost_rows_across_rank_chunks(spark, monkeypatch):
+    # Shrink the rank-chunk width to 8 so a 30-row key spans 4 chunks:
+    # every chunk-boundary row's 5-row frame must reach the previous
+    # chunk through the ghost copies, exactly matching the builtin
+    # whole-history window.
+    from pyspark.sql import Window
+
+    from nt_etl_order_book_spark.operators import windows as winmod
+
+    monkeypatch.setattr(winmod, "MOVING_AVG_CHUNK", 8)
+    rows = [
+        (i, T(2024, 7, 1 + i // 12, i % 12), 7, "view", float((i * 13) % 10))
+        for i in range(30)
+    ] + [(100 + i, T(2024, 7, 1, i), 8, "view", float(i)) for i in range(3)]
+    frame = _events(spark, rows)
+    out = _run(winmod, "win_moving_avg", spark, frame)
+    got = {r.event_id: r.moving_avg5 for r in out}
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    )
+    from pyspark.sql import functions as FF
+
+    want = {
+        r.event_id: r.m
+        for r in frame.select(
+            "event_id",
+            (
+                FF.sum(FF.col("value").cast("decimal(30,6)")).over(w).cast("double")
+                / FF.count("value").over(w)
+            )
+            .cast("double")
+            .alias("m"),
+        ).collect()
+    }
+    assert got == want and len(got) == 33
