@@ -30,6 +30,11 @@ from nt_etl_order_book_spark.operators.aggregates import DEC, sql_dsum
 from nt_etl_order_book_spark.registry import register
 from nt_etl_order_book_spark.tables import load_table
 
+# Rank-chunk width for rolling_features' ghost-row decomposition (must
+# exceed the deepest lookback, 19 rows); tests shrink it to force
+# multi-chunk keys on constructed frames.
+ROLLING_CHUNK = 4096
+
 
 def chunked_lag(
     df: DataFrame,
@@ -1767,10 +1772,29 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Every window here reads ≤19 preceding rows (lag 1, lag 5, ROWS -4
+    # and -19 frames), so the whole feature matrix runs on the
+    # win_moving_avg RANK-chunked ghost decomposition: distributed_rank
+    # lifts the key-global row number, blocks of B ghost their last 19
+    # rows forward, and all six window functions run locally per
+    # (key, chunk) over reals + ghosts — identical frame rows, so the
+    # BIGINT moments (and everything downstream of them) are bit-exact
+    # vs the whole-history oracle. No task ever sorts a market's tape.
+    from nt_etl_order_book_spark.operators.windows import distributed_rank
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     base = ev.select("user_id", "event_id", "ts", "value", c.alias("c"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = distributed_rank(base, ["user_id"], [F.asc("ts"), F.asc("event_id")])
+    B, K = ROLLING_CHUNK, 19
+    chunked = r.withColumn("_ch", F.floor((F.col("_rnk") - 1) / B))
+    ghosts = (
+        chunked.filter(((F.col("_rnk") - 1) % B) >= B - K)
+        .withColumn("_ch", F.col("_ch") + 1)
+        .withColumn("_g", F.lit(1))
+    )
+    u = chunked.withColumn("_g", F.lit(0)).unionByName(ghosts)
+    w = Window.partitionBy("user_id", "_ch").orderBy("_rnk")
     w5 = w.rowsBetween(-4, Window.currentRow)
     w20 = w.rowsBetween(-19, Window.currentRow)
     v = F.col("value")
@@ -1779,9 +1803,10 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     scc20 = F.sum(F.col("c") * F.col("c")).over(w20)
     sc20 = F.sum("c").over(w20)
     n20 = F.count(F.lit(1)).over(w20)
-    f = base.select(
+    f = u.select(
         "user_id",
         "event_id",
+        "_g",
         F.log(v / F.lag(v).over(w)).alias("ret_1"),
         (v - F.lag(v, 5).over(w)).alias("momentum_5"),
         sc5.alias("sc_5"),
@@ -1789,7 +1814,7 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         scc20.alias("scc_20"),
         sc20.alias("sc_20"),
         n20.alias("n_20"),
-    )
+    ).filter(F.col("_g") == 0)
     # 6-dp rounding happens IN INTEGER ARITHMETIC on the true rational
     # (half-up via (2a + b) div (2b)): ROUND(double, 6) disagrees
     # between engines when the double lands ~1e-10 from a .5 boundary

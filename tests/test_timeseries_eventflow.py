@@ -1475,3 +1475,49 @@ def test_win_moving_avg_ghost_rows_across_rank_chunks(spark, monkeypatch):
         ).collect()
     }
     assert got == want and len(got) == 33
+
+
+def test_rolling_features_ghost_rows_across_rank_chunks(spark, monkeypatch):
+    # Chunk width 25 on a 60-row key: rows near every chunk boundary
+    # need up to 19 ghosted predecessors for lag(5)/w5/w20 — compare
+    # the full feature matrix against the builtin whole-history form.
+    import nt_etl_order_book_spark.operators.timeseries as tsmod
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    monkeypatch.setattr(tsmod, "ROLLING_CHUNK", 25)
+    rows = [
+        (i, T(2024, 7, 1 + i // 20, i % 20), 7, "view", float(1 + (i * 7) % 23))
+        for i in range(60)
+    ]
+    frame = _events(spark, rows)
+    out = _run(tsmod, "rolling_features", spark, frame)
+    got = {r.event_id: (r.ret_1, r.momentum_5, r.ma_5, r.var_20) for r in out}
+    # whole-history reference, same integer-exact arithmetic
+    ev = frame.filter(FF.col("value") > 0)
+    c = FF.floor(FF.col("value") * 100 + FF.lit(0.5)).cast("bigint")
+    base = ev.select("user_id", "event_id", "ts", "value", c.alias("c"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w5, w20 = w.rowsBetween(-4, 0), w.rowsBetween(-19, 0)
+    v = FF.col("value")
+    f = base.select(
+        "user_id", "event_id",
+        FF.log(v / FF.lag(v).over(w)).alias("ret_1"),
+        (v - FF.lag(v, 5).over(w)).alias("momentum_5"),
+        FF.sum("c").over(w5).alias("sc_5"),
+        FF.count(FF.lit(1)).over(w5).alias("n_5"),
+        FF.sum(FF.col("c") * FF.col("c")).over(w20).alias("scc_20"),
+        FF.sum("c").over(w20).alias("sc_20"),
+        FF.count(FF.lit(1)).over(w20).alias("n_20"),
+    )
+    ref = f.select(
+        "event_id",
+        FF.round("ret_1", 6).alias("ret_1"),
+        FF.round("momentum_5", 6).alias("momentum_5"),
+        (FF.expr("(2 * 10000 * sc_5 + n_5) div (2 * n_5)").cast("double") / 1e6).alias("ma_5"),
+        (FF.expr(
+            "(2 * 100 * (n_20 * scc_20 - sc_20 * sc_20) + n_20 * n_20) div (2 * n_20 * n_20)"
+        ).cast("double") / 1e6).alias("var_20"),
+    )
+    want = {r.event_id: (r.ret_1, r.momentum_5, r.ma_5, r.var_20) for r in ref.collect()}
+    assert got == want and len(got) == 60
