@@ -81,61 +81,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # CORRECTNESS_r{N}.json has N >= this value, the window below has been
 # consumed and the rotation gate reports "rotation pending" instead of
 # failing; run `python tools/rotate_sweep.py`, paste, and bump this.
-# r7 window (slots 1-50); history through r6
-_SWEEP_ROTATED_FOR_ROUND = 7
+# r8 window (slots 1-50); history through r7
+_SWEEP_ROTATED_FOR_ROUND = 8
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    "rag_chunk",  # never swept
-    "embed_centroid_stats",  # never swept
-    "shared_run_audit",  # never swept
-    "table_profile",  # never swept
-    "dsir_weights",  # never swept
-    "ann_pq_topk",  # never swept
-    "bpe_merges",  # never swept
-    "pmi_collocations",  # never swept
-    "semdedup",  # never swept
-    "zipf_fit",  # never swept
-    "ann_ivfpq_topk",  # never swept
-    "approx_quantile_audit",  # never swept
-    "ccnet_buckets",  # never swept
-    "lang_id_confusion",  # never swept
-    "license_tag",  # never swept
-    "resample_ffill",  # never swept
-    "ngram_novelty",  # never swept
-    "ohlc_bars",  # never swept
-    "realized_volatility",  # never swept
-    "max_drawdown",  # never swept
-    "interarrival_stats",  # never swept
-    "hypertable_rollup",  # never swept
-    "funnel_conversion",  # never swept
-    "retention_cohorts",  # never swept
-    "anomaly_zscore",  # never swept
-    "char_entropy",  # never swept
-    "compression_ratio",  # never swept
-    "composite_large_orders",  # never swept
-    "delta_dedup",  # never swept
-    "event_heatmap",  # never swept
-    "heavy_hitters",  # never swept
-    "pagerank_docs",  # never swept
-    "share_of_total",  # never swept
-    "roll_spread",  # never swept
-    "order_flow_imbalance",  # never swept
-    "prefix_dedup",  # never swept
-    "market_correlation",  # never swept
-    "benford_audit",  # never swept
-    "hhi_concentration",  # never swept
-    "cusum_drift",  # never swept
-    "equi_depth_histogram",  # never swept
-    "dollar_bars",  # never swept
-    "ann_filtered_topk",  # never swept
-    "amihud_illiquidity",  # never swept
-    "moments_profile",  # never swept
-    "kyle_lambda",  # never swept
-    "vpin",  # never swept
-    "ohlc_volatility",  # never swept
-    "autocorr_returns",  # never swept
-    "effective_spread",  # never swept
-    # ---- slot 51+: next-round queue ----
     "composite_returned_items",  # never swept
     "composite_promo_revenue",  # never swept
     "composite_top_supplier",  # never swept
@@ -170,8 +119,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "equi_depth_histogram_approx",  # never swept
     "winsorize_stats_approx",  # never swept
     "interarrival_stats_approx",  # never swept
-    "table_diff",  # never swept (registered r7, verdict item 5)
-    "table_diff_summary",  # never swept (registered r7, verdict item 5)
+    "table_diff",  # never swept
+    "table_diff_summary",  # never swept
     "seq_gap_check",  # last r3
     "win_lag_lead",  # last r3
     "win_moving_avg",  # last r3
@@ -186,6 +135,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "repetition_stats",  # last r3
     "tfidf_topterms",  # last r3
     "udaf_grouped",  # last r3
+    # ---- slot 51+: next-round queue ----
     "agg_groupby_sum",  # last r4
     "agg_grouping_sets",  # last r4
     "book_reconstruct",  # last r4
@@ -236,6 +186,56 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "redact_pii",  # last r4
     "udf_scalar_pandas",  # last r4
     "udtf_explode_custom",  # last r4
+    "agg_multi",  # last r6
+    "agg_distinct",  # last r6
+    "agg_approx_distinct",  # last r6
+    "agg_stats",  # last r6
+    "agg_median",  # last r6
+    "agg_string_concat",  # last r6
+    "agg_weighted_avg",  # last r6
+    "agg_cube",  # last r6
+    "agg_having",  # last r6
+    "agg_grouping_id",  # last r6
+    "composite_shipping_priority",  # last r6
+    "pivot_event_types",  # last r6
+    "subquery_scalar",  # last r6
+    "subquery_correlated",  # last r6
+    "json_roundtrip",  # last r6
+    "join_broadcast",  # last r6
+    "join_left_right_outer",  # last r6
+    "join_full_outer",  # last r6
+    "join_semi",  # last r6
+    "join_anti",  # last r6
+    "join_theta_range",  # last r6
+    "sort_limit",  # last r6
+    "sort_nulls",  # last r6
+    "set_union_distinct",  # last r6
+    "set_intersect",  # last r6
+    "set_except",  # last r6
+    "agg_salted_skew",  # last r6
+    "filter_msg_type",  # last r6
+    "project_rename",  # last r6
+    "cast_schema",  # last r6
+    "json_encode_decode",  # last r6
+    "explode_ladder",  # last r6
+    "unpivot_sides",  # last r6
+    "add_event_ts_ms",  # last r6
+    "notnull_guard",  # last r6
+    "contamination_span",  # last r6
+    "cross_source_dup",  # last r6
+    "dedup_survivorship",  # last r6
+    "multimodal_resize",  # last r6
+    "multimodal_frame_sample",  # last r6
+    "embed_quantize_stats",  # last r6
+    "unigram_logprob",  # last r6
+    "corpus_filter_funnel",  # last r6
+    "domain_kl_divergence",  # last r6
+    "subword_token_count",  # last r6
+    "bigram_logprob",  # last r6
+    "length_profile_by_source",  # last r6
+    "repetition_battery",  # last r6
+    "winnow_fingerprint",  # last r6
+    "winnow_dedup",  # last r6
 )
 
 
