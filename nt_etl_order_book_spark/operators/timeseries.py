@@ -1694,18 +1694,23 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inequality summary of ingest concentration (hhi_concentration "
         "squares shares; Gini ranks them — the pair distinguishes 'one "
         "giant' from 'graded tail'). The volume aggregate collapses to "
-        "market grain first, so the rank window runs over |markets| "
-        "rows (the ngram_coverage_curve band-table argument — tiny "
-        "relative to the tape at any scale); rank ties broken by the "
-        "unique market key; Sum(i*x) and Sum(x) are exact BIGINT and "
-        "the closed form runs in double over them, 6 dp."
+        "market grain first, then the global ROW_NUMBER runs through "
+        "the distributed_rank range-partition decomposition (keys=[]) "
+        "instead of a single-task ORDER BY window — the only unkeyed "
+        "window left is over the |partitions|-row offsets frame; rank "
+        "ties broken by the unique market key; Sum(i*x) and Sum(x) are "
+        "exact BIGINT and the closed form runs in double over them, "
+        "6 dp."
     ),
 )
 def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_etl_order_book_spark.operators.windows import distributed_rank
+
     ev = load_table(spark, sf_dir, "events")
     vol = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    wr = Window.orderBy(F.asc("x"), F.asc("user_id"))
-    ranked = vol.select("x", F.row_number().over(wr).alias("i"))
+    ranked = distributed_rank(
+        vol, [], [F.asc("x"), F.asc("user_id")]
+    ).select("x", F.col("_rnk").alias("i"))
     comp = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").cast("bigint").alias("sx"),

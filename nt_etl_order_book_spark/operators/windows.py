@@ -19,14 +19,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nt_etl_order_book_spark.operators.aggregates import DEC
+from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.tables import load_table
 
 # Rank-chunk width for the ghost-row ROWS-frame decomposition
 # (win_moving_avg). Must exceed the frame depth so the previous chunk
 # always holds the full lookback; tests shrink it to force multi-chunk
 # keys on small constructed frames.
 MOVING_AVG_CHUNK = 4096
-from nt_etl_order_book_spark.registry import register
-from nt_etl_order_book_spark.tables import load_table
 
 
 @register(
@@ -486,12 +486,23 @@ def distributed_ntile(df: DataFrame, n_buckets: int, order_cols: list) -> DataFr
     ceil(n/k) rows, the rest floor(n/k) — exactly ANSI NTILE, which the
     DuckDB oracle runs natively, so the hash match proves the
     decomposition. Output: input columns + ``ntile``.
+
+    SIDE EFFECT: building the returned DataFrame runs a Spark job — the
+    ranked frame is eagerly checkpointed (see the in-body comment for
+    why the lineage cut is load-bearing), and the checkpoint blocks
+    live until the superseded frame is GC'd on the driver. Callers that
+    construct many plans without executing them hold those blocks for
+    the session's lifetime; see ``distributed_rank`` for the same note.
+
+    Partition count follows ``spark.sql.shuffle.partitions`` so the
+    range fan-out scales with the deployment's configured parallelism
+    instead of a constant.
     """
     from nt_etl_order_book_spark.session import checkpoint_frame
 
-    parts = df.repartitionByRange(32, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    parts = df.repartitionByRange(
+        _range_parts(df), *order_cols
+    ).withColumn("_pid", F.spark_partition_id())
     wloc = Window.partitionBy("_pid").orderBy(*order_cols)
     # Materialized before the counts/probe fork — spark_partition_id is
     # nondeterministic and range boundaries re-sample per execution; see
@@ -525,7 +536,25 @@ def distributed_ntile(df: DataFrame, n_buckets: int, order_cols: list) -> DataFr
     )
 
 
-def distributed_rank(df: DataFrame, keys: list[str], order_cols: list) -> DataFrame:
+def _range_parts(df: DataFrame) -> int:
+    """Range-partition fan-out for the rank decompositions: the
+    session's configured shuffle parallelism, not a constant, so the
+    split count grows with the deployment (1000-executor clusters run
+    thousands of shuffle partitions; a hardcoded 32 would leave one
+    range per ~30 executors)."""
+    try:
+        return max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 1)
+    except (TypeError, ValueError):
+        return 32
+
+
+def distributed_rank(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list,
+    *,
+    broadcast_offsets: bool = True,
+) -> DataFrame:
     """Keyed global ROW_NUMBER + per-key count WITHOUT sorting a key's
     partition in one task — distributed_ntile's decomposition
     generalized to PARTITION BY keys: range-partition on (keys +
@@ -535,15 +564,29 @@ def distributed_rank(df: DataFrame, keys: list[str], order_cols: list) -> DataFr
     runs over |partitions|×|keys| rows, broadcast back). The caller
     must make order_cols a TOTAL order (unique tiebreak) — then the
     lifted rank equals RANK()/ROW_NUMBER() and per-key ``n`` feeds the
-    PERCENT_RANK/CUME_DIST closed forms exactly. Output: input columns
-    + ``_rnk`` + ``_n``.
+    PERCENT_RANK/CUME_DIST closed forms exactly. ``keys`` may be empty
+    for a global total order (the offsets frame is then |partitions|
+    rows). Output: input columns + ``_rnk`` + ``_n``.
+
+    SIDE EFFECT: building the returned DataFrame runs a Spark job —
+    the ranked frame is eagerly checkpointed (the in-body comment
+    explains the row-loss the lineage cut prevents), and the blocks
+    live until the superseded frame is GC'd on the driver. Callers
+    that construct plans without executing them still pay that job.
+
+    The offsets frame is |partitions|×|keys| rows. With the default
+    ``broadcast_offsets=True`` it is broadcast (right for the bounded
+    key counts every registry caller has — markets, days). For
+    high-cardinality keys where partitions×keys would exceed the
+    broadcast threshold, pass ``broadcast_offsets=False`` to let the
+    join shuffle both sides on (_pid, keys) instead.
     """
     from nt_etl_order_book_spark.session import checkpoint_frame
 
     kcols = [F.col(k) for k in keys]
-    parts = df.repartitionByRange(32, *kcols, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    parts = df.repartitionByRange(
+        _range_parts(df), *kcols, *order_cols
+    ).withColumn("_pid", F.spark_partition_id())
     wloc = Window.partitionBy("_pid", *keys).orderBy(*order_cols)
     # Materialize the ranked frame BEFORE forking into the counts branch
     # and the join probe: spark_partition_id() is nondeterministic and
@@ -565,7 +608,8 @@ def distributed_rank(df: DataFrame, keys: list[str], order_cols: list) -> DataFr
         F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
         F.sum("_cnt").over(Window.partitionBy(*keys)).alias("_n"),
     )
-    return local.join(F.broadcast(offsets), ["_pid", *keys]).select(
+    offsets_side = F.broadcast(offsets) if broadcast_offsets else offsets
+    return local.join(offsets_side, ["_pid", *keys]).select(
         *df.columns, (F.col("_off") + F.col("_lrn")).alias("_rnk"), "_n"
     )
 

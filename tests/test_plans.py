@@ -460,3 +460,23 @@ def test_pair_stats_ops_are_single_pass(spark, sf_dir):
     # runs-stage joins (pairs x gpos x gpos) may sort-merge; the pairs
     # stage itself must not — 2 joins is the runs stage's budget.
     assert n_smj <= 2, f"shared_run_audit: {n_smj} SortMergeJoins (pairs self-join back?)"
+
+
+def test_gini_rank_is_distributed_not_single_partition(spark, sf_dir):
+    # gini_concentration's naive form ranked the market-grain volume
+    # table with ROW_NUMBER() OVER (ORDER BY ...) — one unpartitioned
+    # window task whose size is data-dependent (|markets|). Routed
+    # through distributed_rank(keys=[]) the fact-side rank lives inside
+    # the checkpointed RDD and the only remaining windows run over the
+    # |partitions|-row offsets frame. Assert the shape: no row_number
+    # window in the final plan, the materialized ranked scan, and the
+    # broadcast offsets join.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    df = registry.queries()["gini_concentration"](spark, sf_dir)
+    plan = formatted_plan(df)
+    low = plan.lower()
+    assert "row_number(" not in low, plan[:800]
+    assert "existingrdd" in low or "logicalrdd" in low, plan[:800]
+    assert "broadcast" in low, plan[:800]
+    assert "_pid" in plan, plan[:800]
