@@ -41,8 +41,15 @@ def asof_join(
     ``last(row_struct, ignorenulls)`` over (key) ordered by (ts, tag) —
     right rows sort before left rows at equal ts, so ties match. One
     shuffle on the key; O(n log n) per key vs the O(n·m)
-    BroadcastNestedLoop a theta-join would produce. `right` must be
-    unique per (key, ts).
+    BroadcastNestedLoop a theta-join would produce.
+
+    `right` SHOULD be unique per (key, ts) — that is the well-defined
+    as-of contract. When duplicates exist anyway, every ordering
+    (the window sorts and the day-carry ``max_by``) tiebreaks on the
+    right row's own value struct, so the greatest duplicate wins
+    EVERYWHERE: the pick is deterministic across runs and identical
+    between the chunked and unchunked paths (it cannot smear across
+    day boundaries). When the contract holds the tiebreak never fires.
 
     The matched right row travels as ONE struct, not per-column `last`
     calls: per-column ignorenulls would stitch a NULL-bearing right row
@@ -88,7 +95,7 @@ def asof_join(
     if not chunkable:
         w = (
             Window.partitionBy("_k")
-            .orderBy("_ts", "_is_left")
+            .orderBy("_ts", "_is_left", "_r")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         matched = l_tagged.unionByName(r_tagged).select(
@@ -100,7 +107,7 @@ def asof_join(
         )
         day_last = r_tagged.groupBy(
             "_k", F.date_trunc("day", F.col("_ts")).alias("_ch")
-        ).agg(F.max_by("_r", "_ts").alias("_day_r"))
+        ).agg(F.max_by("_r", F.struct(F.col("_ts"), F.col("_r"))).alias("_day_r"))
         chunks = u.select("_k", "_ch").distinct()
         wch = (
             Window.partitionBy("_k")
@@ -112,7 +119,7 @@ def asof_join(
         )
         wloc = (
             Window.partitionBy("_k", "_ch")
-            .orderBy("_ts", "_is_left")
+            .orderBy("_ts", "_is_left", "_r")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         matched = u.join(carry, ["_k", "_ch"]).select(

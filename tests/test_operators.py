@@ -108,6 +108,46 @@ def test_asof_join_day_chunked_carry(spark):
     assert got == {1: None, 2: 20.0, 3: 25.0, 4: 25.0, 5: 50.0, 6: None}
 
 
+def test_asof_join_duplicate_ts_right_rows_deterministic(spark):
+    # The as-of contract wants right unique per (key, ts); when callers
+    # violate it anyway, the pick must be deterministic and IDENTICAL
+    # between the int-ts single-window path and the timestamp-ts
+    # day-chunked path (the carry's max_by and the local window both
+    # tiebreak on the right value struct → greatest duplicate wins,
+    # and the ambiguity cannot propagate differently across days).
+    left_rows = [("A", 10, "l1"), ("A", 20, "l2")]
+    right_rows = [("A", 5, 50.0), ("A", 5, 70.0), ("A", 5, 60.0)]  # dup (A,5)
+    left_i = spark.createDataFrame(left_rows, "k string, ts int, tag string")
+    right_i = spark.createDataFrame(right_rows, "k string, ts int, snap double")
+    out_i = asof_join(
+        left_i, right_i, key="k", left_ts="ts", right_ts="ts", value_cols=["snap"]
+    )
+    got_i = {r.tag: r.asof_snap for r in out_i.collect()}
+
+    def _ts(day_off: int, sec: int) -> str:
+        return f"2024-01-0{day_off} 00:00:{sec:02d}"
+
+    # Same shape on the timestamp path, with the duplicates on day 1
+    # and the second left row on day 2 so the pick rides the carry.
+    left_t = spark.createDataFrame(
+        [("A", _ts(1, 10), "l1"), ("A", _ts(2, 20), "l2")], "k string, ts string, tag string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right_t = spark.createDataFrame(
+        [("A", _ts(1, 5), 50.0), ("A", _ts(1, 5), 70.0), ("A", _ts(1, 5), 60.0)],
+        "k string, ts string, snap double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out_t = asof_join(
+        left_t, right_t, key="k", left_ts="ts", right_ts="ts", value_cols=["snap"]
+    )
+    got_t = {r.tag: r.asof_snap for r in out_t.collect()}
+
+    # Greatest duplicate by the value struct wins on both paths, twice.
+    assert got_i == {"l1": 70.0, "l2": 70.0}
+    assert got_t == {"l1": 70.0, "l2": 70.0}
+    assert {r.tag: r.asof_snap for r in out_i.collect()} == got_i
+    assert {r.tag: r.asof_snap for r in out_t.collect()} == got_t
+
+
 def test_asof_join_null_value_not_stitched(spark):
     # The matched right row must arrive WHOLE: with per-column
     # last(ignorenulls) a NULL in one value column was stitched from an
