@@ -62,6 +62,41 @@ TIER2 = [
     "composite_nation_trade",
 ]
 
+# Third tier (r7 verdict item 3): ROTATING coverage for the ~174
+# queries outside the two fixed tiers, so a silent regression anywhere
+# in the registry surfaces within a bounded number of rounds instead of
+# never. Selection is mechanical from the BENCH_r*.json history in the
+# repo root: never-benched queries first, then oldest last-recorded
+# round — the same stalest-first discipline tools/rotate_sweep.py
+# applies to the correctness sweep. Reported under "tier3" (names vary
+# per round by design, so no cross-round total series; per-query values
+# compare against that query's own last recording).
+TIER3_CAP = 15
+
+
+def tier3_names(qs: dict, cap: int = TIER3_CAP) -> list[str]:
+    import re
+
+    recorded: dict[str, int] = {}
+    repo = os.path.dirname(os.path.abspath(__file__))
+    for fname in sorted(os.listdir(repo)):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(os.path.join(repo, fname)) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for key in ("queries", "tier2", "tier3"):
+            for q in data.get(key) or {}:
+                recorded[q] = max(recorded.get(q, 0), rnd)
+    fixed = set(HEADLINE) | set(TIER2)
+    pool = [n for n in qs if n not in fixed]
+    pos = {n: i for i, n in enumerate(pool)}
+    return sorted(pool, key=lambda n: (recorded.get(n, -1), pos[n]))[:cap]
+
 
 def stream_throughput(spark, n_msgs: int = 20000) -> float:
     """Replay n_msgs delta messages through the streaming flatten+sink
@@ -145,13 +180,15 @@ def main() -> None:
     # measure execution, not compilation. Warm-up consumes the FULL
     # plan too, so the window/projection codegen it compiles is the
     # codegen the timed run executes.
-    for name in HEADLINE + TIER2:
+    tier3_sel = tier3_names(qs)
+    print(f"# tier3 rotation this run: {tier3_sel}", file=sys.stderr)
+    for name in HEADLINE + TIER2 + tier3_sel:
         try:
             consume(qs[name](spark, "/root/testdata/sf0.001"))
         except Exception:
             pass
 
-    def timed(names: list[str]) -> dict[str, float]:
+    def timed(names: list[str], strict: bool = True) -> dict[str, float]:
         # Best-of-2 per query: the r6 recording was ambient-noise
         # ambiguous (a 21 s total needed a manual 3x re-run to
         # root-cause); two executions per query inside one recording
@@ -163,10 +200,19 @@ def main() -> None:
         for name in names:
             fn = qs[name]
             runs = []
-            for _ in range(2):
-                t0 = time.time()
-                n = consume(fn(spark, SF_DIR))
-                runs.append(round(time.time() - t0, 3))
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    n = consume(fn(spark, SF_DIR))
+                    runs.append(round(time.time() - t0, 3))
+            except Exception:
+                # Fixed tiers must fail loudly (their totals are the
+                # cross-round series); the rotating tier records what it
+                # can — a broken query is already red in correctness.
+                if strict:
+                    raise
+                print(f"# {name}: ERROR (skipped from tier3)", file=sys.stderr)
+                continue
             out[name] = min(runs)
             print(f"# {name}: {n} rows in {out[name]}s (runs: {runs})", file=sys.stderr)
             # Release the dropped frames' localCheckpoint RDD blocks:
@@ -178,6 +224,7 @@ def main() -> None:
 
     timings = timed(HEADLINE)
     tier2 = timed(TIER2)
+    tier3 = timed(tier3_sel, strict=False)
     stream_throughput(spark, n_msgs=4000)  # warm the streaming planner/sink paths
     msgs_per_sec = stream_throughput(spark)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -190,6 +237,7 @@ def main() -> None:
         "stream_msgs_per_sec": msgs_per_sec,
         "tier2": tier2,
         "tier2_total_sec": round(sum(tier2.values()), 3),
+        "tier3": tier3,
     }
     print(json.dumps(out))
 
