@@ -776,3 +776,105 @@ def test_stream_heavy_hitters_state_bounded_and_superset(spark, tmp_path):
     assert "heavy" in final
     true_heavy = 50
     assert true_heavy - latest // (k + 1) <= final["heavy"] <= true_heavy
+
+
+def test_windowed_ohlc_parity_with_batch_ohlc_bars_oracle(spark, tmp_path, sf_dir):
+    # r7 verdict item 5: the streaming OHLC twin verified against the
+    # REGISTERED batch oracle (`ohlc_bars`), not just against a batch
+    # run of itself. The events table is replayed as delta-shaped JSON
+    # whose redis_stream_id encodes (unix_micros, event_id) — the sid
+    # sort key then orders identically to ohlc_bars' µs*1000+event_id
+    # composite — and windowed_ohlc at a 1-hour window must reproduce
+    # every hourly bar bit-for-bit: same open/close picks, same counts.
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.streaming.pipeline import windowed_ohlc
+    from nt_etl_order_book_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    fixture = ev.select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+        F.col("user_id").cast("string").alias("ticker"),
+        F.col("value").alias("price_dollars"),
+        F.concat_ws(
+            "-",
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+            F.col("event_id").cast("string"),
+        ).alias("redis_stream_id"),
+    )
+    src = tmp_path / "ohlc_src"
+    fixture.coalesce(1).write.json(str(src))  # one file -> one micro-batch
+
+    schema = "timestamp long, ticker string, price_dollars double, redis_stream_id string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        windowed_ohlc(stream, window="1 hour")
+        .writeStream.format("memory")
+        .queryName("ohlc_oracle_tbl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (int(r.ticker), r.window_start): (r.open, r.high, r.low, r.close, r.n_msgs)
+        for r in spark.sql("select * from ohlc_oracle_tbl").collect()
+    }
+    want = {
+        (r.user_id, r.bar_ts): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in registry.queries()["ohlc_bars"](spark, sf_dir).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_stream_heavy_hitters_parity_with_batch_oracle(spark, tmp_path, sf_dir):
+    # r7 verdict item 5: the streaming Misra-Gries state, replayed over
+    # the documents corpus, must reproduce the registered batch
+    # `heavy_hitters` answer end-to-end: the final counter set is a
+    # SUPERSET of every true >=0.5% token (k=256 > HH_DENOM=200 gives
+    # the MG guarantee), and exact-recounting those candidates
+    # batch-side equals the oracle output exactly — stream does pass 1,
+    # batch does pass 2, answer identical to the one-shot batch query.
+    from nt_etl_order_book_spark import registry
+    from nt_etl_order_book_spark.functions.sketches import HH_DENOM
+    from nt_etl_order_book_spark.streaming.stateful import stream_heavy_hitters
+    from nt_etl_order_book_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.lit("all").alias("key"),
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias("token"),
+    )
+    src = tmp_path / "hh_src"
+    toks.coalesce(1).write.json(str(src))
+
+    stream = spark.readStream.schema("key string, token string").json(str(src))
+    q = (
+        stream_heavy_hitters(stream, key_col="key", token_col="token", k=256)
+        .writeStream.format("memory")
+        .queryName("hh_oracle_tbl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = spark.sql("select * from hh_oracle_tbl").collect()
+    latest = max(r.processed for r in state)
+    candidates = {r.token for r in state if r.processed == latest}
+
+    want = {r.token: r.cnt for r in registry.queries()["heavy_hitters"](spark, sf_dir).collect()}
+    assert want, "batch oracle returned no heavy hitters — fixture too small"
+    assert set(want) <= candidates, sorted(set(want) - candidates)
+
+    batch_toks = toks.select("token")
+    n = batch_toks.count()
+    assert latest == n  # every replayed token went through state
+    recount = {
+        r.token: r.cnt
+        for r in batch_toks.filter(F.col("token").isin(list(candidates)))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+        if r.cnt * HH_DENOM >= n
+    }
+    assert recount == want
