@@ -61,6 +61,70 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     return df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
+# Modulus/multiplier for the rolling shingle hash below. M = 2^57 is the
+# largest power of two where the ANSI-mode combine stays in long range
+# (acc*37 + h < 2^57·37 + 2^57 < 2^63 — ANSI overflow THROWS, it does
+# not wrap, so the bound is load-bearing). 37 is odd → multiplication
+# mod 2^57 is a bijection and the combine is a proper polynomial hash.
+SHINGLE_HASH_MOD = 1 << 57
+_SHINGLE_HASH_MULT = 37
+
+
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc as 57-bit HASHES, one row
+    per shingle — the counting twin of :func:`shingles` for consumers
+    that never read the shingle text (pair statistics only compare and
+    count shingles, so the identity can be a hash).
+
+    Tokens are xxhash64'd ONCE per document, then each gram is a
+    rolling polynomial combine of n consecutive token hashes — the
+    minhash_signature_col lesson (hash once, shingle arithmetically):
+    no n-gram string is ever allocated and the exploded index shuffles
+    8-byte longs instead of ~25-byte strings. Measured 5.0 s → 3.2 s
+    for the full pair-stats build at sf0.1 (interleaved A/B; the
+    naive per-gram ``xxhash64(tok_i, tok_j, tok_k)`` variant was
+    REJECTED at 7.1–7.6 s — three per-gram string hashes cost more
+    than the concat they save; PERF.md r8).
+
+    Exactness bound: a birthday collision over D distinct shingles has
+    odds ~D²/2⁵⁸ — ~1e-6 at the sf0.01 correctness gate's ~300k
+    shingles, ~3e-5 at sf0.1's ~3M — so pair/size counts match the
+    string-shingle oracle exactly in any run that matters. At extreme
+    corpus scale (D ~ 1e12) collisions become real but perturb a
+    vanishing fraction of pair counts; a deployment that needs
+    bit-exact truth at that scale should swap :func:`shingles` (string
+    grain) back in and pay the width.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    m = F.lit(SHINGLE_HASH_MOD)
+    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), m))
+    # Two-stage projection: the token-hash array is computed once per
+    # row, not re-inlined into every gram position.
+    staged = df.select(F.col(id_col), th.alias("_th"))
+
+    def gram_at(arr, i):
+        # Partial-gram parity with the string form: a doc shorter than
+        # n tokens emits ONE gram over the tokens it has (slice+concat
+        # just stops early), so missing positions are skipped, not
+        # errors — try_element_at, because ANSI element_at THROWS on
+        # the short array. An empty doc's gram is the -1 sentinel
+        # (string form: the "" shingle), disjoint from real grams,
+        # which are pmod-nonnegative.
+        acc = F.try_element_at(arr, i + 1)
+        for j in range(1, n):
+            nxt = F.try_element_at(arr, i + 1 + j)
+            acc = F.when(nxt.isNull(), acc).otherwise(
+                F.pmod(acc * _SHINGLE_HASH_MULT + nxt, m)
+            )
+        return F.coalesce(acc, F.lit(-1))
+
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(F.col("_th")) - n, F.lit(0))),
+        lambda i: gram_at(F.col("_th"), i),
+    )
+    return staged.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
 def shingle_pair_stats(docs: DataFrame, *, n: int = 3, cap: int = MAX_SHINGLE_DF) -> DataFrame:
     """(a, b, inter, sz_a, sz_b) for every doc pair sharing a surviving shingle.
 
@@ -77,10 +141,16 @@ def shingle_pair_stats(docs: DataFrame, *, n: int = 3, cap: int = MAX_SHINGLE_DF
     builds postings adds no exchange: the window already partitioned by
     shingle. Sorted postings make i<j equivalent to a<b, matching the
     oracle's `s1.doc_id < s2.doc_id` under binary string comparison.
+
+    The index is built over 64-bit shingle HASHES (shingle_hashes),
+    not gram strings: nothing downstream reads the shingle value, only
+    compares and counts it, so the narrow identity halves-plus the
+    exchange width and skips the per-gram string allocation entirely
+    (r8: truth-side build 5.6 s → measured below in PERF.md).
     """
     from nt_etl_order_book_spark.session import checkpoint_frame
 
-    sh = shingles(docs, "doc_id", "text", n=n)
+    sh = shingle_hashes(docs, "doc_id", "text", n=n)
     w = Window.partitionBy("shingle")
     capped = checkpoint_frame(
         sh.withColumn("_df", F.count(F.lit(1)).over(w))
