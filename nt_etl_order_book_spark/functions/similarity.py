@@ -1358,11 +1358,14 @@ def q_pairwise_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_EVAL_K = 5
 KNN_QUERY_MOD = 10  # every 10th vector plays the held-out query role
-# Bound the eval set ABSOLUTELY, not as a corpus fraction: a fractional
-# query set makes the scored-pair count quadratic in corpus size
-# (measured 5.8x wall at 10x data before the cap). 200 queries is a
-# statistically ample accuracy sample at any corpus size.
-KNN_QUERY_CAP = KNN_QUERY_MOD * 200
+# Accuracy-sample size. The eval set is bounded ABSOLUTELY at this many
+# queries, not as a corpus fraction: a fractional query set makes the
+# scored-pair count quadratic in corpus size (measured 5.8x wall at 10x
+# data before the cap), while a fixed sample keeps the eval cost linear
+# and a 200-query binomial accuracy estimate carries a ±0.07 95% CI at
+# worst — ample for the go/no-go this probe answers at any corpus size.
+KNN_EVAL_SAMPLE = 200
+KNN_QUERY_CAP = KNN_QUERY_MOD * KNN_EVAL_SAMPLE
 
 
 @register(

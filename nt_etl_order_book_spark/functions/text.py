@@ -995,6 +995,9 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(ZIPF_TOP)
     )
+    # BOUNDED-FRAME: the unpartitioned rank runs over the already
+    # limited ZIPF_TOP head (the orderBy+limit above), so the
+    # single-task WindowExec WARN is the intended plan.
     ranked = tf.withColumn(
         "rnk", F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("token")))
     )
@@ -1932,6 +1935,10 @@ def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         (F.col("tf") * F.count(F.lit(1))).cast("bigint").alias("mass"),
     )
+    # BOUNDED-FRAME: the unpartitioned prefix sums run over the tf BAND
+    # table (one row per distinct frequency — O(sqrt(total tokens)) rows
+    # by the harmonic bound), so the single-task WindowExec WARN is the
+    # intended plan.
     wprev = Window.orderBy(F.desc("tf")).rowsBetween(Window.unboundedPreceding, -1)
     ranked = bands.select(
         "tf",

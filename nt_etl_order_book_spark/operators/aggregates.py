@@ -500,6 +500,9 @@ def exact_percentile_boundaries(df: DataFrame, col: str, fracs: list[float]) -> 
     wloc = Window.partitionBy("_pid").orderBy("v")
     local = parts.withColumn("_lc", F.sum("c").over(wloc))  # incl. current row
     pcnt = local.groupBy("_pid").agg(F.sum("c").alias("_cnt"))
+    # BOUNDED-FRAME: the unpartitioned windows below run over the
+    # per-partition counts frame — |partitions| rows by construction —
+    # so the single-task WindowExec WARN is the intended plan.
     woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = pcnt.select(
         "_pid",

@@ -510,6 +510,10 @@ def distributed_ntile(df: DataFrame, n_buckets: int, order_cols: list) -> DataFr
     # this prevents.
     local = checkpoint_frame(parts.withColumn("_lrn", F.row_number().over(wloc)))
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # BOUNDED-FRAME: the unpartitioned windows below run over the
+    # counts frame — exactly |partitions| rows by construction — so the
+    # single-task WindowExec (and its "No Partition Defined" WARN) is
+    # the intended plan, not an oversight.
     woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_pid",
@@ -597,6 +601,10 @@ def distributed_rank(
     # consumers read the same materialized assignment).
     local = checkpoint_frame(parts.withColumn("_lrn", F.row_number().over(wloc)))
     counts = local.groupBy("_pid", *keys).agg(F.count(F.lit(1)).alias("_cnt"))
+    # BOUNDED-FRAME: the offset windows run over the counts frame —
+    # |partitions|×|keys| rows by construction (|partitions| total when
+    # keys=[], where the spec degenerates to unpartitioned and the
+    # WindowExec "No Partition Defined" WARN is the intended plan).
     woff = (
         Window.partitionBy(*keys)
         .orderBy("_pid")
