@@ -74,11 +74,11 @@ TIER2 = [
 TIER3_CAP = 15
 
 
-def tier3_names(qs: dict, cap: int = TIER3_CAP) -> list[str]:
+def tier3_names(qs: dict, cap: int = TIER3_CAP, repo: str | None = None) -> list[str]:
     import re
 
     recorded: dict[str, int] = {}
-    repo = os.path.dirname(os.path.abspath(__file__))
+    repo = repo or os.path.dirname(os.path.abspath(__file__))
     for fname in sorted(os.listdir(repo)):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
         if not m:

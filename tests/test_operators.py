@@ -1314,3 +1314,34 @@ def test_win_cume_dist_distributed_rank_parity(spark):
     }
     assert got == want
     assert got[999] == (0.0, 1.0)
+
+
+def test_distributed_rank_shuffled_offsets_and_empty_keys(spark):
+    # The two r8 additions to distributed_rank: (a) broadcast_offsets=
+    # False (the high-cardinality-keys escape hatch) must produce
+    # row-identical output to the broadcast default; (b) keys=[] (the
+    # gini_concentration path) must equal a plain global ROW_NUMBER.
+    from pyspark.sql import Window
+
+    from nt_etl_order_book_spark.operators.windows import distributed_rank
+
+    rows = [(i, ["A", "B", "C"][i % 3], float((i * 37) % 50)) for i in range(96)]
+    df = spark.createDataFrame(rows, "k long, cls string, v double")
+    order = [F.asc("v"), F.asc("k")]
+
+    bc = {(r.k, r._rnk, r._n) for r in distributed_rank(df, ["cls"], order).collect()}
+    sh = {
+        (r.k, r._rnk, r._n)
+        for r in distributed_rank(df, ["cls"], order, broadcast_offsets=False).collect()
+    }
+    assert bc == sh
+
+    glob = {
+        (r.k, r._rnk)
+        for r in distributed_rank(df, [], order).select("k", "_rnk").collect()
+    }
+    want = {
+        (r.k, r.rn)
+        for r in df.select("k", F.row_number().over(Window.orderBy(*order)).alias("rn")).collect()
+    }
+    assert glob == want

@@ -140,3 +140,29 @@ def test_window_is_exactly_the_stalest_fifty():
         f"window contains a query with row r{best_in_window} while a staler "
         f"query (r{worst_in_rest}) sits outside it"
     )
+
+
+def test_bench_tier3_rotation_is_stalest_first(tmp_path):
+    # The rotating bench tier mirrors the sweep discipline: never-
+    # benched queries lead, then oldest last-recorded round; fixed-tier
+    # (HEADLINE/TIER2) queries never occupy rotating slots; and a query
+    # recorded under ANY tier key counts as benched.
+    import json
+
+    import bench
+
+    qs = {f"q{i}": None for i in range(8)}
+    qs.update({bench.HEADLINE[0]: None, bench.TIER2[0]: None})
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"queries": {"q0": 1.0}, "tier2": {"q1": 1.0}})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"queries": {}, "tier3": {"q2": 1.0, "q0": 1.0}})
+    )
+    sel = bench.tier3_names(qs, cap=5, repo=str(tmp_path))
+    # never-benched q3..q7 lead in pool order; cap trims to 5
+    assert sel == ["q3", "q4", "q5", "q6", "q7"]
+    sel_all = bench.tier3_names(qs, cap=8, repo=str(tmp_path))
+    # then staleness: q1 (r1) before q0/q2 (r2); fixed tiers excluded
+    assert sel_all == ["q3", "q4", "q5", "q6", "q7", "q1", "q0", "q2"]
+    assert bench.HEADLINE[0] not in sel_all and bench.TIER2[0] not in sel_all
