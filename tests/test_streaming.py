@@ -878,3 +878,60 @@ def test_stream_heavy_hitters_parity_with_batch_oracle(spark, tmp_path, sf_dir):
         if r.cnt * HH_DENOM >= n
     }
     assert recount == want
+
+
+def test_windowed_ohlc_late_data_folds_in_across_batches(spark, tmp_path):
+    # The docstring's late-data claim, actually exercised: two
+    # micro-batches (maxFilesPerTrigger=1), where batch 2 delivers rows
+    # OLDER than batch 1's max event time but inside the 10-minute
+    # watermark. min_by/max_by state must fold them in: the late row at
+    # the window's true start becomes the open, and the late high
+    # raises the bar's high. Final bars must equal the single-shot
+    # batch run over the union.
+    from nt_etl_order_book_spark.streaming.pipeline import windowed_ohlc
+
+    p = tmp_path / "late_ticks"
+    p.mkdir()
+    base = 1_700_000_040_000  # minute-aligned so all four rows share one bar
+    batch1 = [
+        {"timestamp": base + 30_000, "ticker": "KXM-A", "price_dollars": 0.50,
+         "redis_stream_id": "6000-1"},
+        {"timestamp": base + 50_000, "ticker": "KXM-A", "price_dollars": 0.45,
+         "redis_stream_id": "6000-2"},
+    ]
+    # 50s older than batch 1's max — late, but far inside the watermark
+    batch2 = [
+        {"timestamp": base, "ticker": "KXM-A", "price_dollars": 0.40,
+         "redis_stream_id": "6000-0"},   # true open of the window
+        {"timestamp": base + 10_000, "ticker": "KXM-A", "price_dollars": 0.70,
+         "redis_stream_id": "6000-0b"},  # late high
+    ]
+    (p / "a_batch1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    (p / "b_batch2.json").write_text("\n".join(json.dumps(r) for r in batch2))
+    schema = "timestamp long, ticker string, price_dollars double, redis_stream_id string"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(p))
+    q = (
+        windowed_ohlc(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_late_tbl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ohlc_late_tbl").collect()
+    # update mode re-emits the bar per batch; keep the LAST emission per
+    # key (memory sink appends in batch order)
+    final = {}
+    for r in rows:
+        final[(r.window_start, r.ticker)] = (r.open, r.high, r.low, r.close, r.n_msgs)
+    want = {
+        (r.window_start, r.ticker): (r.open, r.high, r.low, r.close, r.n_msgs)
+        for r in windowed_ohlc(
+            spark.read.schema(schema).json(str(p))
+        ).collect()
+    }
+    assert final == want
+    assert len(final) == 1
+    ((_, bar),) = final.items()
+    assert bar == (0.40, 0.70, 0.40, 0.45, 4)  # late open + late high folded in
