@@ -68,3 +68,43 @@ def test_connected_components_converges_under_reliable_checkpoint(spark, tmp_pat
     )
     labels = {r.x: r.label for r in connected_components(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_distributed_rank_under_reliable_checkpoint(spark, tmp_path, restore_checkpoint_dir):
+    # The rank decompositions eagerly checkpoint their ranked frame
+    # inside query CONSTRUCTION; under a cluster-style checkpoint dir
+    # that becomes a reliable checkpoint write job. The lifted rank must
+    # still equal the builtin ROW_NUMBER, keys=[] (the gini path)
+    # included.
+    from pyspark.sql import Window
+
+    from nt_etl_order_book_spark.operators.windows import distributed_rank
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "dr_ckpt"))
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("cls"),
+        F.pmod(F.col("id") * 7919, F.lit(977)).alias("v"),
+    )
+    order = [F.asc("v"), F.asc("k")]
+    got = {
+        (r.k, r._rnk)
+        for r in distributed_rank(df, ["cls"], order).select("k", "_rnk").collect()
+    }
+    w = Window.partitionBy("cls").orderBy(*order)
+    want = {
+        (r.k, r.rn)
+        for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+    gglob = {
+        (r.k, r._rnk)
+        for r in distributed_rank(df, [], order).select("k", "_rnk").collect()
+    }
+    wglob = {
+        (r.k, r.rn)
+        for r in df.select(
+            "k", F.row_number().over(Window.orderBy(*order)).alias("rn")
+        ).collect()
+    }
+    assert gglob == wglob
