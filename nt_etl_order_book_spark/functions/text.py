@@ -1218,6 +1218,20 @@ def q_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 4
 WINNOW_W = 4
 
+# Rolling-gram combine parameters (r9, mirroring dedup.SHINGLE_HASH_MOD's
+# derivation): token hashes are 32-bit (hex8-Horner of md5 — the portable
+# cross-engine hash, REQUIRED here because fingerprint VALUES surface in
+# winnow_fingerprint's output, unlike the shingle counters where xxhash64
+# suffices), combined per k-gram as acc*37 + h mod 2^57. ANSI bound:
+# acc < 2^57, h < 2^32, so acc*37 + h < 2^57*37 + 2^32 < 2^63 — ANSI
+# overflow THROWS, it does not wrap, so the bound is load-bearing. 37 is
+# odd → multiplication mod 2^57 is a bijection (proper polynomial hash).
+# Collision odds over D distinct grams ~D^2/2^58 (same note as
+# shingle_hashes); a collision merely perturbs which gram a window-min
+# selects — negligible at every tested scale.
+WINNOW_HASH_MOD = 1 << 57
+_WINNOW_HASH_MULT = 37
+
 
 def _sql_hex8_int(expr: str) -> str:
     """First 8 md5 hex chars of `expr` as a BIGINT via the same ascii
@@ -1238,19 +1252,33 @@ def _hex8_int(col: Column) -> Column:
     return v
 
 
-# Shared winnowing CTE chain (toks → per-position hashes → fingerprint
-# sets) — used by the winnow_fingerprint oracle and the winnow_dedup
-# pair oracle on top of it.
+# Shared winnowing CTE chain (toks → per-token hashes → per-position
+# rolling k-gram hashes → fingerprint sets) — used by the
+# winnow_fingerprint oracle and the winnow_dedup pair oracle on top of
+# it. Token-hash-once + arithmetic gram combine (r9): the gram hash is a
+# rolling polynomial fold over WINNOW_K consecutive token hashes instead
+# of md5 over the materialized k-gram STRING — identical arithmetic to
+# the Spark side (winnow_hashes), so fingerprint values stay
+# engine-identical and hash-checked. Partial-gram parity: a doc shorter
+# than K tokens folds the tokens it has (slice clips); an empty doc's
+# single gram is the -1 sentinel, disjoint from real grams (which are
+# mod-nonnegative).
 _SQL_WINNOW_FPS = f"""
     toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
       FROM documents
     ),
+    th AS (
+      SELECT doc_id, [{_sql_hex8_int("tok")} FOR tok IN t] AS th
+      FROM toks
+    ),
     hashes AS (
       SELECT doc_id,
-             [{_sql_hex8_int(f"array_to_string(t[i:i+{WINNOW_K - 1}], ' ')")}
-              FOR i IN range(1, GREATEST(len(t) - {WINNOW_K - 1}, 1) + 1)] AS hs
-      FROM toks
+             [CASE WHEN len(th) = 0 THEN CAST(-1 AS BIGINT)
+                   ELSE list_reduce(th[i:i+{WINNOW_K - 1}],
+                        (acc, h) -> (acc * {_WINNOW_HASH_MULT} + h) % {WINNOW_HASH_MOD}) END
+              FOR i IN range(1, GREATEST(len(th) - {WINNOW_K - 1}, 1) + 1)] AS hs
+      FROM th
     ),
     fps AS (
       SELECT doc_id, hs,
@@ -1264,6 +1292,18 @@ def winnow_hashes(docs: DataFrame) -> DataFrame:
     """(doc_id, hs) — the per-position k-gram hash array every winnowing
     consumer starts from.
 
+    Tokens are hashed ONCE (portable md5-hex8 Horner fold — the
+    cross-engine hash, required because fingerprint values surface in
+    winnow_fingerprint's output), then each k-gram hash is a rolling
+    polynomial combine of WINNOW_K consecutive token hashes mod 2^57 —
+    the shingle_hashes lesson (hash once, gram arithmetically): no
+    k-gram string is ever allocated. Measured (r8 A/B, interleaved at
+    sf0.1): hashes+fingerprint+capped-index stage 4.5–5.0 s string →
+    3.0–3.4 s rolling. The token-hash array lives in its own projection
+    (`_th`) referenced WINNOW_K times per gram position — CollapseProject
+    keeps multi-referenced non-cheap aliases staged, so the tokenize+md5
+    pipeline runs once per row, not once per gram.
+
     The trailing repartition is a SHUFFLE BARRIER, not load balancing:
     `winnow_fp_expr` references `hs` from inside a per-window lambda
     (O(n) positions), and without a materialization boundary Catalyst's
@@ -1274,11 +1314,28 @@ def winnow_hashes(docs: DataFrame) -> DataFrame:
     tests/test_skew_and_ann.py). Same defense as
     dedup.minhash_signature_col's token-hash stage."""
     toks = F.filter(F.split("text", " "), lambda t: t != "")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - WINNOW_K, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_K)),
+    m = F.lit(WINNOW_HASH_MOD)
+    staged = docs.select("doc_id", F.transform(toks, _hex8_int).alias("_th"))
+
+    def gram_at(arr, i):
+        # Partial-gram parity with the oracle's clipped slice: a doc
+        # shorter than WINNOW_K tokens folds the tokens it has (missing
+        # positions are skipped via try_element_at — ANSI element_at
+        # THROWS on the short array); an empty doc's gram is the -1
+        # sentinel, disjoint from real grams (mod-nonnegative).
+        acc = F.try_element_at(arr, i + 1)
+        for j in range(1, WINNOW_K):
+            nxt = F.try_element_at(arr, i + 1 + j)
+            acc = F.when(nxt.isNull(), acc).otherwise(
+                F.pmod(acc * _WINNOW_HASH_MULT + nxt, m)
+            )
+        return F.coalesce(acc, F.lit(-1).cast("long"))
+
+    hs = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(F.col("_th")) - WINNOW_K, F.lit(0))),
+        lambda i: gram_at(F.col("_th"), i),
     )
-    hashed = docs.select("doc_id", F.transform(grams, _hex8_int).alias("hs"))
+    hashed = staged.select("doc_id", hs.alias("hs"))
     return hashed.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
@@ -1315,9 +1372,11 @@ def winnow_fp_expr() -> Column:
         "detection threshold), at a fraction of full-shingle index "
         "cost. Emits the set's size/checksum/min per doc (exact BIGINT "
         "arithmetic). Entirely narrow HOF expressions — no explode, no "
-        "shuffle; the portable hex8-Horner hash makes every "
-        "fingerprint value engine-identical, so this is hash-checked, "
-        "not rows-only. The pair-join path over these sets is "
+        "shuffle; tokens are hashed once with the portable hex8-Horner "
+        "md5 fold and grams formed by rolling polynomial combine "
+        "(identical arithmetic both engines), so every fingerprint "
+        "value is engine-identical and this is hash-checked, not "
+        "rows-only. The pair-join path over these sets is "
         "`winnow_dedup`."
     ),
 )
