@@ -81,61 +81,27 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # CORRECTNESS_r{N}.json has N >= this value, the window below has been
 # consumed and the rotation gate reports "rotation pending" instead of
 # failing; run `python tools/rotate_sweep.py`, paste, and bump this.
-# r8 window (slots 1-50); history through r7
-_SWEEP_ROTATED_FOR_ROUND = 8
+# r9 window (slots 1-50); history through r8
+_SWEEP_ROTATED_FOR_ROUND = 9
+
+# Queries whose SEMANTICS (impl + oracle in lockstep) changed in the
+# round this rotation targets — they lead the window so the driver's
+# first rows for the new semantics land immediately (rotate_sweep.py
+# changed-query args). Their promotion can displace up to len() stalest
+# queries just past the cap (slots 51+ head, swept next round, one round
+# over the sustainable bound); tests/test_registry_rotation.py waives
+# exactly that bounded, queued displacement and nothing else. Reset to
+# () on any rotation without semantic changes.
+_SWEEP_CHANGED: tuple[str, ...] = (
+    "winnow_fingerprint",
+    "winnow_dedup",
+    "shared_run_audit",
+)
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    "composite_returned_items",  # never swept
-    "composite_promo_revenue",  # never swept
-    "composite_top_supplier",  # never swept
-    "composite_small_qty_revenue",  # never swept
-    "composite_nation_trade",  # never swept
-    "composite_brand_disjunction",  # never swept
-    "composite_idle_customers",  # never swept
-    "referential_integrity_audit",  # never swept
-    "uniqueness_audit",  # never swept
-    "split_leakage_audit",  # never swept
-    "label_balance",  # never swept
-    "winsorize_stats",  # never swept
-    "markov_transitions",  # never swept
-    "attribution_last_touch",  # never swept
-    "source_vocab_overlap",  # never swept
-    "ngram_coverage_curve",  # never swept
-    "lexical_complexity",  # never swept
-    "typo_pairs",  # never swept
-    "bm25_search",  # never swept
-    "pairwise_cosine_histogram",  # never swept
-    "twap",  # never swept
-    "gini_concentration",  # never swept
-    "bpe_encode",  # never swept
-    "scd2_intervals",  # never swept
-    "triangle_count",  # never swept
-    "rolling_features",  # never swept
-    "minhash_eval",  # never swept
-    "graph_reachability",  # never swept
-    "knn_label_eval",  # never swept
-    "embedding_drift",  # never swept
-    "overnight_gap",  # never swept
-    "equi_depth_histogram_approx",  # never swept
-    "winsorize_stats_approx",  # never swept
-    "interarrival_stats_approx",  # never swept
-    "table_diff",  # never swept
-    "table_diff_summary",  # never swept
-    "seq_gap_check",  # last r3
-    "win_lag_lead",  # last r3
-    "win_moving_avg",  # last r3
-    "win_range_frame",  # last r3
-    "win_first_last",  # last r3
-    "session_islands",  # last r3
-    "win_cume_dist",  # last r3
-    "paragraph_dedup",  # last r3
-    "sample_split",  # last r3
-    "bloom_filter_dedup",  # last r3
-    "text_stats",  # last r3
-    "repetition_stats",  # last r3
-    "tfidf_topterms",  # last r3
-    "udaf_grouped",  # last r3
-    # ---- slot 51+: next-round queue ----
+    "winnow_fingerprint",  # changed
+    "winnow_dedup",  # changed
+    "shared_run_audit",  # changed
     "agg_groupby_sum",  # last r4
     "agg_grouping_sets",  # last r4
     "book_reconstruct",  # last r4
@@ -183,6 +149,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",  # last r4
     "topk_ngrams",  # last r4
     "doc_length_histogram",  # last r4
+    # ---- slot 51+: next-round queue ----
     "redact_pii",  # last r4
     "udf_scalar_pandas",  # last r4
     "udtf_explode_custom",  # last r4
@@ -234,8 +201,55 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "bigram_logprob",  # last r6
     "length_profile_by_source",  # last r6
     "repetition_battery",  # last r6
-    "winnow_fingerprint",  # last r6
-    "winnow_dedup",  # last r6
+    "table_profile",  # last r7
+    "equi_depth_histogram",  # last r7
+    "moments_profile",  # last r7
+    "composite_large_orders",  # last r7
+    "share_of_total",  # last r7
+    "funnel_conversion",  # last r7
+    "retention_cohorts",  # last r7
+    "anomaly_zscore",  # last r7
+    "event_heatmap",  # last r7
+    "benford_audit",  # last r7
+    "realized_volatility",  # last r7
+    "max_drawdown",  # last r7
+    "interarrival_stats",  # last r7
+    "hypertable_rollup",  # last r7
+    "roll_spread",  # last r7
+    "order_flow_imbalance",  # last r7
+    "market_correlation",  # last r7
+    "hhi_concentration",  # last r7
+    "cusum_drift",  # last r7
+    "dollar_bars",  # last r7
+    "amihud_illiquidity",  # last r7
+    "kyle_lambda",  # last r7
+    "vpin",  # last r7
+    "ohlc_volatility",  # last r7
+    "autocorr_returns",  # last r7
+    "effective_spread",  # last r7
+    "resample_ffill",  # last r7
+    "ohlc_bars",  # last r7
+    "bpe_merges",  # last r7
+    "dsir_weights",  # last r7
+    "ngram_novelty",  # last r7
+    "delta_dedup",  # last r7
+    "prefix_dedup",  # last r7
+    "pagerank_docs",  # last r7
+    "rag_chunk",  # last r7
+    "char_entropy",  # last r7
+    "compression_ratio",  # last r7
+    "heavy_hitters",  # last r7
+    "embed_centroid_stats",  # last r7
+    "ann_pq_topk",  # last r7
+    "semdedup",  # last r7
+    "ann_ivfpq_topk",  # last r7
+    "ann_filtered_topk",  # last r7
+    "pmi_collocations",  # last r7
+    "zipf_fit",  # last r7
+    "approx_quantile_audit",  # last r7
+    "ccnet_buckets",  # last r7
+    "lang_id_confusion",  # last r7
+    "license_tag",  # last r7
 )
 
 

@@ -35,6 +35,7 @@ from pathlib import Path
 import pytest
 
 from nt_etl_order_book_spark.registry import (
+    _SWEEP_CHANGED,
     _SWEEP_PRIORITY,
     _SWEEP_ROTATED_FOR_ROUND,
     all_specs,
@@ -91,6 +92,14 @@ def test_no_query_exceeds_sustainable_sweep_staleness():
     # query is re-swept every ceil(N/50) rounds under perfect rotation.
     allowed = -(-len(specs) // SWEEP_CAP)
 
+    # Documented policy exception (rotate_sweep.py changed-query args):
+    # promoting _SWEEP_CHANGED semantic changes into the window can push
+    # an equal number of stalest queries one round past the bound — legal
+    # ONLY if each displaced query sits at the head of the slot-51+ queue
+    # (so it is mechanically first in the NEXT window, debt repaid in one
+    # round) and the overshoot is exactly one round.
+    queue_head = set(_SWEEP_PRIORITY[SWEEP_CAP : SWEEP_CAP + len(_SWEEP_CHANGED)])
+
     violations: list[str] = []
     for name in specs:
         if name in window:
@@ -105,6 +114,8 @@ def test_no_query_exceeds_sustainable_sweep_staleness():
             continue
         staleness = upcoming - prev
         if staleness > allowed:
+            if staleness == allowed + 1 and name in queue_head:
+                continue  # bounded displacement by _SWEEP_CHANGED, queued next
             violations.append(
                 f"{name}: last driver row r{prev}, would be {staleness} rounds stale "
                 f"after r{upcoming} (sustainable bound {allowed})"
@@ -124,8 +135,13 @@ def test_window_is_exactly_the_stalest_fifty():
     are local-oracle verified on registration and explicitly queued past
     slot 50 for the NEXT round's window (registry comment), so a
     never-swept query outside the window is legal iff it sits in
-    _SWEEP_PRIORITY (the first test enforces that). If a future round
-    legitimately changes the windowing policy, update this test
+    _SWEEP_PRIORITY (the first test enforces that). _SWEEP_CHANGED is
+    the second policy exception: a query whose semantics (impl + oracle)
+    changed this round MUST lead the window regardless of how fresh its
+    old-semantics row is (the old row no longer evidences the current
+    code) — those names are excluded from the stalest-fifty comparison,
+    and the first test bounds the displacement they cause. If a future
+    round legitimately changes the windowing policy, update this test
     alongside _SWEEP_PRIORITY."""
     last, latest = _driver_rows()
     _skip_if_rotation_pending(latest)
@@ -133,9 +149,11 @@ def test_window_is_exactly_the_stalest_fifty():
     window = names[:SWEEP_CAP]
     # The window must cover every PREVIOUSLY-SWEPT query at least as
     # stale as the freshest in-window query (never-swept rest queries
-    # are the queued-for-next-round additions handled above).
+    # are the queued-for-next-round additions handled above; changed
+    # queries carry rows for superseded semantics, so their recency is
+    # meaningless here).
     worst_in_rest = min((last[n] for n in names[SWEEP_CAP:] if n in last), default=99)
-    best_in_window = max(last.get(n, 0) for n in window)
+    best_in_window = max(last.get(n, 0) for n in window if n not in _SWEEP_CHANGED)
     assert best_in_window <= worst_in_rest, (
         f"window contains a query with row r{best_in_window} while a staler "
         f"query (r{worst_in_rest}) sits outside it"

@@ -64,24 +64,18 @@ def main() -> int:
         ),
     )
     window, queue = prio[:SWEEP_CAP], prio[SWEEP_CAP:]
-    # A changed query carrying a FRESH row can displace a staler query
-    # past the cap — that intentionally breaks the strict stalest-first
-    # invariant tests/test_registry_rotation.py::
-    # test_window_is_exactly_the_stalest_fifty enforces. Surface the
-    # conflict instead of silently emitting a tuple the gate rejects.
-    fresh_changed = [n for n in changed if last.get(n, 0) >= latest]
-    if fresh_changed and queue:
-        worst_out = min(last.get(n, -1) for n in queue)
-        best_in = max(last.get(n, -1) for n in window)
-        if best_in > worst_out:
-            print(
-                "# WARNING: promoting fresh-row changed queries "
-                f"{fresh_changed} displaces staler queries past slot "
-                f"{SWEEP_CAP}; update test_window_is_exactly_the_stalest_"
-                "fifty's documented policy exception alongside this paste.",
-            )
     print(f"# r{latest + 1} window (slots 1-{SWEEP_CAP}); history through r{latest}")
     print(f"_SWEEP_ROTATED_FOR_ROUND = {latest + 1}")
+    print()
+    # Changed queries displace up to len(changed) stalest queries just
+    # past the cap; tests/test_registry_rotation.py waives exactly that
+    # bounded, queued-next displacement, keyed off _SWEEP_CHANGED — paste
+    # this tuple alongside the priority (reset to () on rotations with no
+    # semantic changes).
+    print("_SWEEP_CHANGED: tuple[str, ...] = (")
+    for n in changed:
+        print(f'    "{n}",')
+    print(")")
     print()
     print("_SWEEP_PRIORITY: tuple[str, ...] = (")
     for n in window:
