@@ -125,7 +125,9 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     return staged.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
-def shingle_pair_stats(docs: DataFrame, *, n: int = 3, cap: int = MAX_SHINGLE_DF) -> DataFrame:
+def shingle_pair_stats(
+    docs: DataFrame, *, n: int = 3, cap: int = MAX_SHINGLE_DF, exact_strings: bool = False
+) -> DataFrame:
     """(a, b, inter, sz_a, sz_b) for every doc pair sharing a surviving shingle.
 
     One materialized pass over the inverted index instead of three: the
@@ -147,10 +149,25 @@ def shingle_pair_stats(docs: DataFrame, *, n: int = 3, cap: int = MAX_SHINGLE_DF
     compares and counts it, so the narrow identity halves-plus the
     exchange width and skips the per-gram string allocation entirely
     (r8: truth-side build 5.6 s → measured below in PERF.md).
+    ``exact_strings=True`` swaps the string-shingle index
+    (:func:`shingles`) back in for runs that need bit-exact truth with
+    zero collision odds (the ~D²/2⁵⁸ birthday bound on the hashed
+    identity) at the cost of wide-string shuffles — the knob the
+    hashed default's exactness note points at.
+
+    Size lookups join WITHOUT a broadcast hint (r9): `sizes` is
+    doc-grain — one row per surviving doc — so a forced broadcast is a
+    multi-GB driver-side build at ~1e9 docs (Spark's 8 GB hard-stop),
+    while `inter` is already candidate-pair-grain and cheap to
+    shuffle. AQE still picks a broadcast at sandbox scale on its own;
+    at corpus scale it degrades gracefully to a shuffled join.
     """
     from nt_etl_order_book_spark.session import checkpoint_frame
 
-    sh = shingle_hashes(docs, "doc_id", "text", n=n)
+    if exact_strings:
+        sh = shingles(docs, "doc_id", "text", n=n)
+    else:
+        sh = shingle_hashes(docs, "doc_id", "text", n=n)
     w = Window.partitionBy("shingle")
     capped = checkpoint_frame(
         sh.withColumn("_df", F.count(F.lit(1)).over(w))
@@ -177,8 +194,8 @@ def shingle_pair_stats(docs: DataFrame, *, n: int = 3, cap: int = MAX_SHINGLE_DF
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    za = F.broadcast(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")))
-    zb = F.broadcast(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")))
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
     return inter.join(za, "a").join(zb, "b")
 
 
