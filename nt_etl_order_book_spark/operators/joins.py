@@ -50,6 +50,11 @@ def asof_join(
     EVERYWHERE: the pick is deterministic across runs and identical
     between the chunked and unchunked paths (it cannot smear across
     day boundaries). When the contract holds the tiebreak never fires.
+    Because the tiebreak compares the whole value struct, every column
+    in ``value_cols`` must have an ORDERABLE type (no map columns) —
+    the plan fails at analysis time otherwise. Project a map column to
+    orderable fields (or map_entries) before the join if you need it
+    carried.
 
     The matched right row travels as ONE struct, not per-column `last`
     calls: per-column ignorenulls would stitch a NULL-bearing right row

@@ -1690,17 +1690,18 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM comp
     """,
     doc=(
-        "Gini coefficient of event volume across markets — the "
+        "Gini coefficient of event volume across users — the "
         "inequality summary of ingest concentration (hhi_concentration "
         "squares shares; Gini ranks them — the pair distinguishes 'one "
         "giant' from 'graded tail'). The volume aggregate collapses to "
-        "market grain first, then the global ROW_NUMBER runs through "
+        "user_id grain first, then the global ROW_NUMBER runs through "
         "the distributed_rank range-partition decomposition (keys=[]) "
         "instead of a single-task ORDER BY window — the only unkeyed "
         "window left is over the |partitions|-row offsets frame; rank "
-        "ties broken by the unique market key; Sum(i*x) and Sum(x) are "
+        "ties broken by the unique user_id; Sum(i*x) and Sum(x) are "
         "exact BIGINT and the closed form runs in double over them, "
-        "6 dp."
+        "6 dp. (n_markets keeps its recorded column name: it counts "
+        "the ranked entities — user_id grain.)"
     ),
 )
 def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -545,11 +545,22 @@ def _range_parts(df: DataFrame) -> int:
     session's configured shuffle parallelism, not a constant, so the
     split count grows with the deployment (1000-executor clusters run
     thousands of shuffle partitions; a hardcoded 32 would leave one
-    range per ~30 executors)."""
+    range per ~30 executors). Clamped to 4× the session's core count:
+    ranges beyond that add offsets-frame rows and task overhead without
+    adding parallelism (an un-tuned local session carries Spark's
+    200-partition default against a handful of cores), while on a real
+    cluster 4×cores ≥ the configured parallelism so the clamp never
+    bites. Broad except: conf.get can fail through Py4J wrappers too,
+    and the fallback must hold for any failure shape."""
     try:
-        return max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 1)
-    except (TypeError, ValueError):
+        conf_parts = max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 1)
+    except Exception:
         return 32
+    try:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return conf_parts
+    return min(conf_parts, max(4 * cores, 32))
 
 
 def distributed_rank(

@@ -920,11 +920,15 @@ def test_windowed_ohlc_late_data_folds_in_across_batches(spark, tmp_path):
     )
     q.awaitTermination(120)
     rows = spark.sql("select * from ohlc_late_tbl").collect()
-    # update mode re-emits the bar per batch; keep the LAST emission per
-    # key (memory sink appends in batch order)
+    # update mode re-emits the bar per batch; cross-batch row order from
+    # a memory-sink collect() is NOT contractually guaranteed, so pick
+    # the latest emission per key by its own monotone marker: n_msgs
+    # strictly grows every time a batch folds more rows into the bar.
     final = {}
     for r in rows:
-        final[(r.window_start, r.ticker)] = (r.open, r.high, r.low, r.close, r.n_msgs)
+        key = (r.window_start, r.ticker)
+        if key not in final or r.n_msgs > final[key][4]:
+            final[key] = (r.open, r.high, r.low, r.close, r.n_msgs)
     want = {
         (r.window_start, r.ticker): (r.open, r.high, r.low, r.close, r.n_msgs)
         for r in windowed_ohlc(
