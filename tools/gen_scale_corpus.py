@@ -21,8 +21,10 @@ sort in one task. event_type/value/props ride through unchanged so
 the tick-rule signs, notional sums, and lifecycle change-points all
 still exercise.
 
-Usage: python tools/gen_scale_corpus.py [--sparse|--events] [out_dir]
-  (default out_dir: /tmp/docs10x, /tmp/docs10xsparse, or /tmp/events10x)
+Usage: python tools/gen_scale_corpus.py [--sparse|--events] [--copies N] [out_dir]
+  (default out_dir: /tmp/docs10x, /tmp/docs10xsparse, or /tmp/events10x;
+  --copies N — events only — sets the depth multiplier, default 10:
+  the 100x spot-check corpus is `--events --copies 100 /tmp/events100x`)
 """
 
 from __future__ import annotations
@@ -38,12 +40,12 @@ from nt_etl_order_book_spark.session import get_spark, tune_session
 from nt_etl_order_book_spark.tables import load_table
 
 
-def gen_events(spark, src: str, out: str) -> None:
+def gen_events(spark, src: str, out: str, n_copies: int = 10) -> None:
     ev = load_table(spark, src, "events")
     span = ev.agg(
         F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date")).alias("span_d")
     )
-    copies = spark.range(10).select(F.col("id").alias("copy_id"))
+    copies = spark.range(n_copies).select(F.col("id").alias("copy_id"))
     big = (
         ev.crossJoin(F.broadcast(span))
         .crossJoin(copies)
@@ -51,18 +53,27 @@ def gen_events(spark, src: str, out: str) -> None:
             "ts",
             F.col("ts") + F.make_dt_interval(F.col("copy_id") * (F.col("span_d") + 1)),
         )
-        .withColumn("event_id", (F.col("event_id") * 10 + F.col("copy_id")).cast("long"))
+        .withColumn(
+            "event_id", (F.col("event_id") * n_copies + F.col("copy_id")).cast("long")
+        )
         .drop("copy_id", "span_d")
     )
     big.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
     n = spark.read.parquet(f"{out}/events.parquet").count()
-    print(f"wrote {n} events to {out}/events.parquet (day-shifted 10x)")
+    print(f"wrote {n} events to {out}/events.parquet (day-shifted {n_copies}x)")
 
 
 def main() -> int:
     sparse = "--sparse" in sys.argv
     events = "--events" in sys.argv
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    n_copies = 10
+    if "--copies" in sys.argv:
+        n_copies = int(sys.argv[sys.argv.index("--copies") + 1])
+    args = [
+        a
+        for i, a in enumerate(sys.argv[1:], 1)
+        if not a.startswith("-") and sys.argv[i - 1] != "--copies"
+    ]
     out = args[0] if args else (
         "/tmp/events10x" if events else ("/tmp/docs10xsparse" if sparse else "/tmp/docs10x")
     )
@@ -70,7 +81,7 @@ def main() -> int:
 
     spark = tune_session(get_spark("gen-scale-corpus", shuffle_partitions=32))
     if events:
-        gen_events(spark, src, out)
+        gen_events(spark, src, out, n_copies)
         spark.stop()
         return 0
     docs = load_table(spark, src, "documents")
