@@ -444,3 +444,61 @@ def test_shingle_pair_stats_matches_bruteforce(spark_prop, texts):
         for r in shingle_pair_stats(docs, cap=CAP, exact_strings=True).collect()
     }
     assert got_exact == want
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=doc_texts)
+def test_winnow_fingerprints_match_bruteforce(spark_prop, texts):
+    # The r9 rolling-gram kernel (token md5-hex8 once, polynomial
+    # combine mod 2^57) against a character-faithful python oracle of
+    # the full winnowing pipeline: per-position k-gram hashes with the
+    # clipped partial-gram rule (short docs fold the tokens they have;
+    # empty docs emit the -1 sentinel), then distinct window minima.
+    # This is the hypothesis twin of the shingle kernel's bruteforce
+    # gate — the r8 version of which caught the ANSI element_at throw.
+    import hashlib
+
+    from nt_etl_order_book_spark.functions.text import (
+        WINNOW_HASH_MOD,
+        WINNOW_K,
+        WINNOW_W,
+        _WINNOW_HASH_MULT,
+        winnow_fp_expr,
+        winnow_hashes,
+    )
+
+    spark = spark_prop
+
+    def py_hex8(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def py_pipeline(text: str) -> tuple[list[int], set[int]]:
+        toks = [t for t in text.split(" ") if t != ""]
+        th = [py_hex8(t) for t in toks]
+        if not th:
+            hs = [-1]
+        else:
+            hs = []
+            for i in range(max(len(th) - WINNOW_K, 0) + 1):
+                acc = th[i]
+                for j in range(1, WINNOW_K):
+                    if i + j < len(th):
+                        acc = (acc * _WINNOW_HASH_MULT + th[i + j]) % WINNOW_HASH_MOD
+                hs.append(acc)
+        fp = {
+            min(hs[i : i + WINNOW_W])
+            for i in range(max(len(hs) - WINNOW_W, 0) + 1)
+        }
+        return hs, fp
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] or [(0, "placeholder")],
+        "doc_id long, text string",
+    )
+    hashed = winnow_hashes(docs)
+    got = {
+        r.doc_id: (list(r.hs), set(r.fp))
+        for r in hashed.select("doc_id", "hs", winnow_fp_expr().alias("fp")).collect()
+    }
+    for i, t in enumerate(texts):
+        hs, fp = py_pipeline(t)
+        assert got[i] == (hs, fp), (t, got[i], (hs, fp))
