@@ -462,6 +462,24 @@ def test_pair_stats_ops_are_single_pass(spark, sf_dir):
     assert n_smj <= 2, f"shared_run_audit: {n_smj} SortMergeJoins (pairs self-join back?)"
 
 
+def test_decontamination_family_reads_staged_artifacts(spark, sf_dir):
+    # decontaminate_ngram checkpoints the hashed shingle index once for
+    # its three consumers (hot blocklist, bench broadcast, corpus
+    # probe); contamination_span checkpoints the token-hash array once
+    # for its three tier expansions. Either query's final plan showing
+    # a live parquet subtree means a consumer re-runs the corpus
+    # tokenize+gram pipeline (measured 4.5-4.8 -> 0.76-0.88 s and
+    # 2.7-3.2 -> 1.6-1.8 s respectively when staged, r9). All joins are
+    # broadcast (benchmark/blocklist sides are small by contract) — a
+    # SortMergeJoin means a broadcast-ineligible side crept in.
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    for name in ("decontaminate_ngram", "contamination_span"):
+        plan = formatted_plan(registry.queries()[name](spark, sf_dir))
+        assert ") Scan parquet" not in plan, f"{name} re-reads parquet past the checkpoint"
+        assert "SortMergeJoin" not in plan, f"{name}: broadcast join degraded"
+
+
 def test_gini_rank_is_distributed_not_single_partition(spark, sf_dir):
     # gini_concentration's naive form ranked the market-grain volume
     # table with ROW_NUMBER() OVER (ORDER BY ...) — one unpartitioned
