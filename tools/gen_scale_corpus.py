@@ -23,8 +23,11 @@ still exercise.
 
 Usage: python tools/gen_scale_corpus.py [--sparse|--events] [--copies N] [out_dir]
   (default out_dir: /tmp/docs10x, /tmp/docs10xsparse, or /tmp/events10x;
-  --copies N — events only — sets the depth multiplier, default 10:
-  the 100x spot-check corpus is `--events --copies 100 /tmp/events100x`)
+  --copies N sets the multiplier, default 10. 100x spot-check corpora:
+  `--events --copies 100 /tmp/events100x` (tape depth) and
+  `--sparse --copies 100 /tmp/docs100xsparse` — note the sparse dup
+  groups then become n_copies-way, so found-pair output grows
+  quadratically in N by design)
 """
 
 from __future__ import annotations
@@ -85,7 +88,7 @@ def main() -> int:
         spark.stop()
         return 0
     docs = load_table(spark, src, "documents")
-    copies = spark.range(10).select(F.col("id").alias("copy_id"))
+    copies = spark.range(n_copies).select(F.col("id").alias("copy_id"))
     near_dup = F.concat(F.col("text"), F.lit(" filler"), F.col("copy_id"))
     if sparse:
         toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
@@ -113,7 +116,7 @@ def main() -> int:
     big = (
         docs.crossJoin(copies)
         .withColumn("new_text", new_text)
-        .withColumn("doc_id", (F.col("doc_id") * 10 + F.col("copy_id")).cast("long"))
+        .withColumn("doc_id", (F.col("doc_id") * n_copies + F.col("copy_id")).cast("long"))
         .withColumn("text", F.col("new_text"))
         .drop("copy_id", "new_text")
     )
