@@ -433,45 +433,40 @@ def _profile_sql() -> str:
         "Table profiler (the DESCRIBE/SUMMARY surface): one row per "
         "profiled lineitem column with row/null/exact-distinct counts "
         "and min/max rendered through engine-portable VARCHAR casts "
-        "(ints plain, timestamps via DATE). The Spark side computes "
-        "ALL columns in one pass — a single multi-countDistinct "
-        "aggregate (Catalyst's Expand strategy) over one scan, then an "
-        "explode of the 1-row result into long form — instead of "
-        "N per-column scans; at 100 TB one Expand pass beats "
-        f"{len(PROFILE_COLS)} full-column scans and the output is "
-        "always exactly |columns| rows."
+        "(ints plain, timestamps via DATE). One SINGLE-distinct "
+        "aggregate per column, unioned (r9): a combined "
+        "multi-countDistinct aggregate plans through Catalyst's Expand "
+        "— every input row replicated (|distinct-aggs|+1)× through the "
+        "first shuffle — and measured 9.3-9.7 s vs 0.9-1.3 s for the "
+        "per-column form at sf0.1 (values identical). The per-column "
+        "plan is the oracle's own UNION ALL shape; each branch "
+        "column-prunes its scan to ONE column, so the union reads the "
+        "same total parquet bytes as a single wide scan at 100 TB, and "
+        "each single-distinct agg two-phases by value with no row "
+        "replication."
     ),
 )
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nt_etl_order_book_spark.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    frames = []
     for name, kind in PROFILE_COLS:
         c = F.col(name).cast("date") if kind == "date" else F.col(name)
-        aggs += [
-            F.count(c).alias(f"_nn_{name}"),
-            F.countDistinct(c).alias(f"_nd_{name}"),
-            F.min(c).cast("string").alias(f"_mn_{name}"),
-            F.max(c).cast("string").alias(f"_mx_{name}"),
-        ]
-    one = li.agg(*aggs)
-    rows = F.array(
-        *[
-            F.struct(
+        frames.append(
+            li.select(c.alias("_c")).agg(
                 F.lit(name).alias("col_name"),
-                F.col("_n").alias("n_rows"),
-                (F.col("_n") - F.col(f"_nn_{name}")).cast("bigint").alias("n_nulls"),
-                F.col(f"_nd_{name}").cast("bigint").alias("n_distinct"),
-                F.col(f"_mn_{name}").alias("min_val"),
-                F.col(f"_mx_{name}").alias("max_val"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count("_c")).cast("bigint").alias("n_nulls"),
+                F.countDistinct("_c").cast("bigint").alias("n_distinct"),
+                F.min("_c").cast("string").alias("min_val"),
+                F.max("_c").cast("string").alias("max_val"),
             )
-            for name, _ in PROFILE_COLS
-        ]
-    )
-    return one.select(F.explode(rows).alias("p")).select(
-        "p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_val", "p.max_val"
-    )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def exact_percentile_boundaries(df: DataFrame, col: str, fracs: list[float]) -> DataFrame:

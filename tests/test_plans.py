@@ -207,18 +207,28 @@ def test_embed_centroid_stats_broadcasts_centroids(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_table_profile_single_scan_expand(spark, sf_dir):
-    # The profiler must compute all columns from ONE scan via the
-    # multi-countDistinct Expand strategy — N per-column scans would
-    # read the table N times at 100 TB. Two exchanges (partial/final
-    # distinct-aggregate phases) are the canonical shape.
+def test_table_profile_per_column_pruned_no_expand(spark, sf_dir):
+    # The profiler is a UNION of per-column single-distinct aggregates,
+    # each branch column-pruned to EXACTLY its one profiled column — so
+    # the union reads the same total parquet bytes as one wide scan
+    # (parquet is columnar), while avoiding the multi-countDistinct
+    # Expand strategy, which replicates every input row
+    # (|distinct-aggs|+1)x through the first shuffle (measured 9.3-9.7 s
+    # vs 0.9-1.3 s at sf0.1, r9). A branch whose ReadSchema carries
+    # more than its own column re-reads the table for nothing; an
+    # Expand node means the combined-aggregate form is back.
+    import re
+
+    from nt_etl_order_book_spark.operators.aggregates import PROFILE_COLS
     from nt_etl_order_book_spark.plans.explain import formatted_plan
 
     df = registry.queries()["table_profile"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "Expand" in plan
-    assert plan.count("(1) Scan parquet") == 1 and "(2) Scan parquet" not in plan
-    assert count_shuffles(df) <= 2
+    assert "Expand" not in plan, "multi-countDistinct Expand reappeared"
+    assert plan.count(") Scan parquet") == len(PROFILE_COLS)
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        fields = [f for f in schema.split(",") if f.strip()]
+        assert len(fields) == 1, f"profile branch reads {len(fields)} columns: {schema}"
 
 
 def test_dsir_weights_single_explode_broadcast_distributions(spark, sf_dir):
