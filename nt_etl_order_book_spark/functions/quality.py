@@ -58,42 +58,54 @@ LOW_ENTROPY_NATS = 2.0
     """.replace("{thr}", repr(LOW_ENTROPY_NATS)),
     doc=(
         "Per-document character-level Shannon entropy (nats) with a "
-        "degenerate-text flag. The histogram is built by ONE aggregate "
-        "fold over split(text, '') — a per-row map update, so the "
-        "operator is completely narrow: no explode, no shuffle, text "
-        "never leaves its partition. Entropy terms (p ln p, p an exact "
-        "ratio of BIGINTs) accumulate as DECIMAL(38,18), making the sum "
-        "independent of map iteration order — the oracle builds the "
-        "same counts via explode + GROUP BY and lands on the identical "
-        "6-dp value; the flag compares the UNROUNDED double, which the "
-        "exact-decimal sum makes bit-identical cross-engine. Empty "
-        "documents are excluded in both engines (a character "
+        "degenerate-text flag. Computed narrow via SORTED-RUN folding "
+        "(r9): array_sort the character array, then one O(len) fold "
+        "whose accumulator is a 3-field struct (current char, run "
+        "length, decimal sum) that emits a p·ln p term at each run "
+        "boundary — no explode, no shuffle, text never leaves its "
+        "partition. This replaces the per-character map rebuild "
+        "(map_concat of a map_filter per step — O(len × alphabet) "
+        "with a map allocation per character; measured 7.1 s → 1.6 s "
+        "at sf0.1, values identical). Entropy terms (p ln p, p an "
+        "exact ratio of BIGINTs) accumulate as DECIMAL(38,18), making "
+        "the sum independent of accumulation order — the oracle builds "
+        "the same counts via explode + GROUP BY and lands on the "
+        "identical 6-dp value; the flag compares the UNROUNDED double, "
+        "which the exact-decimal sum makes bit-identical cross-engine. "
+        "Empty documents are excluded in both engines (a character "
         "distribution does not exist for them)."
     ),
 )
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    staged = docs.select(
-        "doc_id",
-        F.length("text").alias("L"),
-        F.expr(
-            "aggregate(split(text, ''), cast(map() as map<string,bigint>), "
-            "(acc, ch) -> map_concat(map_filter(acc, (k, v) -> k != ch), "
-            "map(ch, coalesce(acc[ch], 0L) + 1L)))"
-        ).alias("cnts"),
+    # Per-step re-casts keep the accumulator at (38,18): Spark types
+    # decimal + decimal as (38,17) otherwise. The run==0 guard covers
+    # the fold's first step (no run open yet); null-safe <=> covers the
+    # null prev sentinel. The finish lambda flushes the last run.
+    ent_expr = F.expr(
+        """
+      cast(aggregate(
+        array_sort(split(text, '')),
+        struct(cast(null as string) as prev, cast(0 as bigint) as run,
+               cast(0 as decimal(38,18)) as s),
+        (acc, ch) -> CASE WHEN acc.prev <=> ch
+                          THEN struct(acc.prev as prev, acc.run + 1L as run, acc.s as s)
+                          ELSE struct(ch as prev, 1L as run,
+                                      cast(acc.s + CASE WHEN acc.run = 0
+                                           THEN cast(0 as decimal(38,18))
+                                           ELSE cast((cast(acc.run as double) / length(text))
+                                                * ln(cast(acc.run as double) / length(text))
+                                                as decimal(38,18)) END
+                                      as decimal(38,18)) as s) END,
+        acc -> cast(acc.s + CASE WHEN acc.run = 0 THEN cast(0 as decimal(38,18))
+                    ELSE cast((cast(acc.run as double) / length(text))
+                         * ln(cast(acc.run as double) / length(text))
+                         as decimal(38,18)) END
+               as decimal(38,18))
+      ) as double)
+    """
     )
-    ent = staged.select(
-        "doc_id",
-        (
-            # The per-step re-cast keeps the accumulator at (38,18):
-            # Spark types decimal + decimal as (38,17) otherwise.
-            -F.expr(
-                "cast(aggregate(map_values(cnts), cast(0 as decimal(38,18)), "
-                "(s, c) -> cast(s + cast((cast(c as double) / L) * ln(cast(c as double) / L) "
-                "as decimal(38,18)) as decimal(38,18))) as double)"
-            )
-        ).alias("ent"),
-    )
+    ent = docs.select("doc_id", (-ent_expr).alias("ent"))
     return ent.select(
         "doc_id",
         F.round("ent", 6).alias("entropy_nats"),
