@@ -125,6 +125,32 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     return staged.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
+def token_hash_expr(text_col: str = "text") -> Column:
+    """Per-token 57-bit hashes (xxhash64 pmod SHINGLE_HASH_MOD) of the
+    whitespace tokens of ``text_col`` — the hash-once stage every
+    rolling-gram consumer starts from. Engine-local (xxhash64): use it
+    only where gram VALUES never surface in query output."""
+    toks = F.filter(F.split(text_col, " "), lambda t: t != "")
+    return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(SHINGLE_HASH_MOD)))
+
+
+def rolling_gram_expr(th: Column, n: int) -> Column:
+    """Full n-gram rolling hashes over a token-hash array: one hash per
+    position 0..size-n, each a LINEAR-size polynomial fold (plain
+    element_at — callers must pre-filter docs to size >= n; a
+    partial-gram when-chain duplicates the accumulator per level and
+    goes exponential in n, measured as a codegen stall at n=16)."""
+    m = F.lit(SHINGLE_HASH_MOD)
+
+    def gram_at(i):
+        acc = F.element_at(th, i + 1)
+        for j in range(1, n):
+            acc = F.pmod(acc * _SHINGLE_HASH_MULT + F.element_at(th, i + 1 + j), m)
+        return acc
+
+    return F.transform(F.sequence(F.lit(0), F.size(th) - n), gram_at)
+
+
 def shingle_pair_stats(
     docs: DataFrame, *, n: int = 3, cap: int = MAX_SHINGLE_DF, exact_strings: bool = False
 ) -> DataFrame:
@@ -654,37 +680,21 @@ def q_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Token hashes computed ONCE and staged (r9): all three tiers gram
     # over the same tokens, and no consumer reads shingle TEXT (output
     # is doc_id + counts), so the identity is the 57-bit rolling hash
-    # and the tokenize+hash pass runs once instead of six times (each
-    # tier's bench-distinct build and corpus probe re-expanded the
-    # corpus). The per-tier gram is a LINEAR-size fold — plain
-    # element_at, no partial-gram when-chain, because docs shorter than
-    # the tier are filtered out first (the when-chain's accumulator
-    # duplication is exponential in n and n reaches 16 here; measured
-    # as a multi-minute codegen stall when tried). Measured at sf0.1,
+    # (token_hash_expr/rolling_gram_expr) and the tokenize+hash pass
+    # runs once instead of six times (each tier's bench-distinct build
+    # and corpus probe re-expanded the corpus). Measured at sf0.1,
     # values identical: 2.7-3.2 s → 1.6-1.8 s.
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    m = F.lit(SHINGLE_HASH_MOD)
-    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), m))
-    staged = checkpoint_frame(docs.select("doc_id", th.alias("_th")))
+    staged = checkpoint_frame(docs.select("doc_id", token_hash_expr().alias("_th")))
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     tiers = []
     for n in SPAN_TIERS:
         # Docs shorter than the tier width are excluded (mirrors the
         # oracle): a whole-doc fallback would otherwise let a short doc
         # "match" at a tier wider than the doc itself and break the
-        # factor-2 span bracket.
+        # factor-2 span bracket. The pre-filter also licenses the
+        # full-width-only gram fold (see rolling_gram_expr).
         base = staged.filter(F.size("_th") >= n)
-
-        def gram_at(arr, i, n=n):
-            acc = F.element_at(arr, i + 1)
-            for j in range(1, n):
-                acc = F.pmod(acc * _SHINGLE_HASH_MULT + F.element_at(arr, i + 1 + j), m)
-            return acc
-
-        grams = F.transform(
-            F.sequence(F.lit(0), F.size(F.col("_th")) - n),
-            lambda i, n=n: gram_at(F.col("_th"), i),
-        )
+        grams = rolling_gram_expr(F.col("_th"), n)
         sh = base.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
         bench = sh.filter(is_bench).select("shingle").distinct()
         tiers.append(
@@ -1125,24 +1135,36 @@ NOVELTY_N = 8
         "appear in NO other document — low novelty flags boilerplate, "
         "templated spam, and near-copies that slipped past pair-based "
         "dedup; the census a training run consults before trusting a "
-        "source. Shingles travel as md5 DIGESTS (text never shuffles), "
-        "one explode feeds both the corpus document-frequency table and "
-        "the per-doc census (same exchange, reused at runtime), and the "
-        "novelty ratio is a quotient of exact BIGINTs. Docs shorter "
-        f"than {NOVELTY_N} tokens have no shingles and no row — "
-        "identical in both engines."
+        "source. Grams travel as 57-bit rolling HASHES (text never "
+        "shuffles; counts match the md5-digest oracle exactly, same "
+        "collision bound as shingle_hashes), one checkpointed explode "
+        "feeds both the corpus document-frequency table and the "
+        "per-doc census, and the novelty ratio is a quotient of exact "
+        f"BIGINTs. Docs shorter than {NOVELTY_N} tokens have no "
+        "shingles and no row — identical in both engines."
     ),
 )
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_etl_order_book_spark.session import checkpoint_frame
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
-    # One shingle construction for the whole dedup family: reuse
-    # shingles() (ngram_jaccard / decontamination use it too) so window
-    # arithmetic can't silently diverge; md5 post-explode still means
-    # only digests reach the exchange.
-    sh = shingles(
-        docs.filter(F.size(toks) >= NOVELTY_N), "doc_id", "text", n=NOVELTY_N
-    ).select("doc_id", F.md5(F.col("shingle")).alias("g"))
+    # Rolling-gram hashes, staged once (r9): the output reads only
+    # COUNTS, so the gram identity is the 57-bit rolling hash (same
+    # exactness bound as shingle_pair_stats — the string/md5 oracle's
+    # counts match exactly at any tested scale), and the exploded index
+    # is checkpointed because BOTH consumers (the document-frequency
+    # aggregate and the join probe) otherwise re-run the corpus
+    # tokenize+gram expansion. Docs are pre-filtered to >= NOVELTY_N
+    # tokens (mirrors the oracle), so the gram fold is full-width only.
+    # Measured at sf0.1, values identical: 4.2-5.3 s → 1.1 s.
+    staged = docs.filter(F.size(toks) >= NOVELTY_N).select(
+        "doc_id", token_hash_expr().alias("_th")
+    )
+    grams = rolling_gram_expr(F.col("_th"), NOVELTY_N)
+    sh = checkpoint_frame(
+        staged.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    )
     freq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("docs_with"))
     novel = F.when(F.col("docs_with") == 1, 1).otherwise(0)
     return (
