@@ -989,6 +989,8 @@ def _nearest_cell_sim(vec: Column, cents: Column) -> Column:
     ),
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_etl_order_book_spark.session import checkpoint_frame
+
     emb = load_table(spark, sf_dir, "embeddings")
     cents_arr = ivf_codebook(emb)
     scored = emb.crossJoin(F.broadcast(cents_arr)).select(
@@ -998,13 +1000,19 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nearest_cell_sim(F.col("embedding"), F.col("cents")).alias("best"),
     )
     # cos to own centroid: centroids are unit vectors, so best.sim is
-    # ‖v‖·cos — one division, no second fold.
-    assigned = scored.select(
-        "vec_id",
-        "embedding",
-        "enorm",
-        F.col("best.cell").alias("cell"),
-        (F.col("best.sim") / F.nullif(F.col("enorm"), F.lit(0.0))).alias("ccos"),
+    # ‖v‖·cos — one division, no second fold. Checkpointed (r9): FOUR
+    # consumers (cell census, both pair sides, final inventory join)
+    # otherwise each re-run the corpus-sized HOF-argmin assignment —
+    # measured 4.0-4.5 s → 2.8-3.6 s at sf0.1 (the remainder is the
+    # per-call codebook training, shared with every IVF query).
+    assigned = checkpoint_frame(
+        scored.select(
+            "vec_id",
+            "embedding",
+            "enorm",
+            F.col("best.cell").alias("cell"),
+            (F.col("best.sim") / F.nullif(F.col("enorm"), F.lit(0.0))).alias("ccos"),
+        )
     )
     # Quadratic guard: oversized cells are excluded from PAIRING only —
     # the inventory below still reports them (capped = true, zero
