@@ -165,28 +165,49 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(scored)
 
 
-def _plane(table: int, i: int) -> Column:
-    """Deterministic hyperplane (table, i) as a LITERAL array: components
-    derived from md5 in Python at plan-build time, so signature evaluation
-    does no per-row plane construction."""
+def _plane_vals(table: int, i: int) -> list[float]:
+    """Deterministic hyperplane (table, i) components: md5-derived in
+    Python at plan-build time, so signature evaluation does no per-row
+    plane construction."""
     import hashlib
 
     vals = []
     for j in range(64):
         digest = hashlib.md5(f"ntspark-plane:{table}:{i}:{j}".encode()).digest()
         vals.append((int.from_bytes(digest[:8], "big") % 2_000_001) / 1_000_000.0 - 1.0)
-    return F.array(*[F.lit(v) for v in vals])
+    return vals
+
+
+# The full [table][plane][dim] hyperplane tensor, shipped into the plan
+# as ONE nested-array Literal node (r9). The previous form built
+# N_TABLES × N_PLANES separate 64-literal arrays, each inside its own
+# dot-product fold — ~10k expression nodes whose ANALYSIS, not
+# execution, dominated the query (2.5 s for a 2000-row signature pass;
+# 1.3 s single-Literal + HOF form, and the gap widens with tables).
+_PLANES: list[list[list[float]]] = [
+    [_plane_vals(t, i) for i in range(N_PLANES)] for t in range(N_TABLES)
+]
 
 
 def rp_signatures(vec: Column) -> Column:
-    """Array of N_TABLES signed-projection signatures (N_PLANES bits each)."""
-    sigs = []
-    for t in range(N_TABLES):
-        sig = F.lit(0)
-        for i in range(N_PLANES):
-            sig = sig + F.when(dot(vec, _plane(t, i)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sigs.append(sig)
-    return F.array(*sigs)
+    """Array of N_TABLES signed-projection signatures (N_PLANES bits
+    each) — bit i of table t's signature is sign(vec · plane(t, i)),
+    identical values to the per-plane expression form this replaces."""
+    return F.transform(
+        F.lit(_PLANES),
+        lambda tp: F.aggregate(
+            F.transform(
+                tp,
+                # shiftleft's DSL binding wants a Python int for the bit
+                # count; call_function passes the lambda index Column.
+                lambda p, i: F.when(
+                    dot(vec, p) >= 0, F.call_function("shiftleft", F.lit(1), i)
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+    )
 
 
 @register(
