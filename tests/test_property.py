@@ -502,3 +502,54 @@ def test_winnow_fingerprints_match_bruteforce(spark_prop, texts):
     for i, t in enumerate(texts):
         hs, fp = py_pipeline(t)
         assert got[i] == (hs, fp), (t, got[i], (hs, fp))
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=8),
+)
+def test_rolling_gram_expr_matches_bruteforce(spark_prop, texts, n):
+    # The shared hash-once + linear-fold kernel (token_hash_expr +
+    # rolling_gram_expr) against a python oracle: xxhash64 can't be
+    # reproduced in python, so the oracle property is STRUCTURAL —
+    # gram count = size - n + 1, and two positions collide exactly when
+    # their token windows are equal (same tokens → same rolling hash;
+    # the converse at these sizes is the ~D²/2⁵⁸ collision bound).
+    from nt_etl_order_book_spark.functions.dedup import (
+        rolling_gram_expr,
+        token_hash_expr,
+    )
+
+    spark = spark_prop
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    staged = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("ntok"),
+        token_hash_expr().alias("_th"),
+    ).filter(F.col("ntok") >= n)
+    got = {
+        r.doc_id: list(r.g)
+        for r in staged.select(
+            "doc_id", rolling_gram_expr(F.col("_th"), n).alias("g")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split(" ") if x != ""]
+        if len(toks) < n:
+            assert i not in got
+            continue
+        grams = got[i]
+        assert len(grams) == len(toks) - n + 1
+        windows = [tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        for x in range(len(windows)):
+            for y in range(x + 1, len(windows)):
+                if windows[x] == windows[y]:
+                    assert grams[x] == grams[y], (t, x, y)
+                else:
+                    assert grams[x] != grams[y], (t, x, y)
