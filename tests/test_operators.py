@@ -1345,3 +1345,22 @@ def test_distributed_rank_shuffled_offsets_and_empty_keys(spark):
         for r in df.select("k", F.row_number().over(Window.orderBy(*order)).alias("rn")).collect()
     }
     assert glob == want
+
+
+def test_range_parts_clamps_untuned_sessions(spark):
+    # The rank-decomposition fan-out follows spark.sql.shuffle.partitions
+    # but clamps at 4x cores: an un-tuned local session carrying Spark's
+    # 200-partition default must not inflate the offsets frame, while a
+    # tuned session's setting passes through untouched.
+    from nt_etl_order_book_spark.operators.windows import _range_parts
+
+    df = spark.range(10)
+    cores = spark.sparkContext.defaultParallelism
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(100 * cores))
+        assert _range_parts(df) == max(4 * cores, 32)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        assert _range_parts(df) == 8
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
