@@ -210,7 +210,12 @@ def main() -> None:
     # recording carries its own context, and take best-of-3 instead of
     # best-of-2 when the box is already busy at start.
     load_start = os.getloadavg()
-    n_runs = 3 if load_start[0] > 1.0 else 2
+    # Fixed at 3 (r9 ADVICE): choosing 2-vs-3 from the start-time load
+    # made rounds alternate between best-of-2 and best-of-3 — min-of-N
+    # is biased lower for larger N, a small systematic skew in the
+    # cross-round series. Always-3 costs ~1 min and keeps every round
+    # on the same protocol (runs_per_query in the JSON records it).
+    n_runs = 3
     tier3_errors: list[str] = []
 
     def timed(names: list[str], strict: bool = True) -> dict[str, float]:

@@ -81,75 +81,13 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # CORRECTNESS_r{N}.json has N >= this value, the window below has been
 # consumed and the rotation gate reports "rotation pending" instead of
 # failing; run `python tools/rotate_sweep.py`, paste, and bump this.
-# r9 window (slots 1-50); history through r8
-_SWEEP_ROTATED_FOR_ROUND = 9
+# r10 window (slots 1-50); history through r9
+_SWEEP_ROTATED_FOR_ROUND = 10
 
-# Queries whose SEMANTICS (impl + oracle in lockstep) changed in the
-# round this rotation targets — they lead the window so the driver's
-# first rows for the new semantics land immediately (rotate_sweep.py
-# changed-query args). Their promotion can displace up to len() stalest
-# queries just past the cap (slots 51+ head, swept next round, one round
-# over the sustainable bound); tests/test_registry_rotation.py waives
-# exactly that bounded, queued displacement and nothing else. Reset to
-# () on any rotation without semantic changes.
 _SWEEP_CHANGED: tuple[str, ...] = (
-    "winnow_fingerprint",
-    "winnow_dedup",
-    "shared_run_audit",
 )
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    "winnow_fingerprint",  # changed
-    "winnow_dedup",  # changed
-    "shared_run_audit",  # changed
-    "agg_groupby_sum",  # last r4
-    "agg_grouping_sets",  # last r4
-    "book_reconstruct",  # last r4
-    "composite_regional_revenue",  # last r4
-    "join_inner_hash",  # last r4
-    "join_asof",  # last r4
-    "join_interval",  # last r4
-    "set_union_all",  # last r4
-    "dedup_exact",  # last r4
-    "scan_parquet",  # last r4
-    "win_rank_topk_depth",  # last r4
-    "win_running_sum",  # last r4
-    "win_ntile",  # last r4
-    "best_bid_ask",  # last r4
-    "dedup_exact_docs",  # last r4
-    "minhash_dedup",  # last r4
-    "simhash_dedup",  # last r4
-    "ngram_jaccard",  # last r4
-    "decontaminate_ngram",  # last r4
-    "stratified_sample",  # last r4
-    "dedup_components",  # last r4
-    "multimodal_meta",  # last r4
-    "multimodal_features",  # last r4
-    "seq_pack",  # last r4
-    "domain_mix",  # last r4
-    "dup_cluster_stats",  # last r4
-    "fn_string",  # last r4
-    "fn_date",  # last r4
-    "fn_math",  # last r4
-    "fn_array",  # last r4
-    "fn_map_json",  # last r4
-    "fn_map_ops",  # last r4
-    "fn_bitwise",  # last r4
-    "fn_null_safe_eq",  # last r4
-    "fn_conditional",  # last r4
-    "cosine_topk",  # last r4
-    "ann_lsh_topk",  # last r4
-    "ann_ivf_topk",  # last r4
-    "embed_norm_stats",  # last r4
-    "embed_cosine_dedup",  # last r4
-    "tokenize_tf",  # last r4
-    "lang_id",  # last r4
-    "quality_score",  # last r4
-    "token_count",  # last r4
-    "doc_fingerprint",  # last r4
-    "topk_ngrams",  # last r4
-    "doc_length_histogram",  # last r4
-    # ---- slot 51+: next-round queue ----
     "redact_pii",  # last r4
     "udf_scalar_pandas",  # last r4
     "udtf_explode_custom",  # last r4
@@ -200,6 +138,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "subword_token_count",  # last r6
     "bigram_logprob",  # last r6
     "length_profile_by_source",  # last r6
+    # ---- slot 51+: next-round queue ----
     "repetition_battery",  # last r6
     "table_profile",  # last r7
     "equi_depth_histogram",  # last r7
@@ -250,6 +189,56 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "ccnet_buckets",  # last r7
     "lang_id_confusion",  # last r7
     "license_tag",  # last r7
+    "equi_depth_histogram_approx",  # last r8
+    "referential_integrity_audit",  # last r8
+    "uniqueness_audit",  # last r8
+    "split_leakage_audit",  # last r8
+    "label_balance",  # last r8
+    "winsorize_stats",  # last r8
+    "winsorize_stats_approx",  # last r8
+    "table_diff",  # last r8
+    "table_diff_summary",  # last r8
+    "composite_returned_items",  # last r8
+    "composite_promo_revenue",  # last r8
+    "composite_top_supplier",  # last r8
+    "composite_small_qty_revenue",  # last r8
+    "composite_nation_trade",  # last r8
+    "composite_brand_disjunction",  # last r8
+    "composite_idle_customers",  # last r8
+    "markov_transitions",  # last r8
+    "attribution_last_touch",  # last r8
+    "scd2_intervals",  # last r8
+    "interarrival_stats_approx",  # last r8
+    "twap",  # last r8
+    "gini_concentration",  # last r8
+    "rolling_features",  # last r8
+    "overnight_gap",  # last r8
+    "seq_gap_check",  # last r8
+    "win_lag_lead",  # last r8
+    "win_moving_avg",  # last r8
+    "win_range_frame",  # last r8
+    "win_first_last",  # last r8
+    "session_islands",  # last r8
+    "win_cume_dist",  # last r8
+    "bpe_encode",  # last r8
+    "paragraph_dedup",  # last r8
+    "sample_split",  # last r8
+    "bloom_filter_dedup",  # last r8
+    "minhash_eval",  # last r8
+    "triangle_count",  # last r8
+    "graph_reachability",  # last r8
+    "pairwise_cosine_histogram",  # last r8
+    "knn_label_eval",  # last r8
+    "embedding_drift",  # last r8
+    "text_stats",  # last r8
+    "repetition_stats",  # last r8
+    "tfidf_topterms",  # last r8
+    "source_vocab_overlap",  # last r8
+    "ngram_coverage_curve",  # last r8
+    "lexical_complexity",  # last r8
+    "typo_pairs",  # last r8
+    "bm25_search",  # last r8
+    "udaf_grouped",  # last r8
 )
 
 

@@ -71,7 +71,19 @@ def main() -> int:
     events = "--events" in sys.argv
     n_copies = 10
     if "--copies" in sys.argv:
-        n_copies = int(sys.argv[sys.argv.index("--copies") + 1])
+        idx = sys.argv.index("--copies")
+        if idx + 1 >= len(sys.argv):
+            print("usage: gen_scale_corpus.py [out_dir] [--sparse|--events] "
+                  "[--copies N]  (N must follow --copies)", file=sys.stderr)
+            return 2
+        try:
+            n_copies = int(sys.argv[idx + 1])
+        except ValueError:
+            n_copies = 0
+        if n_copies <= 0:
+            print(f"--copies expects a positive int, got "
+                  f"{sys.argv[idx + 1]!r}", file=sys.stderr)
+            return 2
     args = [
         a
         for i, a in enumerate(sys.argv[1:], 1)

@@ -63,7 +63,7 @@ def main() -> int:
     )
     for k, v in slow:
         print(f"{k:30s} {v}")
-    for k, v in errs:
+    for k, v in errs.items():
         print(f"{k:30s} {v}")
     total = sum(v for v in out.values() if isinstance(v, float))
     print(f"# {len(out)} queries, total {total:.1f}s, {len(errs)} errors, "
