@@ -11,9 +11,14 @@ timings are ambient-noisy: treat anything slow here as a CANDIDATE and
 re-measure best-of-3 before optimizing (see PERF.md "full-registry
 straggler sweep" for the confirm-then-fix discipline).
 
-Usage: python tools/scan_registry.py [sf_dir] [min_sec]
+Usage: python tools/scan_registry.py [sf_dir] [min_sec] [runs]
   sf_dir   default /root/testdata/sf0.1
   min_sec  only print queries at or above this wall (default 1.5)
+  runs     best-of-N timed runs per query (default 1). The r10 scan
+           showed single-run numbers carry first-touch-at-SF cost on
+           top of ambient noise (table_diff 9.2 s single vs 1.15 s
+           best-of-3); runs=2 roughly halves the false-straggler rate
+           for ~+60% scan wall.
 """
 
 from __future__ import annotations
@@ -44,15 +49,20 @@ def consume(df) -> int:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     min_sec = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+    n_runs = max(1, int(sys.argv[3])) if len(sys.argv) > 3 else 1
     spark = get_spark("scan-registry")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     out: dict[str, object] = {}
     for name, fn in registry.queries().items():
         try:
             consume(fn(spark, WARM))
-            t0 = time.time()
-            consume(fn(spark, sf_dir))
-            out[name] = round(time.time() - t0, 2)
+            best = None
+            for _ in range(n_runs):
+                t0 = time.time()
+                consume(fn(spark, sf_dir))
+                wall = time.time() - t0
+                best = wall if best is None else min(best, wall)
+            out[name] = round(best, 2)
         except Exception as e:  # record, keep scanning
             out[name] = f"ERR {type(e).__name__}"
         gc.collect()
