@@ -508,3 +508,50 @@ def test_gini_rank_is_distributed_not_single_partition(spark, sf_dir):
     assert "existingrdd" in low or "logicalrdd" in low, plan[:800]
     assert "broadcast" in low, plan[:800]
     assert "_pid" in plan, plan[:800]
+
+
+def test_registry_wide_python_boundary_and_no_cartesian(spark, sf_dir):
+    # The repo-wide scale claims, asserted mechanically over EVERY
+    # registered query's final physical plan instead of re-audited by
+    # hand each round:
+    #   (a) no row-at-a-time Python scalar UDF anywhere — a bare
+    #       BatchEvalPython node means a hot path fell off the JVM;
+    #       Python may touch the plan only Arrow-batched
+    #       (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) or
+    #       as the one registered UDTF demo (BatchEvalPythonUDTF);
+    #   (b) no CartesianProduct — every crossJoin in the package pairs
+    #       a fact side with a 1-row aggregate/boundary frame and must
+    #       have collapsed to BroadcastNestedLoopJoin;
+    #   (c) the Arrow scalar-UDF and UDTF boundaries appear ONLY in the
+    #       queries registered to demonstrate them — any new Python
+    #       node elsewhere is an intentional decision, not drift, so it
+    #       must be added here to pass.
+    # (applySchemaToPythonRDD is driver-local literal-frame
+    # construction — tiny percentile/boundary frames, not per-row
+    # Python — and is allowed.)
+    #
+    # Cost: builds all ~200 plans at sf0.001 (~70 s; eager-checkpoint
+    # queries run their small staging jobs during construction). The
+    # breadth is the point: this is the only gate that sees every
+    # query, including ones no targeted plan test covers.
+    import re
+
+    from nt_etl_order_book_spark.plans.explain import formatted_plan
+
+    ARROW_SCALAR_OK = {"udf_scalar_pandas"}
+    UDTF_OK = {"udtf_explode_custom"}
+    bad: dict[str, list[str]] = {}
+    for name, fn in registry.queries().items():
+        plan = formatted_plan(fn(spark, sf_dir))
+        problems = []
+        if "CartesianProduct" in plan:
+            problems.append("CartesianProduct")
+        if re.search(r"\bBatchEvalPython\b", plan):  # \b excludes ...UDTF
+            problems.append("BatchEvalPython (row-wise scalar UDF)")
+        if "BatchEvalPythonUDTF" in plan and name not in UDTF_OK:
+            problems.append("BatchEvalPythonUDTF outside the UDTF demo")
+        if "ArrowEvalPython" in plan and name not in ARROW_SCALAR_OK:
+            problems.append("ArrowEvalPython outside the pandas-UDF demo")
+        if problems:
+            bad[name] = problems
+    assert not bad, f"plan-boundary violations: {bad}"
