@@ -553,3 +553,54 @@ def test_rolling_gram_expr_matches_bruteforce(spark_prop, texts, n):
                     assert grams[x] == grams[y], (t, x, y)
                 else:
                     assert grams[x] != grams[y], (t, x, y)
+
+
+# ---------------------------------------------------------------------------
+# table_diff: the order-independent multi-row-key digest, vs multiset truth
+# ---------------------------------------------------------------------------
+# The registered table_diff query diffs on a UNIQUE key (event_id), so the
+# driver oracle never exercises the digest's multi-row-key claim: that a
+# key owning SEVERAL rows digests order-independently (sum of per-row
+# 56-bit sha2 prefixes + row count), so reordered-but-identical row
+# multisets compare 'unchanged' and any multiset change compares
+# 'changed'. Small discrete keys force heavy key collisions; values
+# include NULL and strings that could collide with naive NULL tagging
+# ("null", "") — the tagged digest must keep them distinct.
+
+_DIFF_KEYS = st.integers(min_value=0, max_value=4)
+_DIFF_VALS = st.sampled_from([None, "", "null", "a", "b", "v:1"])
+_diff_rows = st.lists(
+    st.tuples(_DIFF_KEYS, _DIFF_VALS, _DIFF_VALS), min_size=0, max_size=14
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(before=_diff_rows, after=_diff_rows)
+def test_table_diff_matches_multiset_bruteforce(spark_prop, before, after):
+    from collections import Counter
+
+    from nt_etl_order_book_spark.operators.audits import table_diff
+
+    spark = spark_prop
+    schema = "k int, v1 string, v2 string"
+    bdf = spark.createDataFrame(before or [(-99, None, None)], schema)
+    adf = spark.createDataFrame(after or [(-99, None, None)], schema)
+    got = {r.k: r.status for r in table_diff(bdf, adf, ["k"]).collect()}
+
+    bm: dict[int, Counter] = defaultdict(Counter)
+    for k, v1, v2 in before or [(-99, None, None)]:
+        bm[k][(v1, v2)] += 1
+    am: dict[int, Counter] = defaultdict(Counter)
+    for k, v1, v2 in after or [(-99, None, None)]:
+        am[k][(v1, v2)] += 1
+    expected = {}
+    for k in set(bm) | set(am):
+        if k not in bm:
+            expected[k] = "added"
+        elif k not in am:
+            expected[k] = "removed"
+        elif bm[k] == am[k]:
+            expected[k] = "unchanged"
+        else:
+            expected[k] = "changed"
+    assert got == expected
