@@ -21,7 +21,16 @@ sort in one task. event_type/value/props ride through unchanged so
 the tick-rule signs, notional sums, and lifecycle change-points all
 still exercise.
 
-Usage: python tools/gen_scale_corpus.py [--sparse|--events] [--copies N] [out_dir]
+TPC-H facts (--tpch): N× the lineitem/orders FACT VOLUME against
+UNCHANGED dimension tables — the realistic warehouse growth regime
+(more orders in the same trading window, same customer/part/supplier
+population). Copies are new orders: o_orderkey/l_orderkey = id*N+copy
+on BOTH tables so the FK join stays exact; every other column rides
+through, so revenue-style answers scale by exactly N against the same
+dims. All ten tables are written to out_dir (dims passthrough), so
+any registered query can point at it as an sf dir.
+
+Usage: python tools/gen_scale_corpus.py [--sparse|--events|--tpch] [--copies N] [out_dir]
   (default out_dir: /tmp/docs10x, /tmp/docs10xsparse, or /tmp/events10x;
   --copies N sets the multiplier, default 10. 100x spot-check corpora:
   `--events --copies 100 /tmp/events100x` (tape depth) and
@@ -66,9 +75,32 @@ def gen_events(spark, src: str, out: str, n_copies: int = 10) -> None:
     print(f"wrote {n} events to {out}/events.parquet (day-shifted {n_copies}x)")
 
 
+def gen_tpch(spark, src: str, out: str, n_copies: int = 10) -> None:
+    copies = spark.range(n_copies).select(F.col("id").alias("copy_id"))
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        df = load_table(spark, src, tbl)
+        big = (
+            df.crossJoin(copies)
+            .withColumn(key, (F.col(key) * n_copies + F.col("copy_id")).cast("long"))
+            .drop("copy_id")
+        )
+        big.repartition(32).write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
+        n = spark.read.parquet(f"{out}/{tbl}.parquet").count()
+        print(f"wrote {n} rows to {out}/{tbl}.parquet ({n_copies}x fact volume)")
+    for tbl in (
+        "region", "nation", "customer", "supplier", "part",
+        "events", "documents", "embeddings",
+    ):
+        load_table(spark, src, tbl).write.mode("overwrite").parquet(
+            f"{out}/{tbl}.parquet"
+        )
+    print(f"dims + non-fact tables passed through unchanged to {out}")
+
+
 def main() -> int:
     sparse = "--sparse" in sys.argv
     events = "--events" in sys.argv
+    tpch = "--tpch" in sys.argv
     n_copies = 10
     if "--copies" in sys.argv:
         idx = sys.argv.index("--copies")
@@ -90,13 +122,21 @@ def main() -> int:
         if not a.startswith("-") and sys.argv[i - 1] != "--copies"
     ]
     out = args[0] if args else (
-        "/tmp/events10x" if events else ("/tmp/docs10xsparse" if sparse else "/tmp/docs10x")
+        "/tmp/tpch10x" if tpch else (
+            "/tmp/events10x" if events else (
+                "/tmp/docs10xsparse" if sparse else "/tmp/docs10x"
+            )
+        )
     )
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     spark = tune_session(get_spark("gen-scale-corpus", shuffle_partitions=32))
     if events:
         gen_events(spark, src, out, n_copies)
+        spark.stop()
+        return 0
+    if tpch:
+        gen_tpch(spark, src, out, n_copies)
         spark.stop()
         return 0
     docs = load_table(spark, src, "documents")
