@@ -207,8 +207,7 @@ def main() -> None:
     # and its documented wall-time band is ±50% (PERF.md r6/r8 — two
     # rounds of judge time burned re-proving "it's the box, not the
     # code"). Record the load average around the timed section so the
-    # recording carries its own context, and take best-of-3 instead of
-    # best-of-2 when the box is already busy at start.
+    # recording carries its own context.
     load_start = os.getloadavg()
     # Fixed at 3 (r9 ADVICE): choosing 2-vs-3 from the start-time load
     # made rounds alternate between best-of-2 and best-of-3 — min-of-N
