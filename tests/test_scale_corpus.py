@@ -1,0 +1,45 @@
+"""The --tpch fact-volume generator's FK-exactness, pinned.
+
+PERF.md's r10 volume table rests on the claim that the synthetic N×
+corpus is FK-EXACT: every copied lineitem row still joins its copied
+order (o_orderkey/l_orderkey = id*N+copy on BOTH sides), dims ride
+through unchanged, so any revenue-style group answer scales by exactly
+N. If a schema change or key-collision bug broke that, the probe would
+silently measure a different (smaller) join — this pins the invariant
+at sf0.001 so the probe's evidence stays trustworthy.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+from gen_scale_corpus import gen_tpch  # noqa: E402
+
+from nt_etl_order_book_spark import registry  # noqa: E402
+
+
+def test_tpch_volume_corpus_scales_answers_exactly(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "tpch2x")
+    gen_tpch(spark, sf_dir, out, n_copies=2)
+    fn = registry.queries()["composite_regional_revenue"]
+    base = {
+        (r.region, r.nation): (r.n_orders, r.revenue)
+        for r in fn(spark, sf_dir).collect()
+    }
+    big = {
+        (r.region, r.nation): (r.n_orders, r.revenue)
+        for r in fn(spark, out).collect()
+    }
+    assert base.keys() == big.keys()
+    for k, (n, rev) in base.items():
+        n2, rev2 = big[k]
+        assert n2 == 2 * n, f"{k}: n_orders {n2} != 2x{n}"
+        assert abs(rev2 - 2 * rev) <= 1e-6 * abs(rev2), f"{k}: revenue not exactly 2x"
