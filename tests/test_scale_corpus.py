@@ -11,19 +11,23 @@ at sf0.001 so the probe's evidence stays trustworthy.
 
 from __future__ import annotations
 
+import importlib.util
 import os
-import sys
 
-sys.path.insert(
-    0,
-    os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
-    ),
+from nt_etl_order_book_spark import registry
+
+# Load the generator by file path rather than sys.path.insert(tools/):
+# a session-long prepend would let generic tools/ module names shadow
+# same-named imports in tests collected later.
+_GEN_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "gen_scale_corpus.py",
 )
-
-from gen_scale_corpus import gen_tpch  # noqa: E402
-
-from nt_etl_order_book_spark import registry  # noqa: E402
+_spec = importlib.util.spec_from_file_location("gen_scale_corpus", _GEN_PATH)
+_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+gen_tpch = _mod.gen_tpch
 
 
 def test_tpch_volume_corpus_scales_answers_exactly(spark, sf_dir, tmp_path):

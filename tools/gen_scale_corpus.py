@@ -105,8 +105,9 @@ def main() -> int:
     if "--copies" in sys.argv:
         idx = sys.argv.index("--copies")
         if idx + 1 >= len(sys.argv):
-            print("usage: gen_scale_corpus.py [out_dir] [--sparse|--events] "
-                  "[--copies N]  (N must follow --copies)", file=sys.stderr)
+            print("usage: gen_scale_corpus.py [out_dir] "
+                  "[--sparse|--events|--tpch] [--copies N]  "
+                  "(N must follow --copies)", file=sys.stderr)
             return 2
         try:
             n_copies = int(sys.argv[idx + 1])

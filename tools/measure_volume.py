@@ -58,8 +58,14 @@ def consume(df) -> int:
 
 def main() -> int:
     ops = sys.argv[1:] or DEFAULT_OPS
-    spark = tune_session(get_spark("measure-volume", shuffle_partitions=32))
     qs = registry.queries()
+    unknown = [name for name in ops if name not in qs]
+    if unknown:
+        print(f"unknown queries: {', '.join(unknown)}", file=sys.stderr)
+        print(f"(registry has {len(qs)} queries; see registry.queries())",
+              file=sys.stderr)
+        return 2
+    spark = tune_session(get_spark("measure-volume", shuffle_partitions=32))
     for name in ops:
         fn = qs[name]
         consume(fn(spark, WARM))
@@ -69,10 +75,12 @@ def main() -> int:
             for _ in range(2):
                 t0 = time.time()
                 n = consume(fn(spark, d))
-                runs.append(round(time.time() - t0, 2))
+                runs.append(time.time() - t0)
             gc.collect()
             res[label] = (min(runs), n)
-        ratio = res["10x"][0] / res["sf0.1"][0]
+        # min() on unrounded walls; floor the denominator so a sub-10ms
+        # warm baseline can't divide by zero.
+        ratio = res["10x"][0] / max(res["sf0.1"][0], 0.01)
         print(
             f"{name:28s} sf0.1 {res['sf0.1'][0]:6.2f}s ({res['sf0.1'][1]} rows)  "
             f"10x {res['10x'][0]:6.2f}s ({res['10x'][1]} rows)  ratio {ratio:.1f}x",

@@ -47,9 +47,16 @@ def consume(df) -> int:
 
 
 def main() -> int:
+    usage = "usage: python tools/scan_registry.py [sf_dir] [min_sec] [runs]"
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    min_sec = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
-    n_runs = max(1, int(sys.argv[3])) if len(sys.argv) > 3 else 1
+    try:
+        min_sec = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+        n_runs = max(1, int(sys.argv[3])) if len(sys.argv) > 3 else 1
+    except ValueError:
+        print(usage, file=sys.stderr)
+        print(f"  (min_sec must be a float, runs an int; got "
+              f"{sys.argv[2:4]!r})", file=sys.stderr)
+        return 2
     spark = get_spark("scan-registry")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     out: dict[str, object] = {}
