@@ -13,6 +13,8 @@ matching buckets (the classic IVF/LSH trade: recall vs pruning).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1190,8 +1192,6 @@ def write_ivfpq_index(emb: DataFrame, cents_arr: DataFrame, books: DataFrame, pa
     ),
 )
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nt_etl_order_book_spark.session import checkpoint_frame
-
     emb = load_table(spark, sf_dir, "embeddings")
     cents_arr = ivf_codebook(emb)
     # Residuals staged once (r9): both consumers — PQ codebook training
@@ -1203,9 +1203,23 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = checkpoint_frame(ivfpq_residuals(emb, cents_arr))
     books = pq_codebook(resid)
     enc = ivfpq_encode(resid, books)
-    # Query side: probe cells exactly like ann_ivf_topk, but keep the
-    # query-centroid dot (the coarse term of the score) per probe, and
-    # build ONE residual LUT per query against the same broadcast books.
+    return ivfpq_query(emb, cents_arr, books, enc)
+
+
+def ivfpq_query(
+    emb: DataFrame, cents_arr: DataFrame, books: DataFrame, enc: DataFrame
+) -> DataFrame:
+    """IVF-PQ query side, shared by the self-contained `ann_ivfpq_topk`
+    (in-memory index frames) and the persisted-index `ann_ivfpq_apply`
+    (frames read back from parquet): probe cells exactly like
+    ann_ivf_topk, but keep the query-centroid dot (the coarse term of
+    the score) per probe, and build ONE residual LUT per query against
+    the same broadcast books. The probe→codes step is an equi-join on
+    `cell`; when `enc` is the cell-partitioned on-disk index, Catalyst's
+    dynamic partition pruning turns the broadcast probe side into a
+    directory-level PartitionFilter on the scan (plan-asserted in
+    tests/test_ann_lifecycle.py) — a query batch never reads the
+    unprobed cells."""
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
@@ -1250,6 +1264,81 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _exact_rerank(emb, _topk_candidates(scored, IVFPQ_CAND))
+
+
+def ivfpq_train(emb: DataFrame, path: str) -> None:
+    """Train the IVF-PQ state ONCE and persist all of it under `path`:
+
+    - ``cents.parquet`` — the 1-row coarse-quantizer codebook frame
+      (query-side state, broadcast at probe time),
+    - ``books.parquet`` — the 1-row per-subspace PQ codebook frame
+      (query-side state, broadcast at probe time),
+    - ``index/`` — the residual-code rows ``partitionBy("cell")``
+      (scan-side state: write_ivfpq_index's layout — PQ_M small ints +
+      one norm per vector, directory per cell, static overwrite),
+    - ``_TRAINED`` — completion marker, written LAST so a crashed build
+      is indistinguishable from no build and simply retrains (local-FS
+      flag; a cluster deployment keys the same decision off a manifest
+      table or the final write's own _SUCCESS).
+
+    This is the train-once/apply-many half the registry's
+    self-contained-query contract couldn't show (DEPLOY.md §2): at
+    100 TB the codebooks train on the hash-sample once, the corpus
+    encodes once, and every query batch afterwards pays only the probe
+    cost (`ann_ivfpq_apply`), never the two k-means trainings.
+    """
+    cents_arr = ivf_codebook(emb)
+    resid = checkpoint_frame(ivfpq_residuals(emb, cents_arr))
+    books = pq_codebook(resid)
+    cents_arr.write.mode("overwrite").parquet(f"{path}/cents.parquet")
+    books.write.mode("overwrite").parquet(f"{path}/books.parquet")
+    (
+        ivfpq_encode(resid, books)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell")
+        .parquet(f"{path}/index")
+    )
+    with open(os.path.join(path, "_TRAINED"), "w") as fh:
+        fh.write("ok\n")
+
+
+def _ivfpq_index_path(sf_dir: str) -> str:
+    """Deterministic per-corpus index location (cache key = the corpus
+    directory's real path), overridable via SPARK_GRAFT_INDEX_DIR."""
+    root = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_indexes")
+    tag = os.path.realpath(sf_dir).strip("/").replace("/", "_")
+    return os.path.join(root, f"ivfpq_{tag}")
+
+
+@register(
+    "ann_ivfpq_apply",
+    None,  # codebooks/codes are implementation-specific → rows-only;
+    # quantitative guard = tools/check.py --recall (same 0.75 floor as
+    # the self-contained ann_ivfpq_topk it shares its query side with).
+    doc=(
+        "IVF-PQ SERVING: the train-once/apply-many lifecycle of "
+        "ann_ivfpq_topk (bpe_merges→bpe_encode shape). First call per "
+        "corpus trains and persists the full index state (ivfpq_train: "
+        "coarse + PQ codebooks as 1-row parquet frames, residual codes "
+        "partitionBy('cell')); every later call — the steady state a "
+        "deployment lives in — reads the codebooks back as broadcast "
+        "frames and probes the on-disk index, paying only the probe "
+        "cost, never the two k-means trainings. The probe equi-join on "
+        "`cell` dynamic-partition-prunes the index scan to the probed "
+        "directories (plan-asserted), then exact re-rank from the raw "
+        "vectors as usual."
+    ),
+)
+def q_ann_ivfpq_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ivfpq_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_TRAINED")):
+        ivfpq_train(emb, path)
+    cents_arr = spark.read.parquet(f"{path}/cents.parquet")
+    books = spark.read.parquet(f"{path}/books.parquet")
+    enc = spark.read.parquet(f"{path}/index")
+    return ivfpq_query(emb, cents_arr, books, enc)
 
 
 @register(

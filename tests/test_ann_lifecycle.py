@@ -1,0 +1,85 @@
+"""The IVF-PQ train-once/apply-many lifecycle (ann_ivfpq_apply), pinned.
+
+DEPLOY.md §2's 100 TB serving shape is: train the codebooks once,
+persist codebooks + cell-partitioned residual codes, and serve every
+later query batch from the persisted state without retraining. These
+tests pin the four claims that make that shape trustworthy:
+
+1. the persisted-index query side returns the SAME top-k as the
+   self-contained ann_ivfpq_topk (it is the same ivfpq_query over the
+   same state, round-tripped through parquet);
+2. the second call is a pure cache hit — nothing under the index path
+   is rewritten;
+3. a missing _TRAINED marker (crashed build) forces a retrain;
+4. the probe's equi-join on `cell` dynamic-partition-prunes the on-disk
+   index scan (the directory-level pruning the partitionBy layout
+   exists for).
+"""
+
+from __future__ import annotations
+
+import os
+
+from nt_etl_order_book_spark import registry
+
+
+def _mtimes(root: str) -> dict[str, float]:
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[os.path.relpath(p, root)] = os.path.getmtime(p)
+    return out
+
+
+def test_apply_matches_selfcontained_and_caches(spark, sf_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    from nt_etl_order_book_spark.functions.similarity import _ivfpq_index_path
+
+    qs = registry.queries()
+    want = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_topk"](spark, sf_dir).collect()}
+
+    first = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_apply"](spark, sf_dir).collect()}
+    assert first == want
+
+    path = _ivfpq_index_path(sf_dir)
+    assert os.path.exists(os.path.join(path, "_TRAINED"))
+    before = _mtimes(path)
+    assert before  # cents + books + index files actually persisted
+
+    # Second call: pure cache hit — same answer, zero files rewritten.
+    second = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_apply"](spark, sf_dir).collect()}
+    assert second == first
+    assert _mtimes(path) == before
+
+    # Crashed build (marker missing, data dirs present) must retrain:
+    # the marker is written LAST, so its absence is the only signal a
+    # build needs.
+    os.remove(os.path.join(path, "_TRAINED"))
+    third = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_apply"](spark, sf_dir).collect()}
+    assert third == want
+    assert os.path.exists(os.path.join(path, "_TRAINED"))
+
+
+def test_apply_probe_prunes_index_partitions(spark, sf_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    qs = registry.queries()
+    df = qs["ann_ivfpq_apply"](spark, sf_dir)  # trains into tmp idx dir
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The cell-partitioned index scan must carry a dynamic pruning
+    # expression in its PartitionFilters: the broadcast probe side
+    # (qid × probed cell) decides at runtime which cell directories the
+    # scan reads — N_PROBE/N_CELLS of the stored bytes, never the rest.
+    # Match the index scan by its column signature (codes + cell) — the
+    # Location path is unusable here because plan output truncates
+    # metadata strings (spark.sql.maxMetadataStringLength=100) and
+    # tmp_path is long. No other scan in this plan carries `codes`.
+    idx_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and "codes#" in line and "cell#" in line
+    ]
+    assert idx_scans, "on-disk index scan missing from the executed plan"
+    assert any("dynamicpruning" in line for line in idx_scans), (
+        "index scan is not dynamic-partition-pruned:\n" + "\n".join(idx_scans)
+    )

@@ -181,6 +181,9 @@ RECALL_FLOORS = {
     # IVF-PQ compounds the probed-mass cap with ADC ordering error:
     # measured 0.92 / 0.86 at sf0.01 / sf0.1 with CAND=200.
     "ann_ivfpq_topk": 0.75,
+    # Persisted-index serving path: same query side (ivfpq_query) over
+    # codebooks/codes read back from parquet, so the same floor holds.
+    "ann_ivfpq_apply": 0.75,
 }
 
 
