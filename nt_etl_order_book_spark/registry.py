@@ -81,64 +81,16 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # CORRECTNESS_r{N}.json has N >= this value, the window below has been
 # consumed and the rotation gate reports "rotation pending" instead of
 # failing; run `python tools/rotate_sweep.py`, paste, and bump this.
-# r10 window (slots 1-50); history through r9
-_SWEEP_ROTATED_FOR_ROUND = 10
+# r11 window (slots 1-50); history through r10
+_SWEEP_ROTATED_FOR_ROUND = 11
 
 _SWEEP_CHANGED: tuple[str, ...] = (
+    "ann_ivfpq_topk",
 )
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    "redact_pii",  # last r4
-    "udf_scalar_pandas",  # last r4
-    "udtf_explode_custom",  # last r4
-    "agg_multi",  # last r6
-    "agg_distinct",  # last r6
-    "agg_approx_distinct",  # last r6
-    "agg_stats",  # last r6
-    "agg_median",  # last r6
-    "agg_string_concat",  # last r6
-    "agg_weighted_avg",  # last r6
-    "agg_cube",  # last r6
-    "agg_having",  # last r6
-    "agg_grouping_id",  # last r6
-    "composite_shipping_priority",  # last r6
-    "pivot_event_types",  # last r6
-    "subquery_scalar",  # last r6
-    "subquery_correlated",  # last r6
-    "json_roundtrip",  # last r6
-    "join_broadcast",  # last r6
-    "join_left_right_outer",  # last r6
-    "join_full_outer",  # last r6
-    "join_semi",  # last r6
-    "join_anti",  # last r6
-    "join_theta_range",  # last r6
-    "sort_limit",  # last r6
-    "sort_nulls",  # last r6
-    "set_union_distinct",  # last r6
-    "set_intersect",  # last r6
-    "set_except",  # last r6
-    "agg_salted_skew",  # last r6
-    "filter_msg_type",  # last r6
-    "project_rename",  # last r6
-    "cast_schema",  # last r6
-    "json_encode_decode",  # last r6
-    "explode_ladder",  # last r6
-    "unpivot_sides",  # last r6
-    "add_event_ts_ms",  # last r6
-    "notnull_guard",  # last r6
-    "contamination_span",  # last r6
-    "cross_source_dup",  # last r6
-    "dedup_survivorship",  # last r6
-    "multimodal_resize",  # last r6
-    "multimodal_frame_sample",  # last r6
-    "embed_quantize_stats",  # last r6
-    "unigram_logprob",  # last r6
-    "corpus_filter_funnel",  # last r6
-    "domain_kl_divergence",  # last r6
-    "subword_token_count",  # last r6
-    "bigram_logprob",  # last r6
-    "length_profile_by_source",  # last r6
-    # ---- slot 51+: next-round queue ----
+    "ann_ivfpq_topk",  # changed
+    "ann_ivfpq_apply",  # never swept
     "repetition_battery",  # last r6
     "table_profile",  # last r7
     "equi_depth_histogram",  # last r7
@@ -181,13 +133,13 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "embed_centroid_stats",  # last r7
     "ann_pq_topk",  # last r7
     "semdedup",  # last r7
-    "ann_ivfpq_topk",  # last r7
     "ann_filtered_topk",  # last r7
     "pmi_collocations",  # last r7
     "zipf_fit",  # last r7
     "approx_quantile_audit",  # last r7
     "ccnet_buckets",  # last r7
     "lang_id_confusion",  # last r7
+    # ---- slot 51+: next-round queue ----
     "license_tag",  # last r7
     "equi_depth_histogram_approx",  # last r8
     "referential_integrity_audit",  # last r8
@@ -239,6 +191,56 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "typo_pairs",  # last r8
     "bm25_search",  # last r8
     "udaf_grouped",  # last r8
+    "agg_groupby_sum",  # last r9
+    "agg_grouping_sets",  # last r9
+    "book_reconstruct",  # last r9
+    "composite_regional_revenue",  # last r9
+    "join_inner_hash",  # last r9
+    "join_asof",  # last r9
+    "join_interval",  # last r9
+    "set_union_all",  # last r9
+    "dedup_exact",  # last r9
+    "scan_parquet",  # last r9
+    "win_rank_topk_depth",  # last r9
+    "win_running_sum",  # last r9
+    "win_ntile",  # last r9
+    "best_bid_ask",  # last r9
+    "dedup_exact_docs",  # last r9
+    "minhash_dedup",  # last r9
+    "simhash_dedup",  # last r9
+    "ngram_jaccard",  # last r9
+    "decontaminate_ngram",  # last r9
+    "stratified_sample",  # last r9
+    "dedup_components",  # last r9
+    "multimodal_meta",  # last r9
+    "multimodal_features",  # last r9
+    "seq_pack",  # last r9
+    "domain_mix",  # last r9
+    "dup_cluster_stats",  # last r9
+    "fn_string",  # last r9
+    "fn_date",  # last r9
+    "fn_math",  # last r9
+    "fn_array",  # last r9
+    "fn_map_json",  # last r9
+    "fn_map_ops",  # last r9
+    "fn_bitwise",  # last r9
+    "fn_null_safe_eq",  # last r9
+    "fn_conditional",  # last r9
+    "cosine_topk",  # last r9
+    "ann_lsh_topk",  # last r9
+    "ann_ivf_topk",  # last r9
+    "embed_norm_stats",  # last r9
+    "embed_cosine_dedup",  # last r9
+    "tokenize_tf",  # last r9
+    "lang_id",  # last r9
+    "quality_score",  # last r9
+    "token_count",  # last r9
+    "doc_fingerprint",  # last r9
+    "topk_ngrams",  # last r9
+    "doc_length_histogram",  # last r9
+    "winnow_fingerprint",  # last r9
+    "winnow_dedup",  # last r9
+    "shared_run_audit",  # last r9
 )
 
 
