@@ -260,7 +260,15 @@ def main() -> None:
     tier3 = timed(tier3_sel, strict=False)
     load_end = os.getloadavg()
     stream_throughput(spark, n_msgs=4000)  # warm the streaming planner/sink paths
+    # The stream figure gets its OWN load bracket (r10 verdict item 4):
+    # it runs after the ~15 min query section, so the section-level
+    # start/end averages describe a different interval — BENCH_r10's
+    # 14.8k msg/s at load ~7 vs the quiet-box 24-26k recordings needed a
+    # footnote precisely because the record couldn't show the ambient
+    # load AT the stream measurement.
+    stream_load_start = os.getloadavg()
     msgs_per_sec = stream_throughput(spark)
+    stream_load_end = os.getloadavg()
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_wall",
@@ -269,6 +277,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "stream_msgs_per_sec": msgs_per_sec,
+        "stream_load_avg_start": [round(v, 2) for v in stream_load_start],
+        "stream_load_avg_end": [round(v, 2) for v in stream_load_end],
         "tier2": tier2,
         "tier2_total_sec": round(sum(tier2.values()), 3),
         "tier3": tier3,
