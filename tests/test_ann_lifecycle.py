@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from nt_etl_order_book_spark import registry
 
 
@@ -59,6 +61,38 @@ def test_apply_matches_selfcontained_and_caches(spark, sf_dir, tmp_path, monkeyp
     third = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_apply"](spark, sf_dir).collect()}
     assert third == want
     assert os.path.exists(os.path.join(path, "_TRAINED"))
+
+
+def test_apply_index_cache_is_keyed_per_corpus(spark, sf_dir, tmp_path, monkeypatch):
+    # The cache key is the corpus directory's real path. If that keying
+    # broke, a second corpus would silently serve the FIRST corpus's
+    # persisted index — returning vec_ids that may not even exist in
+    # the corpus being queried. Pin: two corpora under the same index
+    # root get distinct index dirs, and each corpus's apply answer
+    # equals its own self-contained run.
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    from nt_etl_order_book_spark.functions.similarity import _ivfpq_index_path
+    from nt_etl_order_book_spark.tables import load_table
+
+    # Second corpus: the first 300 of sf0.001's 500 vectors — a strict
+    # subset, so a cross-corpus index leak would surface vec_ids >= 300.
+    sub_dir = str(tmp_path / "subset_corpus")
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.filter(F.col("vec_id") < 300).write.parquet(f"{sub_dir}/embeddings.parquet")
+
+    assert _ivfpq_index_path(sf_dir) != _ivfpq_index_path(sub_dir)
+
+    qs = registry.queries()
+    full = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_apply"](spark, sf_dir).collect()}
+    sub = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_apply"](spark, sub_dir).collect()}
+    assert all(v < 300 for _q, v in sub)
+    sub_want = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_topk"](spark, sub_dir).collect()}
+    full_want = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_topk"](spark, sf_dir).collect()}
+    assert sub == sub_want
+    assert full == full_want
+    # The two answers genuinely differ (the subset lost some true
+    # neighbors), so the assertion above isn't vacuous.
+    assert sub != full
 
 
 def test_apply_probe_prunes_index_partitions(spark, sf_dir, tmp_path, monkeypatch):
