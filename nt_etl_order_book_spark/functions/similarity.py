@@ -1279,7 +1279,12 @@ def ivfpq_train(emb: DataFrame, path: str) -> None:
     - ``_TRAINED`` — completion marker, written LAST so a crashed build
       is indistinguishable from no build and simply retrains (local-FS
       flag; a cluster deployment keys the same decision off a manifest
-      table or the final write's own _SUCCESS).
+      table or the final write's own _SUCCESS). Concurrent first-touch
+      builders race benignly on a single box (both train the same
+      deterministic state; last overwrite wins) but a cluster
+      deployment should make index builds an explicit, serialized
+      pipeline step — rebuilds replace the whole path, as with
+      write_ivf_index.
 
     This is the train-once/apply-many half the registry's
     self-contained-query contract couldn't show (DEPLOY.md §2): at
@@ -1305,10 +1310,19 @@ def ivfpq_train(emb: DataFrame, path: str) -> None:
 
 def _ivfpq_index_path(sf_dir: str) -> str:
     """Deterministic per-corpus index location (cache key = the corpus
-    directory's real path), overridable via SPARK_GRAFT_INDEX_DIR."""
+    directory's real path), overridable via SPARK_GRAFT_INDEX_DIR.
+
+    The key is a readable basename plus an 8-hex digest of the FULL
+    real path: flattening the path with separator substitution alone
+    can collide (`/a/b_c` vs `/a/b/c`), and a collision here would
+    silently serve one corpus's persisted index to another — the
+    silent-wrong-answer class tests/test_ann_lifecycle.py guards."""
+    import hashlib
+
     root = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_indexes")
-    tag = os.path.realpath(sf_dir).strip("/").replace("/", "_")
-    return os.path.join(root, f"ivfpq_{tag}")
+    real = os.path.realpath(sf_dir)
+    digest = hashlib.sha256(real.encode()).hexdigest()[:8]
+    return os.path.join(root, f"ivfpq_{os.path.basename(real)}_{digest}")
 
 
 @register(
