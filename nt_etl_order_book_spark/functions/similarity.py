@@ -18,6 +18,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nt_etl_order_book_spark.functions.artifacts import artifact_path, ensure_published
 from nt_etl_order_book_spark.registry import register
 from nt_etl_order_book_spark.session import checkpoint_frame
 from nt_etl_order_book_spark.tables import load_table
@@ -1276,15 +1277,15 @@ def ivfpq_train(emb: DataFrame, path: str) -> None:
     - ``index/`` — the residual-code rows ``partitionBy("cell")``
       (scan-side state: write_ivfpq_index's layout — PQ_M small ints +
       one norm per vector, directory per cell, static overwrite),
-    - ``_TRAINED`` — completion marker, written LAST so a crashed build
-      is indistinguishable from no build and simply retrains (local-FS
-      flag; a cluster deployment keys the same decision off a manifest
-      table or the final write's own _SUCCESS). Concurrent first-touch
-      builders race benignly on a single box (both train the same
-      deterministic state; last overwrite wins) but a cluster
-      deployment should make index builds an explicit, serialized
-      pipeline step — rebuilds replace the whole path, as with
-      write_ivf_index.
+    Completion marking and atomicity live in artifacts.ensure_published
+    (the caller): this function only writes the state tree under
+    ``path``, which in the apply lifecycle is a scratch dir that is
+    atomically renamed into place with the ``_TRAINED`` marker already
+    inside — readers can never observe a half-built index, and
+    concurrent first-touch builders resolve by rename (the loser
+    discards its identical deterministic state). A cluster deployment
+    still makes index builds an explicit, serialized pipeline step —
+    rebuilds replace the whole path, as with write_ivf_index.
 
     This is the train-once/apply-many half the registry's
     self-contained-query contract couldn't show (DEPLOY.md §2): at
@@ -1304,25 +1305,17 @@ def ivfpq_train(emb: DataFrame, path: str) -> None:
         .partitionBy("cell")
         .parquet(f"{path}/index")
     )
-    with open(os.path.join(path, "_TRAINED"), "w") as fh:
-        fh.write("ok\n")
 
 
 def _ivfpq_index_path(sf_dir: str) -> str:
-    """Deterministic per-corpus index location (cache key = the corpus
-    directory's real path), overridable via SPARK_GRAFT_INDEX_DIR.
-
-    The key is a readable basename plus an 8-hex digest of the FULL
-    real path: flattening the path with separator substitution alone
-    can collide (`/a/b_c` vs `/a/b/c`), and a collision here would
-    silently serve one corpus's persisted index to another — the
-    silent-wrong-answer class tests/test_ann_lifecycle.py guards."""
-    import hashlib
-
-    root = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_indexes")
-    real = os.path.realpath(sf_dir)
-    digest = hashlib.sha256(real.encode()).hexdigest()[:8]
-    return os.path.join(root, f"ivfpq_{os.path.basename(real)}_{digest}")
+    """Deterministic per-corpus index location: real path PLUS a
+    content fingerprint of the embeddings parquet folded into the key
+    (artifacts.artifact_path), under a per-user 0700 cache root
+    overridable via SPARK_GRAFT_INDEX_DIR (local paths only). Path
+    collisions and in-place corpus regeneration both map to distinct
+    keys — the two silent-wrong-answer routes
+    tests/test_ann_lifecycle.py guards."""
+    return artifact_path("ivfpq", sf_dir, "embeddings")
 
 
 @register(
@@ -1346,9 +1339,7 @@ def _ivfpq_index_path(sf_dir: str) -> str:
 )
 def q_ann_ivfpq_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _ivfpq_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_TRAINED")):
-        ivfpq_train(emb, path)
+    path = ensure_published(_ivfpq_index_path(sf_dir), lambda p: ivfpq_train(emb, p))
     cents_arr = spark.read.parquet(f"{path}/cents.parquet")
     books = spark.read.parquet(f"{path}/books.parquet")
     enc = spark.read.parquet(f"{path}/index")

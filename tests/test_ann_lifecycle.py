@@ -13,7 +13,11 @@ tests pin the four claims that make that shape trustworthy:
 3. a missing _TRAINED marker (crashed build) forces a retrain;
 4. the probe's equi-join on `cell` dynamic-partition-prunes the on-disk
    index scan (the directory-level pruning the partitionBy layout
-   exists for).
+   exists for);
+5. a corpus regenerated IN PLACE maps to a new content-keyed index dir
+   and retrains (never serves the stale index);
+6. the cache root is per-user 0700 by default and remote URI roots are
+   rejected loudly (the lifecycle is local-FS by design).
 """
 
 from __future__ import annotations
@@ -93,6 +97,63 @@ def test_apply_index_cache_is_keyed_per_corpus(spark, sf_dir, tmp_path, monkeypa
     # The two answers genuinely differ (the subset lost some true
     # neighbors), so the assertion above isn't vacuous.
     assert sub != full
+
+
+def test_apply_retrains_on_inplace_corpus_regeneration(spark, sf_dir, tmp_path, monkeypatch):
+    # Content drift: a corpus REGENERATED AT THE SAME PATH (e.g.
+    # gen_scale_corpus rewriting a testdata dir) must map to a fresh
+    # index key and retrain — serving the stale index would return
+    # vec_ids that may not exist in the corpus anymore. The cache key
+    # folds a (names, sizes, mtimes) fingerprint of the embeddings
+    # parquet into the digest, so the rewrite changes the key.
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    from nt_etl_order_book_spark.functions.similarity import _ivfpq_index_path
+    from nt_etl_order_book_spark.tables import load_table
+
+    corpus = str(tmp_path / "drift_corpus")
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.write.parquet(f"{corpus}/embeddings.parquet")
+
+    qs = registry.queries()
+    first = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_apply"](spark, corpus).collect()}
+    key_before = _ivfpq_index_path(corpus)
+
+    # Rewrite in place with a strict subset: any stale-index leak
+    # surfaces as vec_ids >= 300 in the new answer.
+    emb.filter(F.col("vec_id") < 300).write.mode("overwrite").parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    assert _ivfpq_index_path(corpus) != key_before
+    second = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_apply"](spark, corpus).collect()}
+    assert all(v < 300 for _q, v in second)
+    want = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_topk"](spark, corpus).collect()}
+    assert second == want
+    assert second != first
+
+
+def test_artifact_root_rejects_remote_and_defaults_private(tmp_path, monkeypatch):
+    import pytest
+
+    from nt_etl_order_book_spark.functions.artifacts import artifact_root
+
+    # Remote roots break the local-FS lifecycle (os.rename publish,
+    # Python marker checks) — must fail loudly, not retrain forever.
+    for bad in ("hdfs://nn:8020/idx", "s3a://bucket/idx"):
+        monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", bad)
+        with pytest.raises(ValueError, match="local-FS only"):
+            artifact_root()
+
+    # Unset → per-user dir under TMPDIR, created 0700 (not a shared
+    # world-writable location another user could pre-seed).
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DIR", raising=False)
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    root = artifact_root()
+    assert root.startswith(str(tmp_path))
+    assert str(os.getuid()) in os.path.basename(root)
+    assert (os.stat(root).st_mode & 0o777) == 0o700
 
 
 def test_apply_probe_prunes_index_partitions(spark, sf_dir, tmp_path, monkeypatch):
