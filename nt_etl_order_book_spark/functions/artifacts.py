@@ -80,6 +80,11 @@ def corpus_fingerprint(path: str) -> str:
     O(file count) stat calls — yet catches any in-place regeneration
     (parquet writers always produce fresh mtimes and part names)."""
     h = hashlib.sha256()
+    if not os.path.exists(path):
+        # An empty fingerprint would alias every missing corpus onto one
+        # cache key — the exact silent-collision class the key exists to
+        # prevent. Callers gate warm paths on existence first.
+        raise FileNotFoundError(f"corpus path does not exist: {path!r}")
     if os.path.isfile(path):
         st = os.stat(path)
         h.update(f"{os.path.basename(path)}\x00{st.st_size}\x00{st.st_mtime_ns}".encode())

@@ -154,3 +154,41 @@ def test_bpe_encode_matches_pure_python_apply(spark):
         assert got[src][0] == nw
         assert got[src][1] == ns
         assert got[src][2] == round(ns / nw, 6)
+
+
+def test_bpe_encode_warm_path_lifecycle(spark, sf_dir, tmp_path, monkeypatch):
+    # bpe_encode's merge table rides the persisted-artifact lifecycle
+    # (bpe_merges_cached, same template as the IVF-PQ serving index).
+    # Pin the three claims: cold call trains + publishes, warm call is
+    # a pure cache hit with the identical answer, and a crashed build
+    # (marker missing) retrains.
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    from nt_etl_order_book_spark.functions.artifacts import artifact_path
+
+    qs = registry.queries()
+    key = lambda r: (r.source, r.n_words, r.n_subwords, r.fertility, r.n_long_words)
+    cold = sorted(key(r) for r in qs["bpe_encode"](spark, sf_dir).collect())
+
+    path = artifact_path("bpe", sf_dir, "documents")
+    assert os.path.exists(os.path.join(path, "_TRAINED"))
+    merges = pq.read_table(os.path.join(path, "merges.parquet")).to_pylist()
+    assert len(merges) == N_BPE_MERGES
+
+    def mtimes():
+        return {
+            os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+            for dp, _dirs, files in os.walk(path)
+            for f in files
+        }
+
+    before = mtimes()
+    warm = sorted(key(r) for r in qs["bpe_encode"](spark, sf_dir).collect())
+    assert warm == cold
+    assert mtimes() == before
+
+    os.remove(os.path.join(path, "_TRAINED"))
+    retrained = sorted(key(r) for r in qs["bpe_encode"](spark, sf_dir).collect())
+    assert retrained == cold
+    assert os.path.exists(os.path.join(path, "_TRAINED"))
