@@ -66,7 +66,11 @@ def add_ingest_ts(df: DataFrame, col: str = "ingestion_ts") -> DataFrame:
     """Stamp wall-clock epoch-ms ingest time (redis_client.py:46,84).
 
     Streaming-path only: non-deterministic, so never inside an
-    oracle-checked query.
+    oracle-checked query. Wired into the flatten boundary via
+    sources/orderbook._with_ingest_ts (the `stamp_ingest_ts` flag on
+    flatten_snapshots/flatten_deltas and the pipeline query builders):
+    buffer-replayed rows keep the buffer's stamp, rows from sources
+    that bypassed the buffer get the micro-batch wall clock.
     """
     return df.withColumn(col, F.unix_millis(F.current_timestamp()))
 

@@ -21,7 +21,7 @@ from nt_etl_order_book_spark.schemas import (
     SNAPSHOT_MSG,
     SNAPSHOTS_CAST,
 )
-from nt_etl_order_book_spark.operators.transforms import cast_to
+from nt_etl_order_book_spark.operators.transforms import add_ingest_ts, cast_to
 
 SNAPSHOT_TYPE = "orderbook_snapshot"  # producer.py:34
 DELTA_TYPE = "orderbook_delta"  # producer.py:41
@@ -32,6 +32,24 @@ def _stream_id(msgs: DataFrame, stream_id_col: str):
     than the durable buffer don't carry one)."""
     col = F.col(stream_id_col) if stream_id_col in msgs.columns else F.lit(None).cast("string")
     return col.alias(stream_id_col)
+
+
+def _with_ingest_ts(msgs: DataFrame, stamp: bool) -> DataFrame:
+    """Ensure every message carries an ``ingestion_ts`` when stamping is
+    on: the durable buffer stamps it at write (redis_client.py:46,84),
+    so buffer-replayed rows keep their stamp, and only rows from
+    sources that bypassed the buffer (direct file drops, raw feeds)
+    get the wall clock here — processing time of the micro-batch, the
+    same clock the reference's writer uses. First writer wins, exactly
+    the reference semantics."""
+    if not stamp:
+        return msgs
+    if "ingestion_ts" not in msgs.columns:
+        return add_ingest_ts(msgs)
+    return msgs.withColumn(
+        "ingestion_ts",
+        F.coalesce(F.col("ingestion_ts"), F.unix_millis(F.current_timestamp())),
+    )
 
 
 def parse_messages(raw: DataFrame, *, value_col: str = "value") -> DataFrame:
@@ -64,13 +82,21 @@ class StructTypeUnion:
         self.schema = StructType(list(seen.values()))
 
 
-def flatten_snapshots(msgs: DataFrame, *, stream_id_col: str = "redis_stream_id") -> DataFrame:
+def flatten_snapshots(
+    msgs: DataFrame,
+    *,
+    stream_id_col: str = "redis_stream_id",
+    stamp_ingest_ts: bool = False,
+) -> DataFrame:
     """Snapshot messages → one row per (ts, ticker, side, price) level.
 
     The two copy-paste loops of consumer.py:57-81 (differing only in the
     side literal) become stack + explode; the eager Polars cast
     (consumer.py:87-96) becomes cast_to(SNAPSHOTS_CAST).
+    ``stamp_ingest_ts`` fills missing buffer stamps with the wall clock
+    (_with_ingest_ts) for sources that bypassed the durable buffer.
     """
+    msgs = _with_ingest_ts(msgs, stamp_ingest_ts)
     snaps = msgs.filter(F.col("type") == SNAPSHOT_TYPE)
     sid = _stream_id(msgs, stream_id_col)
     sided = snaps.select(
@@ -99,7 +125,12 @@ def flatten_snapshots(msgs: DataFrame, *, stream_id_col: str = "redis_stream_id"
     return cast_to(flat, SNAPSHOTS_CAST)
 
 
-def flatten_deltas(msgs: DataFrame, *, stream_id_col: str = "redis_stream_id") -> DataFrame:
+def flatten_deltas(
+    msgs: DataFrame,
+    *,
+    stream_id_col: str = "redis_stream_id",
+    stamp_ingest_ts: bool = False,
+) -> DataFrame:
     """Delta messages → 1:1 typed projection (consumer.py:131-150).
 
     `timestamp` is INGESTION time (consumer.py:132 reads
@@ -107,7 +138,10 @@ def flatten_deltas(msgs: DataFrame, *, stream_id_col: str = "redis_stream_id") -
     on. Mixing clocks here silently drops post-snapshot deltas whose
     exchange ts lags the snapshot's ingestion_ts during reconstruction;
     the exchange event time stays available as `event_ts`.
+    ``stamp_ingest_ts`` fills missing buffer stamps with the wall clock
+    (_with_ingest_ts) for sources that bypassed the durable buffer.
     """
+    msgs = _with_ingest_ts(msgs, stamp_ingest_ts)
     deltas = msgs.filter(F.col("type") == DELTA_TYPE)
     sid = _stream_id(msgs, stream_id_col)
     flat = deltas.select(

@@ -95,9 +95,14 @@ def snapshots_query(
     checkpoint: str,
     *,
     available_now: bool = True,
+    stamp_ingest_ts: bool = False,
 ) -> StreamingQuery:
-    """Snapshot pipeline: route → explode/unpivot/cast → append parquet sink."""
-    flat = flatten_snapshots(msgs)
+    """Snapshot pipeline: route → explode/unpivot/cast → append parquet sink.
+
+    ``stamp_ingest_ts`` stamps wall-clock ingest time on rows whose
+    source bypassed the durable buffer (reference stamps every row at
+    buffer write, redis_client.py:46,84)."""
+    flat = flatten_snapshots(msgs, stamp_ingest_ts=stamp_ingest_ts)
     writer = (
         flat.writeStream.format("parquet")
         .option("path", out_path)
@@ -116,14 +121,17 @@ def deltas_query(
     *,
     available_now: bool = True,
     dedup_within: str | None = "10 minutes",
+    stamp_ingest_ts: bool = False,
 ) -> StreamingQuery:
     """Delta pipeline with replay dedup on redis_stream_id.
 
     The reference is at-least-once (ack-after-write, consumer.py:104-107)
     and carries redis_stream_id precisely so downstream can dedup
     (consumer.py:145,161); dropDuplicatesWithinWatermark does that here.
+    ``stamp_ingest_ts``: as in snapshots_query — wall-clock stamp for
+    rows whose source bypassed the durable buffer.
     """
-    flat = flatten_deltas(msgs)
+    flat = flatten_deltas(msgs, stamp_ingest_ts=stamp_ingest_ts)
     if dedup_within and "redis_stream_id" in flat.columns:
         # NULL ids (sources without a buffer id) must bypass the dedup:
         # dropDuplicates* treats NULLs as equal and would keep exactly one

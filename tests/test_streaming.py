@@ -939,3 +939,48 @@ def test_windowed_ohlc_late_data_folds_in_across_batches(spark, tmp_path):
     assert len(final) == 1
     ((_, bar),) = final.items()
     assert bar == (0.40, 0.70, 0.40, 0.45, 4)  # late open + late high folded in
+
+
+def test_stamp_ingest_ts_lands_in_sink_schema(spark, tmp_path):
+    # Sources that bypass the durable buffer carry NO ingestion_ts
+    # (the reference's writer is what stamps it, redis_client.py:46,84);
+    # with stamp_ingest_ts on, the flatten boundary fills the wall
+    # clock, and a buffer-stamped row keeps its original stamp (first
+    # writer wins). The stamped value must survive the whole pipeline
+    # into the parquet sink's `timestamp` column.
+    import time
+
+    unstamped_snap = {k: v for k, v in SNAP.items() if k != "ingestion_ts"}
+    unstamped_delta = {k: v for k, v in DELTA.items() if k != "ingestion_ts"}
+    p = tmp_path / "msgs"
+    p.mkdir()
+    p.joinpath("batch0.json").write_text(
+        "\n".join(json.dumps(m) for m in (unstamped_snap, unstamped_delta, SNAP_EMPTY_SIDE))
+    )
+
+    before_ms = int(time.time() * 1000)
+    msgs = read_json_stream(spark, str(p))
+    out_s, cp_s = str(tmp_path / "snaps"), str(tmp_path / "cp_s")
+    out_d, cp_d = str(tmp_path / "deltas"), str(tmp_path / "cp_d")
+    snapshots_query(msgs, out_s, cp_s, stamp_ingest_ts=True).awaitTermination(60)
+    deltas_query(msgs, out_d, cp_d, stamp_ingest_ts=True).awaitTermination(60)
+    after_ms = int(time.time() * 1000) + 1
+
+    snaps = spark.read.parquet(out_s)
+    assert "timestamp" in snaps.columns
+    by_ticker = {}
+    for r in snaps.collect():
+        by_ticker.setdefault(r.ticker, set()).add(r.timestamp)
+    # Unstamped source rows got the micro-batch wall clock...
+    assert all(before_ms <= ts <= after_ms for ts in by_ticker["KXM-A"])
+    # ...while the buffer-stamped row kept its buffer stamp untouched.
+    assert by_ticker["KXM-B"] == {SNAP_EMPTY_SIDE["ingestion_ts"]}
+
+    deltas = spark.read.parquet(out_d)
+    row = deltas.collect()[0]
+    assert before_ms <= row.timestamp <= after_ms
+    assert row.event_ts == DELTA["ts"]  # exchange event time is untouched
+
+    # Default path unchanged: no stamping unless asked.
+    plain = flatten_deltas(parse_messages(spark.read.text(str(p)), value_col="value"))
+    assert [r.timestamp for r in plain.filter(F.col("ticker") == "KXM-A").collect()] == [None]
