@@ -81,65 +81,17 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # CORRECTNESS_r{N}.json has N >= this value, the window below has been
 # consumed and the rotation gate reports "rotation pending" instead of
 # failing; run `python tools/rotate_sweep.py`, paste, and bump this.
-# r11 window (slots 1-50); history through r10
-_SWEEP_ROTATED_FOR_ROUND = 11
+# r12 window (slots 1-50); history through r11
+_SWEEP_ROTATED_FOR_ROUND = 12
 
 _SWEEP_CHANGED: tuple[str, ...] = (
-    "ann_ivfpq_topk",
+    "ann_ivfpq_apply",
+    "bpe_encode",
 )
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    "ann_ivfpq_topk",  # changed
-    "ann_ivfpq_apply",  # never swept
-    "repetition_battery",  # last r6
-    "table_profile",  # last r7
-    "equi_depth_histogram",  # last r7
-    "moments_profile",  # last r7
-    "composite_large_orders",  # last r7
-    "share_of_total",  # last r7
-    "funnel_conversion",  # last r7
-    "retention_cohorts",  # last r7
-    "anomaly_zscore",  # last r7
-    "event_heatmap",  # last r7
-    "benford_audit",  # last r7
-    "realized_volatility",  # last r7
-    "max_drawdown",  # last r7
-    "interarrival_stats",  # last r7
-    "hypertable_rollup",  # last r7
-    "roll_spread",  # last r7
-    "order_flow_imbalance",  # last r7
-    "market_correlation",  # last r7
-    "hhi_concentration",  # last r7
-    "cusum_drift",  # last r7
-    "dollar_bars",  # last r7
-    "amihud_illiquidity",  # last r7
-    "kyle_lambda",  # last r7
-    "vpin",  # last r7
-    "ohlc_volatility",  # last r7
-    "autocorr_returns",  # last r7
-    "effective_spread",  # last r7
-    "resample_ffill",  # last r7
-    "ohlc_bars",  # last r7
-    "bpe_merges",  # last r7
-    "dsir_weights",  # last r7
-    "ngram_novelty",  # last r7
-    "delta_dedup",  # last r7
-    "prefix_dedup",  # last r7
-    "pagerank_docs",  # last r7
-    "rag_chunk",  # last r7
-    "char_entropy",  # last r7
-    "compression_ratio",  # last r7
-    "heavy_hitters",  # last r7
-    "embed_centroid_stats",  # last r7
-    "ann_pq_topk",  # last r7
-    "semdedup",  # last r7
-    "ann_filtered_topk",  # last r7
-    "pmi_collocations",  # last r7
-    "zipf_fit",  # last r7
-    "approx_quantile_audit",  # last r7
-    "ccnet_buckets",  # last r7
-    "lang_id_confusion",  # last r7
-    # ---- slot 51+: next-round queue ----
+    "bpe_encode",  # changed
+    "ann_ivfpq_apply",  # changed
     "license_tag",  # last r7
     "equi_depth_histogram_approx",  # last r8
     "referential_integrity_audit",  # last r8
@@ -172,7 +124,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "win_first_last",  # last r8
     "session_islands",  # last r8
     "win_cume_dist",  # last r8
-    "bpe_encode",  # last r8
     "paragraph_dedup",  # last r8
     "sample_split",  # last r8
     "bloom_filter_dedup",  # last r8
@@ -189,6 +140,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "ngram_coverage_curve",  # last r8
     "lexical_complexity",  # last r8
     "typo_pairs",  # last r8
+    # ---- slot 51+: next-round queue ----
     "bm25_search",  # last r8
     "udaf_grouped",  # last r8
     "agg_groupby_sum",  # last r9
@@ -241,6 +193,56 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "winnow_fingerprint",  # last r9
     "winnow_dedup",  # last r9
     "shared_run_audit",  # last r9
+    "agg_multi",  # last r10
+    "agg_distinct",  # last r10
+    "agg_approx_distinct",  # last r10
+    "agg_stats",  # last r10
+    "agg_median",  # last r10
+    "agg_string_concat",  # last r10
+    "agg_weighted_avg",  # last r10
+    "agg_cube",  # last r10
+    "agg_having",  # last r10
+    "agg_grouping_id",  # last r10
+    "composite_shipping_priority",  # last r10
+    "pivot_event_types",  # last r10
+    "subquery_scalar",  # last r10
+    "subquery_correlated",  # last r10
+    "json_roundtrip",  # last r10
+    "join_broadcast",  # last r10
+    "join_left_right_outer",  # last r10
+    "join_full_outer",  # last r10
+    "join_semi",  # last r10
+    "join_anti",  # last r10
+    "join_theta_range",  # last r10
+    "sort_limit",  # last r10
+    "sort_nulls",  # last r10
+    "set_union_distinct",  # last r10
+    "set_intersect",  # last r10
+    "set_except",  # last r10
+    "agg_salted_skew",  # last r10
+    "filter_msg_type",  # last r10
+    "project_rename",  # last r10
+    "cast_schema",  # last r10
+    "json_encode_decode",  # last r10
+    "explode_ladder",  # last r10
+    "unpivot_sides",  # last r10
+    "add_event_ts_ms",  # last r10
+    "notnull_guard",  # last r10
+    "contamination_span",  # last r10
+    "cross_source_dup",  # last r10
+    "dedup_survivorship",  # last r10
+    "multimodal_resize",  # last r10
+    "multimodal_frame_sample",  # last r10
+    "embed_quantize_stats",  # last r10
+    "redact_pii",  # last r10
+    "unigram_logprob",  # last r10
+    "corpus_filter_funnel",  # last r10
+    "domain_kl_divergence",  # last r10
+    "subword_token_count",  # last r10
+    "bigram_logprob",  # last r10
+    "length_profile_by_source",  # last r10
+    "udf_scalar_pandas",  # last r10
+    "udtf_explode_custom",  # last r10
 )
 
 
