@@ -71,6 +71,17 @@ def artifact_root() -> str:
             "manifest table — see DEPLOY.md §2."
         )
     os.makedirs(root, mode=0o700, exist_ok=True)
+    # exist_ok doesn't verify WHO owns a pre-existing dir: on a shared
+    # box another user could have pre-created the default path and
+    # would then own every "trusted" index under it. Refuse to serve
+    # artifacts out of a root we don't own.
+    if hasattr(os, "getuid") and os.stat(root).st_uid != os.getuid():
+        raise PermissionError(
+            f"artifact cache root {root!r} is owned by uid "
+            f"{os.stat(root).st_uid}, not this process (uid "
+            f"{os.getuid()}); refusing to trust foreign-owned indexes. "
+            "Set SPARK_GRAFT_INDEX_DIR to a directory you own."
+        )
     return root
 
 

@@ -104,6 +104,11 @@ def main() -> int:
             n = consume(fn(spark, d))
             wall = time.time() - t0
             inp, sread, swrite = stage_bytes(spark, mark)
+            # Drop any frames the query cached (minhash_dedup caches its
+            # signature frame): accumulated storage from earlier runs
+            # otherwise turns later sf0.1 baselines into GC-churn
+            # readings (observed: 26.7 s vs the 2.2 s clean band).
+            spark.catalog.clearCache()
             gc.collect()
             res[label] = (wall, n, inp, sread, swrite)
         (w1, n1, *_), (w2, n2, i2, r2, s2) = res["sf0.1"], res["1000x"]
