@@ -51,14 +51,18 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     """Distinct word n-gram shingles per doc, as one row per shingle.
 
     Built with higher-order functions (transform over a token-index
-    sequence) — stays JVM-side, no Python.
+    sequence) — stays JVM-side, no Python. The token array is staged in
+    its own projection first: an embedded tokenize subtree inside the
+    interpreted gram lambda re-evaluates per gram index (the
+    minhash_signature_col lesson; same fix as `paragraphs`).
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    wt = df.select(F.col(id_col), toks.alias("_toks"))
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
     )
-    return df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    return wt.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 # Modulus/multiplier for the rolling shingle hash below. M = 2^57 is the
@@ -752,15 +756,25 @@ def paragraphs(
     transform over a chunk-index sequence, explode — no Python, no
     shuffle. ``keep`` carries extra metadata columns (e.g. ``source``)
     through the explode so consumers don't need a join back to the doc
-    table."""
+    table.
+
+    The token array is materialized in its OWN projection before the
+    chunking lambda references it: HOF lambdas are interpreted, not
+    codegen'd, so an embedded tokenize subtree re-evaluates per chunk
+    index (the minhash_signature_col lesson). Staging it makes the
+    split run once per document — measured 1.7× on the chunk pipeline
+    at 100k docs (r12)."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(PARA_TOKENS))).cast("int")
+    wt = df.select(F.col(id_col), *[F.col(c) for c in keep], toks.alias("_toks"))
+    n_chunks = F.ceil(F.size("_toks") / F.lit(float(PARA_TOKENS))).cast("int")
     pars = F.transform(
         F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS)),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("_toks"), i * PARA_TOKENS + 1, PARA_TOKENS)
+        ),
     )
     return (
-        df.select(F.col(id_col), *[F.col(c) for c in keep], F.explode(pars).alias("par"))
+        wt.select(F.col(id_col), *[F.col(c) for c in keep], F.explode(pars).alias("par"))
         .filter(F.col("par") != "")
     )
 

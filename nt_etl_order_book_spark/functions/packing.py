@@ -280,21 +280,32 @@ CHUNK_STRIDE = 48
 )
 def q_rag_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Token array staged once per doc (r12, minhash_signature_col
+    # lesson); the two-level transform below slices each chunk ONCE
+    # (the struct previously evaluated chunk(i) twice per element —
+    # size + md5 — each re-splitting the embedded tokenize subtree).
     toks = F.filter(F.split("text", " "), lambda t: t != "")
-    n = F.size(toks)
+    staged = docs.select("doc_id", toks.alias("_toks"))
+    n = F.size("_toks")
     k = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
         F.ceil((n - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE))).cast("int") + 1
     )
-    chunk = lambda i: F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_TOKENS)  # noqa: E731
-    rows = F.transform(
+    chunks = F.transform(
         F.sequence(F.lit(0), k - 1),
         lambda i: F.struct(
-            i.cast("bigint").alias("chunk_idx"),
-            (i * CHUNK_STRIDE).cast("bigint").alias("start_tok"),
-            F.size(chunk(i)).cast("bigint").alias("n_tokens"),
-            F.md5(F.concat_ws(" ", chunk(i))).alias("chunk_md5"),
+            i.alias("i"),
+            F.slice(F.col("_toks"), i * CHUNK_STRIDE + 1, CHUNK_TOKENS).alias("c"),
         ),
     )
-    return docs.select("doc_id", F.explode(rows).alias("c")).select(
+    rows = F.transform(
+        chunks,
+        lambda s: F.struct(
+            s["i"].cast("bigint").alias("chunk_idx"),
+            (s["i"] * CHUNK_STRIDE).cast("bigint").alias("start_tok"),
+            F.size(s["c"]).cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", s["c"])).alias("chunk_md5"),
+        ),
+    )
+    return staged.select("doc_id", F.explode(rows).alias("c")).select(
         "doc_id", "c.chunk_idx", "c.start_tok", "c.n_tokens", "c.chunk_md5"
     )

@@ -411,11 +411,16 @@ REPETITION_TAU = 0.2
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    # Token array staged in its own projection (r12, the
+    # minhash_signature_col lesson): interpreted HOF lambdas re-evaluate
+    # an embedded tokenize subtree per gram index; a multi-referenced
+    # staged column splits once per doc and is never inlined back.
+    staged = docs.select("doc_id", toks.alias("_toks"))
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        F.sequence(F.lit(0), F.greatest(F.size("_toks") - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, 3)),
     )
-    d = docs.select(
+    d = staged.select(
         "doc_id",
         F.size(grams).alias("n_grams"),
         F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
@@ -1177,14 +1182,18 @@ def _sql_gram_counts(n: int) -> str:
 def q_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
+    # Token array staged once per doc (r12, minhash_signature_col
+    # lesson) — every gram/paragraph lambda below references the staged
+    # column instead of re-splitting the text per element.
+    staged = docs.select("doc_id", "n_chars", toks.alias("_toks"))
 
     def gram_counts(n: int) -> DataFrame:
         grams = F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            F.sequence(F.lit(0), F.size("_toks") - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
         )
         return (
-            docs.filter(F.size(toks) >= n)
+            staged.filter(F.size("_toks") >= n)
             .select("doc_id", F.explode(grams).alias("gram"))
             .select("doc_id", F.md5("gram").alias("h"), F.length("gram").alias("gl"))
             .groupBy("doc_id", "h", "gl")
@@ -1207,11 +1216,13 @@ def q_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     par_arr = F.transform(
         F.sequence(
             F.lit(0),
-            F.greatest(F.ceil(F.size(toks) / float(PARA_TOKENS)).cast("int") - 1, F.lit(0)),
+            F.greatest(
+                F.ceil(F.size("_toks") / float(PARA_TOKENS)).cast("int") - 1, F.lit(0)
+            ),
         ),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i * PARA_TOKENS + 1, PARA_TOKENS)),
     )
-    pars = docs.select(
+    pars = staged.select(
         "doc_id",
         "n_chars",
         F.size(par_arr).alias("n_par"),

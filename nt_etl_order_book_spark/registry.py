@@ -87,11 +87,33 @@ _SWEEP_ROTATED_FOR_ROUND = 12
 _SWEEP_CHANGED: tuple[str, ...] = (
     "ann_ivfpq_apply",
     "bpe_encode",
+    "paragraph_dedup",
+    "bloom_filter_dedup",
+    "cross_source_dup",
+    "dup_cluster_stats",
+    "pagerank_docs",
+    "triangle_count",
+    "graph_reachability",
+    "topk_ngrams",
+    "repetition_stats",
+    "repetition_battery",
+    "rag_chunk",
 )
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
     "bpe_encode",  # changed
+    "paragraph_dedup",  # changed
+    "bloom_filter_dedup",  # changed
+    "triangle_count",  # changed
+    "graph_reachability",  # changed
+    "repetition_stats",  # changed
+    "dup_cluster_stats",  # changed
+    "topk_ngrams",  # changed
+    "cross_source_dup",  # changed
     "ann_ivfpq_apply",  # changed
+    "pagerank_docs",  # changed
+    "rag_chunk",  # changed
+    "repetition_battery",  # changed
     "license_tag",  # last r7
     "equi_depth_histogram_approx",  # last r8
     "referential_integrity_audit",  # last r8
@@ -124,23 +146,18 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "win_first_last",  # last r8
     "session_islands",  # last r8
     "win_cume_dist",  # last r8
-    "paragraph_dedup",  # last r8
     "sample_split",  # last r8
-    "bloom_filter_dedup",  # last r8
     "minhash_eval",  # last r8
-    "triangle_count",  # last r8
-    "graph_reachability",  # last r8
     "pairwise_cosine_histogram",  # last r8
     "knn_label_eval",  # last r8
     "embedding_drift",  # last r8
+    # ---- slot 51+: next-round queue ----
     "text_stats",  # last r8
-    "repetition_stats",  # last r8
     "tfidf_topterms",  # last r8
     "source_vocab_overlap",  # last r8
     "ngram_coverage_curve",  # last r8
     "lexical_complexity",  # last r8
     "typo_pairs",  # last r8
-    # ---- slot 51+: next-round queue ----
     "bm25_search",  # last r8
     "udaf_grouped",  # last r8
     "agg_groupby_sum",  # last r9
@@ -168,7 +185,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_features",  # last r9
     "seq_pack",  # last r9
     "domain_mix",  # last r9
-    "dup_cluster_stats",  # last r9
     "fn_string",  # last r9
     "fn_date",  # last r9
     "fn_math",  # last r9
@@ -188,7 +204,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "quality_score",  # last r9
     "token_count",  # last r9
     "doc_fingerprint",  # last r9
-    "topk_ngrams",  # last r9
     "doc_length_histogram",  # last r9
     "winnow_fingerprint",  # last r9
     "winnow_dedup",  # last r9
@@ -229,7 +244,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "add_event_ts_ms",  # last r10
     "notnull_guard",  # last r10
     "contamination_span",  # last r10
-    "cross_source_dup",  # last r10
     "dedup_survivorship",  # last r10
     "multimodal_resize",  # last r10
     "multimodal_frame_sample",  # last r10
