@@ -89,6 +89,13 @@ def tier3_names(qs: dict, cap: int = TIER3_CAP, repo: str | None = None) -> list
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
+        # The driver wraps bench.py's JSON line under "parsed" (with its
+        # own n/rc/cpus envelope); bench.py's own output is flat. Accept
+        # both — without the unwrap the rotation read EMPTY history from
+        # every driver record and degenerated to fixed pool order
+        # (found r13; tier3 now genuinely rotates stalest-first).
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
         for key in ("queries", "tier2", "tier3"):
             for q in data.get(key) or {}:
                 recorded[q] = max(recorded.get(q, 0), rnd)
@@ -96,6 +103,59 @@ def tier3_names(qs: dict, cap: int = TIER3_CAP, repo: str | None = None) -> list
     pool = [n for n in qs if n not in fixed]
     pos = {n: i for i, n in enumerate(pool)}
     return sorted(pool, key=lambda n: (recorded.get(n, -1), pos[n]))[:cap]
+
+
+def ambient_stats(timings: dict[str, float], repo: str | None = None) -> dict:
+    """Codified ambient-load discriminator (r12 verdict item 2).
+
+    The box has EXTERNAL contention windows in which every query's wall
+    shifts together ~1.7-2x (PERF.md r12: two of six recordings, zero
+    in-container processes; pure-noise queries like sort_limit and
+    tokenize_tf move exactly like the heavies). The discriminator the
+    PERF.md prose applied manually: the MEDIAN per-query ratio of this
+    recording against the cleanest value ever recorded for that query
+    (per-query min across all BENCH_r*.json — by construction the
+    least-ambient datum). A real regression moves its own query's ratio
+    and leaves the median alone; an ambient window lifts the median
+    itself. Calibrated against the recorded series: the clean r11/r12
+    driver recordings read median 1.30/1.32 against best-ever (run
+    variance + the min-of-12-rounds bias in the denominator); the r12
+    ambient windows (1.75x vs the same-round clean band) read ~2.3 on
+    this scale. Threshold 1.5: ~15% above the clean band, ~35% below
+    the ambient signature.
+    """
+    import re
+    import statistics
+
+    repo = repo or os.path.dirname(os.path.abspath(__file__))
+    best: dict[str, float] = {}
+    rounds = []
+    for fname in sorted(os.listdir(repo)):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(repo, fname)) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]  # driver envelope (see tier3_names)
+        rounds.append(int(m.group(1)))
+        for key in ("queries", "tier2", "tier3"):
+            for q, v in (data.get(key) or {}).items():
+                if isinstance(v, (int, float)) and v > 0:
+                    best[q] = min(best.get(q, float("inf")), float(v))
+    ratios = [timings[q] / best[q] for q in timings if q in best]
+    if not ratios:
+        return {"ambient_ratio_median": None, "ambient_suspect": False, "ambient_ref_queries": 0}
+    med = statistics.median(ratios)
+    return {
+        "ambient_ratio_median": round(med, 3),
+        "ambient_suspect": med > 1.5,
+        "ambient_ref_queries": len(ratios),
+        "ambient_ref_rounds": [min(rounds), max(rounds)] if rounds else [],
+    }
 
 
 def stream_throughput(spark, n_msgs: int = 20000) -> float:
@@ -290,6 +350,10 @@ def main() -> None:
         "load_avg_end": [round(v, 2) for v in load_end],
         "runs_per_query": n_runs,
     }
+    # Self-labeling ambient discriminator (r12 verdict item 2): median
+    # per-query ratio vs the cleanest recorded value for each query —
+    # uniform shift ⇒ ambient window, not a code regression.
+    out.update(ambient_stats({**timings, **tier2, **tier3}))
     print(json.dumps(out))
 
 

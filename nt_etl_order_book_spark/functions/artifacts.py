@@ -29,15 +29,18 @@ box and honest about content drift:
    step — see DEPLOY.md §2.
 
 3. **Atomic publish** (`ensure_published`): builders write into a
-   pid-suffixed scratch dir; the completion marker is written inside
-   the scratch BEFORE one ``os.rename`` moves the whole tree into
-   place. Readers can therefore never observe a half-built artifact —
-   the published path either doesn't exist yet or is complete. A
-   concurrent builder that loses the rename race sees the winner's
-   marker and discards its own scratch (both trained the same
-   deterministic state). The one remaining non-atomic window is
-   replacing a CRASHED build (dir present, no marker): its rmtree is
-   safe because no reader ever trusts an unmarked dir.
+   pid+uuid-suffixed scratch dir (two threads of one process never
+   collide); the completion marker is written inside the scratch
+   BEFORE one ``os.rename`` moves the whole tree into place. Readers
+   can therefore never observe a half-built artifact — the published
+   path either doesn't exist yet or is complete. A concurrent builder
+   that loses the rename race sees the winner's marker and discards
+   its own scratch (both trained the same deterministic state).
+   Replacing a CRASHED build (dir present, no marker) runs as a
+   bounded retry loop so two concurrent recoverers converge on one
+   published artifact instead of the loser raising; the rmtree is
+   safe because no reader ever trusts an unmarked dir. Stale keys are
+   reaped by age via ``reap_stale`` (tools/reap_artifacts.py).
 
 No reference analog: the 727-LoC ingest reference has no derived
 artifacts at all; this is the serving half the Spark engine adds.
@@ -50,6 +53,8 @@ import os
 import re
 import shutil
 import tempfile
+import time
+import uuid
 
 _MARKER = "_TRAINED"
 _URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
@@ -85,11 +90,35 @@ def artifact_root() -> str:
     return root
 
 
+_FOOTER_BYTES = 4096
+
+
+def _stat_and_tail(h, name: str, p: str) -> None:
+    """Fold one file's (name, size, mtime_ns) AND its tail bytes into
+    the running digest. The tail is the parquet FOOTER — row-group
+    offsets, column statistics, created_by — which differs for any
+    rewrite with different content, so a restore that preserves
+    timestamps and happens to match sizes (cp -p, rsync -t, tar) still
+    maps to a fresh cache key. Fixed-size read (≤4 KiB/file), so the
+    fingerprint stays O(file count) cheap, never a data scan."""
+    st = os.stat(p)
+    h.update(f"{name}\x00{st.st_size}\x00{st.st_mtime_ns}\x00".encode())
+    try:
+        with open(p, "rb") as fh:
+            fh.seek(max(0, st.st_size - _FOOTER_BYTES))
+            h.update(fh.read(_FOOTER_BYTES))
+    except OSError:
+        pass  # unreadable tail → stat fields alone, as before
+
+
 def corpus_fingerprint(path: str) -> str:
     """Cheap content fingerprint of a parquet file/dir: sha256 over the
-    sorted (relpath, size, mtime_ns) listing. Never reads data bytes —
-    O(file count) stat calls — yet catches any in-place regeneration
-    (parquet writers always produce fresh mtimes and part names)."""
+    sorted (relpath, size, mtime_ns) listing PLUS each file's last
+    4 KiB (the parquet footer). O(file count) stats + one fixed-size
+    tail read per file — never a data scan — yet catches in-place
+    regeneration (fresh mtimes/part names) AND timestamp-preserving
+    restores whose content differs but sizes collide (the footer's
+    row-group stats differ)."""
     h = hashlib.sha256()
     if not os.path.exists(path):
         # An empty fingerprint would alias every missing corpus onto one
@@ -97,16 +126,13 @@ def corpus_fingerprint(path: str) -> str:
         # prevent. Callers gate warm paths on existence first.
         raise FileNotFoundError(f"corpus path does not exist: {path!r}")
     if os.path.isfile(path):
-        st = os.stat(path)
-        h.update(f"{os.path.basename(path)}\x00{st.st_size}\x00{st.st_mtime_ns}".encode())
+        _stat_and_tail(h, os.path.basename(path), path)
         return h.hexdigest()
     for dirpath, dirs, files in os.walk(path):
         dirs.sort()
         for f in sorted(files):
             p = os.path.join(dirpath, f)
-            st = os.stat(p)
-            rel = os.path.relpath(p, path)
-            h.update(f"{rel}\x00{st.st_size}\x00{st.st_mtime_ns}\x00".encode())
+            _stat_and_tail(h, os.path.relpath(p, path), p)
     return h.hexdigest()
 
 
@@ -130,24 +156,79 @@ def is_published(path: str) -> bool:
 def ensure_published(final: str, build) -> str:
     """Return ``final`` with a complete artifact under it, building via
     ``build(scratch_dir)`` if needed. Publish is one atomic rename;
-    losing a concurrent race discards the loser's scratch."""
+    losing a concurrent race discards the loser's scratch.
+
+    The scratch path carries pid AND a uuid so two threads of one
+    driver process building the same artifact never share (and never
+    rmtree) each other's in-progress tree. Recovery from a CRASHED
+    leftover (dir present, no marker) is a bounded retry loop: each
+    failed rename re-checks whether a concurrent builder published a
+    complete artifact in the window (keep theirs, drop ours) before
+    clearing the unmarked dir and trying again — two concurrent
+    recoverers converge instead of the loser raising ENOTEMPTY."""
     if is_published(final):
         return final
-    scratch = f"{final}.tmp.{os.getpid()}"
+    scratch = f"{final}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     shutil.rmtree(scratch, ignore_errors=True)
-    build(scratch)
-    with open(os.path.join(scratch, _MARKER), "w") as fh:
-        fh.write("ok\n")
     try:
+        build(scratch)
+        with open(os.path.join(scratch, _MARKER), "w") as fh:
+            fh.write("ok\n")
+        for attempt in range(8):
+            try:
+                os.rename(scratch, final)
+                return final
+            except OSError:
+                if is_published(final):
+                    # Concurrent builder won the rename; its artifact
+                    # is the same deterministic state — keep it.
+                    return final
+                # Crashed leftover (dir present, no marker): no reader
+                # trusts an unmarked dir, so replacing it is safe. A
+                # concurrent recoverer may rename into the slot between
+                # our rmtree and rename — loop re-checks the marker.
+                shutil.rmtree(final, ignore_errors=True)
+        # 8 straight lost races without a published winner appearing:
+        # something is repeatedly parking unmarked state in the slot.
         os.rename(scratch, final)
-    except OSError:
-        if is_published(final):
-            # Concurrent builder won the rename; its artifact is the
-            # same deterministic state — keep it, drop ours.
-            shutil.rmtree(scratch, ignore_errors=True)
-        else:
-            # Crashed leftover (dir present, no marker): no reader
-            # trusts an unmarked dir, so replacing it is safe.
-            shutil.rmtree(final, ignore_errors=True)
-            os.rename(scratch, final)
-    return final
+        return final
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def reap_stale(max_age_hours: float = 72.0, root: str | None = None) -> list[str]:
+    """Delete stale entries under the artifact cache root and return
+    the paths removed. Two classes are reaped (the "reapable by age"
+    contract in the module docstring):
+
+    - **Unmarked dirs** (crashed builds / orphaned ``*.tmp.*`` scratch)
+      older than ``max_age_hours`` — age is the dir's own mtime, so an
+      in-progress build (minutes old) always survives.
+    - **Published dirs** whose ``_TRAINED`` marker mtime is older than
+      ``max_age_hours`` — content-keyed stale keys from corpora that
+      were since rewritten. Pass ``float("inf")`` semantics by using a
+      very large value to reap only crashed scratch.
+
+    Best-effort: races with a concurrent builder are absorbed by
+    ``ignore_errors`` (a builder that loses its dir mid-build retries
+    through ensure_published's recovery loop on its next call)."""
+    base = root if root is not None else artifact_root()
+    cutoff = time.time() - max_age_hours * 3600.0
+    reaped: list[str] = []
+    try:
+        entries = sorted(os.listdir(base))
+    except FileNotFoundError:
+        return reaped
+    for name in entries:
+        path = os.path.join(base, name)
+        if not os.path.isdir(path):
+            continue
+        marker = os.path.join(path, _MARKER)
+        try:
+            stamp = os.stat(marker).st_mtime if os.path.exists(marker) else os.stat(path).st_mtime
+        except OSError:
+            continue  # vanished mid-scan (concurrent reaper/builder)
+        if stamp < cutoff:
+            shutil.rmtree(path, ignore_errors=True)
+            reaped.append(path)
+    return reaped

@@ -1339,6 +1339,17 @@ def _ivfpq_index_path(sf_dir: str) -> str:
 )
 def q_ann_ivfpq_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # Same guard as bpe_merges_cached: the persisted lifecycle is
+    # local-FS only (content fingerprint stats the parquet tree), so a
+    # corpus that isn't a real local path — remote URI sf_dir, tests
+    # monkeypatching load_table — trains inline (the self-contained
+    # ann_ivfpq_topk composition) instead of raising FileNotFoundError
+    # out of corpus_fingerprint.
+    if not os.path.exists(os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")):
+        cents_arr = ivf_codebook(emb)
+        resid = checkpoint_frame(ivfpq_residuals(emb, cents_arr))
+        books = pq_codebook(resid)
+        return ivfpq_query(emb, cents_arr, books, ivfpq_encode(resid, books))
     path = ensure_published(_ivfpq_index_path(sf_dir), lambda p: ivfpq_train(emb, p))
     cents_arr = spark.read.parquet(f"{path}/cents.parquet")
     books = spark.read.parquet(f"{path}/books.parquet")

@@ -184,3 +184,49 @@ def test_bench_tier3_rotation_is_stalest_first(tmp_path):
     # then staleness: q1 (r1) before q0/q2 (r2); fixed tiers excluded
     assert sel_all == ["q3", "q4", "q5", "q6", "q7", "q1", "q0", "q2"]
     assert bench.HEADLINE[0] not in sel_all and bench.TIER2[0] not in sel_all
+
+
+def test_bench_tier3_reads_driver_parsed_envelope(tmp_path):
+    # The driver wraps bench.py's JSON under "parsed" with its own
+    # n/rc/cpus envelope; the rotation must read THAT history too —
+    # before r13 it read {} from every driver record and the "rotation"
+    # was a fixed pool-order prefix.
+    import json
+
+    import bench
+
+    qs = {f"q{i}": None for i in range(4)}
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"n": 1, "rc": 0, "parsed": {"queries": {"q0": 1.0}, "tier3": {"q1": 2.0}}})
+    )
+    sel = bench.tier3_names(qs, cap=4, repo=str(tmp_path))
+    # q2/q3 never benched → lead; q0/q1 recorded in r1 → trail
+    assert sel == ["q2", "q3", "q0", "q1"]
+
+
+def test_bench_ambient_discriminator(tmp_path):
+    # r12 verdict item 2: a uniform per-query shift vs the cleanest
+    # recorded values flags ambient_suspect; a clean recording (and a
+    # single-query regression) does not.
+    import json
+
+    import bench
+
+    hist = {"qa": 1.0, "qb": 2.0, "qc": 3.0, "qd": 0.5, "qe": 4.0}
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({"parsed": {"queries": hist}}))
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"queries": {k: v * 1.2 for k, v in hist.items()}})
+    )
+    clean = bench.ambient_stats({k: v * 1.1 for k, v in hist.items()}, repo=str(tmp_path))
+    assert clean["ambient_suspect"] is False and abs(clean["ambient_ratio_median"] - 1.1) < 1e-6
+    assert clean["ambient_ref_queries"] == 5 and clean["ambient_ref_rounds"] == [1, 2]
+    # one REAL regression (qa 5x) leaves the median — and the flag — alone
+    one_bad = dict(hist)
+    one_bad["qa"] = 5.0
+    assert bench.ambient_stats(one_bad, repo=str(tmp_path))["ambient_suspect"] is False
+    # uniform 1.8x shift: the ambient signature
+    shifted = bench.ambient_stats({k: v * 1.8 for k, v in hist.items()}, repo=str(tmp_path))
+    assert shifted["ambient_suspect"] is True and shifted["ambient_ratio_median"] > 1.5
+    # no history → no claim, not a crash
+    empty = bench.ambient_stats({"qz": 1.0}, repo=str(tmp_path))
+    assert empty["ambient_suspect"] is False and empty["ambient_ratio_median"] is None
