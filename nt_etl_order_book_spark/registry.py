@@ -81,77 +81,17 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # CORRECTNESS_r{N}.json has N >= this value, the window below has been
 # consumed and the rotation gate reports "rotation pending" instead of
 # failing; run `python tools/rotate_sweep.py`, paste, and bump this.
-# r12 window (slots 1-50); history through r11
-_SWEEP_ROTATED_FOR_ROUND = 12
+# r13 window (slots 1-50); history through r12
+_SWEEP_ROTATED_FOR_ROUND = 13
 
 _SWEEP_CHANGED: tuple[str, ...] = (
     "ann_ivfpq_apply",
     "bpe_encode",
-    "paragraph_dedup",
-    "bloom_filter_dedup",
-    "cross_source_dup",
-    "dup_cluster_stats",
-    "pagerank_docs",
-    "triangle_count",
-    "graph_reachability",
-    "topk_ngrams",
-    "repetition_stats",
-    "repetition_battery",
-    "rag_chunk",
 )
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
     "bpe_encode",  # changed
-    "paragraph_dedup",  # changed
-    "bloom_filter_dedup",  # changed
-    "triangle_count",  # changed
-    "graph_reachability",  # changed
-    "repetition_stats",  # changed
-    "dup_cluster_stats",  # changed
-    "topk_ngrams",  # changed
-    "cross_source_dup",  # changed
     "ann_ivfpq_apply",  # changed
-    "pagerank_docs",  # changed
-    "rag_chunk",  # changed
-    "repetition_battery",  # changed
-    "license_tag",  # last r7
-    "equi_depth_histogram_approx",  # last r8
-    "referential_integrity_audit",  # last r8
-    "uniqueness_audit",  # last r8
-    "split_leakage_audit",  # last r8
-    "label_balance",  # last r8
-    "winsorize_stats",  # last r8
-    "winsorize_stats_approx",  # last r8
-    "table_diff",  # last r8
-    "table_diff_summary",  # last r8
-    "composite_returned_items",  # last r8
-    "composite_promo_revenue",  # last r8
-    "composite_top_supplier",  # last r8
-    "composite_small_qty_revenue",  # last r8
-    "composite_nation_trade",  # last r8
-    "composite_brand_disjunction",  # last r8
-    "composite_idle_customers",  # last r8
-    "markov_transitions",  # last r8
-    "attribution_last_touch",  # last r8
-    "scd2_intervals",  # last r8
-    "interarrival_stats_approx",  # last r8
-    "twap",  # last r8
-    "gini_concentration",  # last r8
-    "rolling_features",  # last r8
-    "overnight_gap",  # last r8
-    "seq_gap_check",  # last r8
-    "win_lag_lead",  # last r8
-    "win_moving_avg",  # last r8
-    "win_range_frame",  # last r8
-    "win_first_last",  # last r8
-    "session_islands",  # last r8
-    "win_cume_dist",  # last r8
-    "sample_split",  # last r8
-    "minhash_eval",  # last r8
-    "pairwise_cosine_histogram",  # last r8
-    "knn_label_eval",  # last r8
-    "embedding_drift",  # last r8
-    # ---- slot 51+: next-round queue ----
     "text_stats",  # last r8
     "tfidf_topterms",  # last r8
     "source_vocab_overlap",  # last r8
@@ -200,6 +140,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "embed_norm_stats",  # last r9
     "embed_cosine_dedup",  # last r9
     "tokenize_tf",  # last r9
+    # ---- slot 51+: next-round queue ----
     "lang_id",  # last r9
     "quality_score",  # last r9
     "token_count",  # last r9
@@ -257,6 +198,52 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "length_profile_by_source",  # last r10
     "udf_scalar_pandas",  # last r10
     "udtf_explode_custom",  # last r10
+    "table_profile",  # last r11
+    "equi_depth_histogram",  # last r11
+    "moments_profile",  # last r11
+    "composite_large_orders",  # last r11
+    "share_of_total",  # last r11
+    "funnel_conversion",  # last r11
+    "retention_cohorts",  # last r11
+    "anomaly_zscore",  # last r11
+    "event_heatmap",  # last r11
+    "benford_audit",  # last r11
+    "realized_volatility",  # last r11
+    "max_drawdown",  # last r11
+    "interarrival_stats",  # last r11
+    "hypertable_rollup",  # last r11
+    "roll_spread",  # last r11
+    "order_flow_imbalance",  # last r11
+    "market_correlation",  # last r11
+    "hhi_concentration",  # last r11
+    "cusum_drift",  # last r11
+    "dollar_bars",  # last r11
+    "amihud_illiquidity",  # last r11
+    "kyle_lambda",  # last r11
+    "vpin",  # last r11
+    "ohlc_volatility",  # last r11
+    "autocorr_returns",  # last r11
+    "effective_spread",  # last r11
+    "resample_ffill",  # last r11
+    "ohlc_bars",  # last r11
+    "bpe_merges",  # last r11
+    "dsir_weights",  # last r11
+    "ngram_novelty",  # last r11
+    "delta_dedup",  # last r11
+    "prefix_dedup",  # last r11
+    "char_entropy",  # last r11
+    "compression_ratio",  # last r11
+    "heavy_hitters",  # last r11
+    "embed_centroid_stats",  # last r11
+    "ann_pq_topk",  # last r11
+    "semdedup",  # last r11
+    "ann_ivfpq_topk",  # last r11
+    "ann_filtered_topk",  # last r11
+    "pmi_collocations",  # last r11
+    "zipf_fit",  # last r11
+    "approx_quantile_audit",  # last r11
+    "ccnet_buckets",  # last r11
+    "lang_id_confusion",  # last r11
 )
 
 
