@@ -1142,6 +1142,58 @@ def ivfpq_residuals(emb: DataFrame, cents_arr: DataFrame) -> DataFrame:
     )
 
 
+def ivf_residuals_arrow(emb: DataFrame, cent_rows: list) -> DataFrame:
+    """(vec_id, cell, enorm, embedding=residual) — ivfpq_residuals'
+    contract computed the LARGE-CODEBOOK way: Arrow-batched numpy
+    matmul instead of the per-row HOF argmin fold.
+
+    The HOF path above is the right shape for fixture codebooks
+    (N_CELLS=16: O(C·D) interpreted per row is free, and the plan stays
+    100% JVM — the registered queries keep it). Production sizes
+    N_CELLS ~ √N with the corpus (DEPLOY.md §2) — thousands of cells —
+    where an interpreted fold is O(hours) over a 2M-row encode and the
+    industry form is a BLAS matmul: X @ C.T, argmax rows (faiss's
+    IndexIVF assignment). This is that form: one mapInPandas pass
+    (the sanctioned Arrow boundary, same as multimodal decode), numpy
+    doing C·D work per row at matmul throughput. Semantics mirror
+    nearest_cell exactly: argmax(dot) over unit centroids, ties → the
+    LOWEST cell id (cent_rows are sorted by cell; np.argmax returns the
+    first maximum).
+
+    ``cent_rows`` is the codebook as driver-side [(cell, cvec), ...] —
+    query-side state, C×D doubles (≈700 KB at 1414×64), the same object
+    the HOF path ships as a broadcast 1-row frame. Not used by any
+    registered query (the fixture's 16-cell codebook keeps the JVM-only
+    plan; tests/test_plans.py would flag the boundary); driven by
+    tools/measure_ann_cells.py for the √N-cell scale probe, and the
+    path a deployment swaps into ivfpq_train when its codebook
+    outgrows the fold.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cent_rows, key=lambda r: int(r[0]))
+    cells_np = np.array([int(c) for c, _ in rows], dtype=np.int64)
+    cents_np = np.array([list(map(float, v)) for _, v in rows], dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            idx = np.argmax(x @ cents_np.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cells_np[idx],
+                    "enorm": np.sqrt((x * x).sum(axis=1)),
+                    "embedding": list(x - cents_np[idx]),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cell long, enorm double, embedding array<double>"
+    )
+
+
 def ivfpq_encode(resid: DataFrame, books: DataFrame) -> DataFrame:
     """(vec_id, cell, enorm, codes): the IVF-PQ index rows — residual
     positional codes behind the same shuffle barrier as pq_encode."""

@@ -894,3 +894,33 @@ def test_skew_lifecycle_family_bounded_on_hot_market(spark, hot_market_dir):
     assert len(att) >= 1
     wall = time.time() - t0
     assert wall < 120, f"lifecycle family took {wall:.0f}s on the hot-market corpus"
+
+
+def test_ivf_residuals_arrow_matches_hof_path(spark, sf_dir):
+    # The large-codebook Arrow assignment (ivf_residuals_arrow, r13)
+    # must mirror the HOF argmin EXACTLY — same cell per vector (ties →
+    # lowest cell id), same residuals to float tolerance — or the √N-
+    # cell probe would measure a different index than the one the
+    # registered queries build.
+    from nt_etl_order_book_spark.functions import similarity as sim
+    from nt_etl_order_book_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents_arr = sim.ivf_codebook(emb)
+    [crow] = cents_arr.collect()
+    cent_rows = [(c["cell"], list(c["cvec"])) for c in crow["cents"]]
+
+    hof = {
+        r["vec_id"]: (r["cell"], r["enorm"], list(r["embedding"]))
+        for r in sim.ivfpq_residuals(emb, cents_arr).collect()
+    }
+    arrow = {
+        r["vec_id"]: (r["cell"], r["enorm"], list(r["embedding"]))
+        for r in sim.ivf_residuals_arrow(emb, cent_rows).collect()
+    }
+    assert hof.keys() == arrow.keys()
+    for vid, (cell, enorm, resid) in hof.items():
+        a_cell, a_enorm, a_resid = arrow[vid]
+        assert a_cell == cell, f"vec {vid}: cell {a_cell} != HOF {cell}"
+        assert abs(a_enorm - enorm) < 1e-9
+        assert max(abs(x - y) for x, y in zip(a_resid, resid)) < 1e-9

@@ -30,7 +30,7 @@ through, so revenue-style answers scale by exactly N against the same
 dims. All ten tables are written to out_dir (dims passthrough), so
 any registered query can point at it as an sf dir.
 
-Usage: python tools/gen_scale_corpus.py [--sparse|--events|--tpch] [--copies N] [out_dir]
+Usage: python tools/gen_scale_corpus.py [--sparse|--events|--tpch|--embeddings] [--copies N] [out_dir]
   (default out_dir: /tmp/docs10x, /tmp/docs10xsparse, or /tmp/events10x;
   --copies N sets the multiplier, default 10. 100x spot-check corpora:
   `--events --copies 100 /tmp/events100x` (tape depth) and
@@ -75,6 +75,49 @@ def gen_events(spark, src: str, out: str, n_copies: int = 10) -> None:
     print(f"wrote {n} events to {out}/events.parquet (day-shifted {n_copies}x)")
 
 
+def gen_embeddings(spark, src: str, out: str, n_copies: int = 10) -> None:
+    """N× the embeddings corpus by per-copy perturbation — the r9/r12
+    ANN scale regime made an executable flag (it lived in PERF.md prose
+    before r13). COPY-MAJOR ids (vec_id = copy*base_n + id): copy 0 is
+    the UNPERTURBED original corpus, so the first-K-vec_ids conventions
+    keep their meaning at scale — queries (vec_id < N_QUERIES) are real
+    base vectors and codebook seeds (first N_CELLS vec_ids) span
+    distinct base points instead of near-identical copies of base id 0.
+    Perturbation is deterministic hash noise, ±0.02/dim on unit-norm
+    vectors (per-dim |x| ≈ 0.1 → copies stay tightly clustered around
+    their base, cosine ≈ 0.98): every copy differs from every other,
+    and each base's copies form the natural IVF cluster the √N-cell
+    probe needs."""
+    emb = load_table(spark, src, "embeddings")
+    base_n = emb.count()
+    copies = spark.range(n_copies).select(F.col("id").alias("copy_id"))
+    big = (
+        emb.crossJoin(copies)
+        .withColumn("new_id", (F.col("copy_id") * base_n + F.col("vec_id")).cast("long"))
+        .select(
+            F.col("new_id").alias("vec_id"),
+            F.when(F.col("copy_id") == 0, F.col("embedding"))
+            .otherwise(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: (
+                        x
+                        + (
+                            F.pmod(F.xxhash64(F.col("new_id"), i), F.lit(4001)) - F.lit(2000)
+                        ).cast("double")
+                        / F.lit(100000.0)
+                    ).cast("float"),
+                )
+            )
+            .alias("embedding"),
+            F.col("label"),
+        )
+    )
+    big.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    n = spark.read.parquet(f"{out}/embeddings.parquet").count()
+    print(f"wrote {n} vectors to {out}/embeddings.parquet (perturbed {n_copies}x, copy-major ids)")
+
+
 def gen_tpch(spark, src: str, out: str, n_copies: int = 10) -> None:
     copies = spark.range(n_copies).select(F.col("id").alias("copy_id"))
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
@@ -101,6 +144,7 @@ def main() -> int:
     sparse = "--sparse" in sys.argv
     events = "--events" in sys.argv
     tpch = "--tpch" in sys.argv
+    embeddings = "--embeddings" in sys.argv
     n_copies = 10
     if "--copies" in sys.argv:
         idx = sys.argv.index("--copies")
@@ -123,9 +167,11 @@ def main() -> int:
         if not a.startswith("-") and sys.argv[i - 1] != "--copies"
     ]
     out = args[0] if args else (
-        "/tmp/tpch10x" if tpch else (
-            "/tmp/events10x" if events else (
-                "/tmp/docs10xsparse" if sparse else "/tmp/docs10x"
+        "/tmp/emb10x" if embeddings else (
+            "/tmp/tpch10x" if tpch else (
+                "/tmp/events10x" if events else (
+                    "/tmp/docs10xsparse" if sparse else "/tmp/docs10x"
+                )
             )
         )
     )
@@ -138,6 +184,10 @@ def main() -> int:
         return 0
     if tpch:
         gen_tpch(spark, src, out, n_copies)
+        spark.stop()
+        return 0
+    if embeddings:
+        gen_embeddings(spark, src, out, n_copies)
         spark.stop()
         return 0
     docs = load_table(spark, src, "documents")
