@@ -158,6 +158,34 @@ def ambient_stats(timings: dict[str, float], repo: str | None = None) -> dict:
     }
 
 
+def stream_best_recorded(repo: str | None = None) -> float | None:
+    """Best stream_msgs_per_sec across all BENCH_r*.json — the stream
+    figure's own ambient reference (a single number, so the comparator
+    is best-ever rather than a median of ratios)."""
+    import re
+
+    repo = repo or os.path.dirname(os.path.abspath(__file__))
+    best = None
+    try:
+        entries = sorted(os.listdir(repo))
+    except FileNotFoundError:
+        return None
+    for fname in entries:
+        if not re.fullmatch(r"BENCH_r(\d+)\.json", fname):
+            continue
+        try:
+            with open(os.path.join(repo, fname)) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        v = data.get("stream_msgs_per_sec")
+        if isinstance(v, (int, float)):
+            best = v if best is None else max(best, v)
+    return best
+
+
 def stream_throughput(spark, n_msgs: int = 20000) -> float:
     """Replay n_msgs delta messages through the streaming flatten+sink
     pipeline (availableNow) and return messages/second — the BASELINE.md
@@ -352,8 +380,23 @@ def main() -> None:
     }
     # Self-labeling ambient discriminator (r12 verdict item 2): median
     # per-query ratio vs the cleanest recorded value for each query —
-    # uniform shift ⇒ ambient window, not a code regression.
+    # uniform shift ⇒ ambient window, not a code regression. The stream
+    # figure gets its own best-ever reference (one number, no median).
     out.update(ambient_stats({**timings, **tier2, **tier3}))
+    best_stream = stream_best_recorded()
+    out["stream_best_recorded"] = best_stream
+    out["stream_vs_best"] = (
+        round(msgs_per_sec / best_stream, 3) if best_stream else None
+    )
+    # Also on stderr: the battery truncates stage stdout to a tail, so
+    # the JSON's trailing self-label fields would otherwise be invisible
+    # in its log.
+    print(
+        f"# ambient: median ratio {out['ambient_ratio_median']} "
+        f"(suspect={out['ambient_suspect']}), stream {msgs_per_sec} "
+        f"vs best recorded {best_stream}",
+        file=sys.stderr,
+    )
     print(json.dumps(out))
 
 

@@ -230,3 +230,12 @@ def test_bench_ambient_discriminator(tmp_path):
     # no history → no claim, not a crash
     empty = bench.ambient_stats({"qz": 1.0}, repo=str(tmp_path))
     assert empty["ambient_suspect"] is False and empty["ambient_ratio_median"] is None
+    # stream reference: best-ever across flat and driver-enveloped records
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"parsed": {"queries": {}, "stream_msgs_per_sec": 9000.0}})
+    )
+    (tmp_path / "BENCH_r04.json").write_text(
+        json.dumps({"queries": {}, "stream_msgs_per_sec": 7000.0})
+    )
+    assert bench.stream_best_recorded(repo=str(tmp_path)) == 9000.0
+    assert bench.stream_best_recorded(repo=str(tmp_path / "empty_nonexistent")) is None
