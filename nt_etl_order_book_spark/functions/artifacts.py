@@ -153,6 +153,20 @@ def is_published(path: str) -> bool:
     return os.path.exists(os.path.join(path, _MARKER))
 
 
+def _touch_marker(path: str) -> None:
+    """Refresh the marker mtime on a warm-path hit, so reap_stale's
+    published-entry age means "hours since last USE", not "since
+    build". Without this a still-current index for an unchanged corpus
+    would be reaped at the age horizon even while readers that just
+    resolved the path are mid-scan (r13 ADVICE). Best-effort: losing a
+    race with the reaper just means this hit doesn't extend the
+    lease — the next ensure_published call rebuilds."""
+    try:
+        os.utime(os.path.join(path, _MARKER))
+    except OSError:
+        pass
+
+
 def ensure_published(final: str, build) -> str:
     """Return ``final`` with a complete artifact under it, building via
     ``build(scratch_dir)`` if needed. Publish is one atomic rename;
@@ -165,8 +179,12 @@ def ensure_published(final: str, build) -> str:
     failed rename re-checks whether a concurrent builder published a
     complete artifact in the window (keep theirs, drop ours) before
     clearing the unmarked dir and trying again — two concurrent
-    recoverers converge instead of the loser raising ENOTEMPTY."""
+    recoverers converge instead of the loser raising ENOTEMPTY.
+
+    Every warm return refreshes the marker mtime (``_touch_marker``) so
+    the reap horizon counts from last use, not from build time."""
     if is_published(final):
+        _touch_marker(final)
         return final
     scratch = f"{final}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     shutil.rmtree(scratch, ignore_errors=True)
@@ -182,12 +200,38 @@ def ensure_published(final: str, build) -> str:
                 if is_published(final):
                     # Concurrent builder won the rename; its artifact
                     # is the same deterministic state — keep it.
+                    _touch_marker(final)
                     return final
-                # Crashed leftover (dir present, no marker): no reader
-                # trusts an unmarked dir, so replacing it is safe. A
-                # concurrent recoverer may rename into the slot between
-                # our rmtree and rename — loop re-checks the marker.
-                shutil.rmtree(final, ignore_errors=True)
+                # Crashed leftover (dir present, no marker). We never
+                # rmtree the LIVE slot: between the marker check above
+                # and a delete, a concurrent builder could complete its
+                # rename and we'd destroy a just-published artifact a
+                # reader already resolved (r13 ADVICE TOCTOU). Instead,
+                # atomically rename the dir ASIDE to a unique graveyard
+                # path — if a winner occupied the slot in the window we
+                # moved the WHOLE published tree, detect the marker in
+                # the graveyard and move it straight back.
+                grave = f"{final}.grave.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(final, grave)
+                except OSError:
+                    continue  # slot vanished/contended — loop re-checks
+                if is_published(grave):
+                    try:
+                        os.rename(grave, final)
+                        _touch_marker(final)
+                        return final
+                    except OSError:
+                        # Another builder filled the slot while the
+                        # winner's tree sat in our graveyard: the slot
+                        # now holds an equivalent artifact (or the loop
+                        # re-checks next pass). Drop our copy.
+                        shutil.rmtree(grave, ignore_errors=True)
+                        if is_published(final):
+                            _touch_marker(final)
+                            return final
+                        continue
+                shutil.rmtree(grave, ignore_errors=True)
         # 8 straight lost races without a published winner appearing:
         # something is repeatedly parking unmarked state in the slot.
         os.rename(scratch, final)
@@ -196,7 +240,9 @@ def ensure_published(final: str, build) -> str:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
-def reap_stale(max_age_hours: float = 72.0, root: str | None = None) -> list[str]:
+def reap_stale(
+    max_age_hours: float = 72.0, root: str | None = None, dry_run: bool = False
+) -> list[str]:
     """Delete stale entries under the artifact cache root and return
     the paths removed. Two classes are reaped (the "reapable by age"
     contract in the module docstring):
@@ -205,9 +251,17 @@ def reap_stale(max_age_hours: float = 72.0, root: str | None = None) -> list[str
       older than ``max_age_hours`` — age is the dir's own mtime, so an
       in-progress build (minutes old) always survives.
     - **Published dirs** whose ``_TRAINED`` marker mtime is older than
-      ``max_age_hours`` — content-keyed stale keys from corpora that
-      were since rewritten. Pass ``float("inf")`` semantics by using a
-      very large value to reap only crashed scratch.
+      ``max_age_hours``. The marker is touched on every warm-path hit
+      (``_touch_marker``), so this age is "hours since last USE" — a
+      still-current index an apply path keeps resolving never goes
+      stale, while dead keys from rewritten corpora (which nothing
+      resolves anymore) age out. Pass a very large value to reap only
+      crashed scratch.
+
+    ``dry_run=True`` runs the identical scan (including the
+    vanished-mid-scan OSError guard) but skips the deletes — the one
+    scan serves both the tool's ``--dry-run`` listing and the real
+    reap, so the two can't drift.
 
     Best-effort: races with a concurrent builder are absorbed by
     ``ignore_errors`` (a builder that loses its dir mid-build retries
@@ -229,6 +283,7 @@ def reap_stale(max_age_hours: float = 72.0, root: str | None = None) -> list[str
         except OSError:
             continue  # vanished mid-scan (concurrent reaper/builder)
         if stamp < cutoff:
-            shutil.rmtree(path, ignore_errors=True)
+            if not dry_run:
+                shutil.rmtree(path, ignore_errors=True)
             reaped.append(path)
     return reaped

@@ -1156,9 +1156,14 @@ def ivf_residuals_arrow(emb: DataFrame, cent_rows: list) -> DataFrame:
     IndexIVF assignment). This is that form: one mapInPandas pass
     (the sanctioned Arrow boundary, same as multimodal decode), numpy
     doing C·D work per row at matmul throughput. Semantics mirror
-    nearest_cell exactly: argmax(dot) over unit centroids, ties → the
-    LOWEST cell id (cent_rows are sorted by cell; np.argmax returns the
-    first maximum).
+    nearest_cell to floating-point tolerance: argmax(dot) over unit
+    centroids, ties → the LOWEST cell id (cent_rows are sorted by
+    cell; np.argmax returns the first maximum). NOT guaranteed
+    bit-identical: BLAS matmul sums in a different order than the
+    sequential HOF fold, so a near-tie dot can flip the argmax between
+    the two paths — harmless for ANN quality (the flipped vector is
+    equidistant to both cells) and exactly the tolerance level the
+    parity test asserts (tests/test_skew_and_ann.py).
 
     ``cent_rows`` is the codebook as driver-side [(cell, cvec), ...] —
     query-side state, C×D doubles (≈700 KB at 1414×64), the same object
@@ -1178,6 +1183,8 @@ def ivf_residuals_arrow(emb: DataFrame, cent_rows: list) -> DataFrame:
 
     def assign(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue  # np.stack raises on an empty Arrow batch
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             idx = np.argmax(x @ cents_np.T, axis=1)
             yield pd.DataFrame(

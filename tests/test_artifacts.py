@@ -188,6 +188,73 @@ def test_reap_stale_sweeps_old_keeps_fresh(tmp_path):
     assert reap_stale(72.0, root=str(tmp_path / "nope")) == []
 
 
+def test_recovery_never_deletes_a_just_published_winner(tmp_path, monkeypatch):
+    # r13 ADVICE TOCTOU: between is_published(final) returning False and
+    # the slot being cleared, a concurrent builder completes its rename —
+    # the old in-place rmtree deleted the just-published winner. The
+    # graveyard rename must move the WHOLE tree aside atomically, detect
+    # the marker, and put the winner back untouched.
+    import shutil
+
+    import nt_etl_order_book_spark.functions.artifacts as art
+
+    final = str(tmp_path / "artifact")
+    _build(final, "crashed")  # unmarked leftover → first rename fails naturally
+    real_is_pub = art.is_published
+    state = {"calls": 0}
+
+    def delayed_is_pub(path):
+        if path == final:
+            state["calls"] += 1
+            if state["calls"] == 2:
+                # The post-rename-failure check: a winner publishes in
+                # the window right AFTER we observe "not published".
+                shutil.rmtree(final, ignore_errors=True)
+                _build(final, "winner")
+                with open(os.path.join(final, "_TRAINED"), "w") as fh:
+                    fh.write("ok\n")
+                return False  # the stale observation the race produces
+        return real_is_pub(path)
+
+    monkeypatch.setattr(art, "is_published", delayed_is_pub)
+    got = ensure_published(final, lambda p: _build(p, "ours"))
+    assert got == final and real_is_pub(final)
+    assert open(os.path.join(final, "data.txt")).read() == "winner", (
+        "the just-published winner was destroyed in the TOCTOU window"
+    )
+    assert not [d for d in os.listdir(tmp_path) if ".grave." in d or ".tmp." in d]
+
+
+def test_warm_hit_refreshes_marker_so_live_artifacts_survive_reap(tmp_path):
+    # r13 ADVICE: published entries were reaped by marker BUILD age, so a
+    # still-current index for an unchanged corpus died at the horizon
+    # mid-read. Warm hits now utime the marker → reap age = last USE.
+    root = str(tmp_path / "cache")
+    final = os.path.join(root, "ivfpq_live_aaaa0000")
+    os.makedirs(root)
+    ensure_published(final, lambda p: _build(p, "v1"))
+    marker = os.path.join(final, "_TRAINED")
+    old = 1_000_000.0
+    os.utime(marker, (old, old))  # built long ago...
+    ensure_published(final, lambda p: (_ for _ in ()).throw(AssertionError("rebuilt")))
+    assert os.stat(marker).st_mtime > old, "warm hit must refresh the marker"
+    assert reap_stale(72.0, root=root) == []  # recently used → survives
+    assert os.path.isdir(final)
+
+
+def test_reap_dry_run_lists_without_deleting(tmp_path):
+    root = str(tmp_path / "cache")
+    os.makedirs(root)
+    stale = os.path.join(root, "ivfpq_dead_cccc2222")
+    _build(stale, "x")
+    old = 1_000_000.0
+    os.utime(stale, (old, old))
+    would = reap_stale(72.0, root=root, dry_run=True)
+    assert would == [stale] and os.path.isdir(stale), "dry run must not delete"
+    assert reap_stale(72.0, root=root) == [stale]
+    assert not os.path.exists(stale)
+
+
 def test_artifact_root_refuses_foreign_owned_dir(tmp_path, monkeypatch):
     if not hasattr(os, "getuid"):
         pytest.skip("no uid semantics on this platform")

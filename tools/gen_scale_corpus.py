@@ -78,7 +78,9 @@ def gen_events(spark, src: str, out: str, n_copies: int = 10) -> None:
 def gen_embeddings(spark, src: str, out: str, n_copies: int = 10) -> None:
     """N× the embeddings corpus by per-copy perturbation — the r9/r12
     ANN scale regime made an executable flag (it lived in PERF.md prose
-    before r13). COPY-MAJOR ids (vec_id = copy*base_n + id): copy 0 is
+    before r13). COPY-MAJOR ids (vec_id = copy*stride + id, where
+    stride = max(source vec_id)+1 so sparse id spaces can't collide
+    across copies): copy 0 is
     the UNPERTURBED original corpus, so the first-K-vec_ids conventions
     keep their meaning at scale — queries (vec_id < N_QUERIES) are real
     base vectors and codebook seeds (first N_CELLS vec_ids) span
@@ -89,11 +91,22 @@ def gen_embeddings(spark, src: str, out: str, n_copies: int = 10) -> None:
     and each base's copies form the natural IVF cluster the √N-cell
     probe needs."""
     emb = load_table(spark, src, "embeddings")
-    base_n = emb.count()
+    # Stride = max(vec_id)+1, NOT count(): a sparse or non-zero-based
+    # source id space would make copy_id*count + vec_id collide across
+    # copies (and silently break the copy-major invariants below). With
+    # the max-based stride every (copy, id) maps to a unique new_id for
+    # any non-negative id space (r13 ADVICE).
+    bounds = emb.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).collect()[0]
+    assert bounds["lo"] is not None and bounds["lo"] >= 0, (
+        f"embeddings vec_id must be non-negative (min={bounds['lo']})"
+    )
+    stride = int(bounds["hi"]) + 1
     copies = spark.range(n_copies).select(F.col("id").alias("copy_id"))
     big = (
         emb.crossJoin(copies)
-        .withColumn("new_id", (F.col("copy_id") * base_n + F.col("vec_id")).cast("long"))
+        .withColumn("new_id", (F.col("copy_id") * stride + F.col("vec_id")).cast("long"))
         .select(
             F.col("new_id").alias("vec_id"),
             F.when(F.col("copy_id") == 0, F.col("embedding"))

@@ -35,28 +35,14 @@ def main() -> int:
     args = ap.parse_args()
 
     root = args.root if args.root is not None else artifact_root()
-    if args.dry_run:
-        import time
-
-        cutoff = time.time() - args.max_age_hours * 3600.0
-        would = []
-        for name in sorted(os.listdir(root)) if os.path.isdir(root) else []:
-            path = os.path.join(root, name)
-            if not os.path.isdir(path):
-                continue
-            marker = os.path.join(path, "_TRAINED")
-            stamp = os.stat(marker).st_mtime if os.path.exists(marker) else os.stat(path).st_mtime
-            if stamp < cutoff:
-                would.append(path)
-        for p in would:
-            print(f"would reap: {p}")
-        print(f"dry run: {len(would)} stale entries under {root}")
-        return 0
-
-    reaped = reap_stale(args.max_age_hours, root=root)
+    # One scan serves both modes (reap_stale's dry_run flag, r13
+    # ADVICE): the listing can't drift from the real reap, and the
+    # vanished-mid-scan OSError guard applies to both.
+    reaped = reap_stale(args.max_age_hours, root=root, dry_run=args.dry_run)
+    verb = "would reap" if args.dry_run else "reaped"
     for p in reaped:
-        print(f"reaped: {p}")
-    print(f"reaped {len(reaped)} stale entries under {root}")
+        print(f"{verb}: {p}")
+    print(f"{verb} {len(reaped)} stale entries under {root}")
     return 0
 
 
