@@ -354,20 +354,20 @@ def kmeans_refine(train: DataFrame, cents_arr: DataFrame, iters: int = KMEANS_IT
     return cents_arr
 
 
-def ivf_codebook(emb: DataFrame) -> DataFrame:
+def ivf_codebook(emb: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
     """Trained IVF coarse quantizer as a 1-row array<struct<cell,cvec>>
     frame (checkpointed — see kmeans_refine).
 
-    Seed centroids are the first N_CELLS vectors, collapsed to ONE row —
-    broadcasting this single row attaches the whole codebook to every
-    corpus row with no expansion. Refinement runs on a deterministic
-    1/TRAIN_MOD hash-sample: k-means quality needs a representative
-    sample, not the full corpus — at 100 TB that is the difference
-    between cheap sample passes and full-corpus passes, with identical
-    codebook quality.
+    Seed centroids are the first ``n_cells`` vectors, collapsed to ONE
+    row — broadcasting this single row attaches the whole codebook to
+    every corpus row with no expansion. Refinement runs on a
+    deterministic 1/TRAIN_MOD hash-sample: k-means quality needs a
+    representative sample, not the full corpus — at 100 TB that is the
+    difference between cheap sample passes and full-corpus passes, with
+    identical codebook quality.
     """
     seed = (
-        emb.filter(F.col("vec_id") < N_CELLS)
+        emb.filter(F.col("vec_id") < n_cells)
         .select(
             F.struct(
                 F.col("vec_id").alias("cell"), unit_vector(F.col("embedding")).alias("cvec")
@@ -377,6 +377,139 @@ def ivf_codebook(emb: DataFrame) -> DataFrame:
     )
     train = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(TRAIN_MOD)) == 0).select("embedding")
     return kmeans_refine(train, seed)
+
+
+# Above this codebook size the IVF-PQ training paths auto-select the
+# Arrow-batched numpy assignment (ivf_codebook_rows +
+# ivf_residuals_arrow): the HOF argmin fold is O(C·D) INTERPRETED per
+# row — free at the 16-cell fixture (and it keeps the registered plans
+# 100% JVM, which tests/test_plans.py gates), but ~hours over a
+# 2M-vector encode at the measured-optimal √N ≈ 1414 cells (PERF.md
+# r13). 64 sits comfortably between the two regimes: the fixture and
+# every registered query stay JVM-side, while any DEPLOY.md §2-sized
+# codebook gets the BLAS matmul form faiss uses.
+ARROW_CELLS_THRESHOLD = 64
+
+
+def ivf_cells() -> int:
+    """Effective coarse-quantizer size for the IVF-PQ train/apply
+    lifecycle: ``SPARK_GRAFT_IVF_CELLS`` if set — DEPLOY.md §2's
+    N_CELLS ~ √N sizing made executable without editing source — else
+    the N_CELLS fixture default. The artifact cache key folds this in
+    (_ivfpq_index_path), so switching cell counts can never serve an
+    index built at a different geometry."""
+    raw = os.environ.get("SPARK_GRAFT_IVF_CELLS")
+    if raw is None:
+        return N_CELLS
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(f"SPARK_GRAFT_IVF_CELLS={raw!r} is not an integer") from None
+    if val < 1:
+        raise ValueError(f"SPARK_GRAFT_IVF_CELLS must be >= 1, got {val}")
+    return val
+
+
+def cents_frame(spark: SparkSession, cent_rows: list) -> DataFrame:
+    """The 1-row broadcastable codebook frame (ivf_codebook's schema)
+    rebuilt from driver-side [(cell, cvec), ...] rows — the bridge from
+    the Arrow-trained codebook back to the JVM query side, which
+    broadcasts the same single row either way."""
+    return (
+        spark.createDataFrame(cent_rows, "cell long, cvec array<double>")
+        .agg(F.collect_list(F.struct("cell", "cvec")).alias("cents"))
+    )
+
+
+def ivf_codebook_rows(emb: DataFrame, n_cells: int) -> list:
+    """Large-codebook spherical k-means, returning the codebook as
+    driver-side ``[(cell, cvec), ...]`` rows.
+
+    Same conventions as ivf_codebook — seeds are the first ``n_cells``
+    vec_ids (unit-normalized), KMEANS_ITERS Lloyd passes over the
+    deterministic 1/TRAIN_MOD hash-sample — with the per-row argmin run
+    as Arrow-batched numpy matmul (mapInPandas) instead of the
+    interpreted HOF fold, which is O(C·D) per row and impractical past
+    a few dozen cells. Per-cell partial sums reduce map-side (each
+    partition emits ≤ cells rows), the (cell, pos) shuffle carries
+    C×D doubles regardless of corpus size, and the centroid UPDATE
+    finishes at the driver — C×D ≈ 700 KB at 1414×64, the same
+    "query-side state" the 1-row codebook frame carries; never
+    corpus-sized. Two deviations from the JVM path, both deliberate:
+
+    - Empty cells keep their previous centroid (kmeans_refine's
+      collect_list silently drops them — harmless at 16 fixture cells,
+      but at √N cells a dropped cell would shrink the codebook).
+    - Not bit-identical: BLAS partial sums accumulate in a different
+      order than the JVM aggregation, so centroids can differ in the
+      last ulps and near-tie assignments can flip. The consumers are
+      recall-floored (tools/check.py --recall), not hash-matched, by
+      contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    seed_rows = emb.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect()
+    if not seed_rows:
+        raise ValueError(f"no seed vectors with vec_id < {n_cells}")
+    cents = np.array(
+        [r["embedding"] for r in sorted(seed_rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = cents / norms
+    train = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(TRAIN_MOD)) == 0).select(
+        "embedding"
+    )
+    for _ in range(KMEANS_ITERS):
+        c_bc = cents  # closure snapshot for this pass
+
+        def partials(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue  # np.stack raises on an empty Arrow batch
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                idx = np.argmax(x @ c_bc.T, axis=1)
+                cells, inv = np.unique(idx, return_inverse=True)
+                sums = np.zeros((len(cells), x.shape[1]))
+                np.add.at(sums, inv, x)
+                yield pd.DataFrame({"cell": cells, "cnt": np.bincount(inv), "s": list(sums)})
+
+        agg = (
+            train.mapInPandas(partials, "cell long, cnt long, s array<double>")
+            .select("cell", "cnt", F.posexplode("s").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("x").alias("sx"))
+            .collect()
+        )
+        sums = np.zeros_like(cents)
+        cnts = np.zeros(len(cents))
+        for r in agg:
+            sums[r["cell"], r["pos"]] = r["sx"]
+            cnts[r["cell"]] = r["cnt"]  # same per-cell total on every pos row
+        nonempty = cnts > 0
+        new = cents.copy()
+        new[nonempty] = sums[nonempty] / cnts[nonempty, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = new / norms
+    return [(int(i), [float(v) for v in row]) for i, row in enumerate(cents)]
+
+
+def ivf_codebook_state(emb: DataFrame, n_cells: int | None = None) -> tuple:
+    """(cents_arr frame, cent_rows-or-None): the auto-selected codebook
+    for the IVF-PQ training paths (r13 verdict item 2). At or below
+    ARROW_CELLS_THRESHOLD the JVM HOF path trains (rows is None — the
+    plan stays 100% whole-stage codegen and nothing is collected);
+    above it the Arrow k-means trains and the driver-side rows ride
+    along so ivf_residuals_auto can take the matmul assignment without
+    re-collecting the frame."""
+    n = ivf_cells() if n_cells is None else n_cells
+    if n <= ARROW_CELLS_THRESHOLD:
+        return ivf_codebook(emb, n), None
+    rows = ivf_codebook_rows(emb, n)
+    return cents_frame(emb.sparkSession, rows), rows
 
 
 def ivf_assign(emb: DataFrame, cents_arr: DataFrame) -> DataFrame:
@@ -1167,12 +1300,12 @@ def ivf_residuals_arrow(emb: DataFrame, cent_rows: list) -> DataFrame:
 
     ``cent_rows`` is the codebook as driver-side [(cell, cvec), ...] —
     query-side state, C×D doubles (≈700 KB at 1414×64), the same object
-    the HOF path ships as a broadcast 1-row frame. Not used by any
-    registered query (the fixture's 16-cell codebook keeps the JVM-only
-    plan; tests/test_plans.py would flag the boundary); driven by
-    tools/measure_ann_cells.py for the √N-cell scale probe, and the
-    path a deployment swaps into ivfpq_train when its codebook
-    outgrows the fold.
+    the HOF path ships as a broadcast 1-row frame. Reached from the
+    registered IVF-PQ paths only above ARROW_CELLS_THRESHOLD via
+    ivf_residuals_auto (the fixture's 16-cell codebook keeps the
+    JVM-only plan; tests/test_plans.py gates that boundary); also
+    driven directly by tools/measure_ann_cells.py for the √N-cell
+    scale probe.
     """
     import numpy as np
     import pandas as pd
@@ -1199,6 +1332,19 @@ def ivf_residuals_arrow(emb: DataFrame, cent_rows: list) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(
         assign, "vec_id long, cell long, enorm double, embedding array<double>"
     )
+
+
+def ivf_residuals_auto(emb: DataFrame, cents_arr: DataFrame, cent_rows: list | None) -> DataFrame:
+    """Residual-assignment dispatch for the IVF-PQ training paths (r13
+    verdict item 2): the HOF fold (100% JVM plan, zero Python boundary)
+    when ivf_codebook_state stayed on the fixture path (cent_rows is
+    None), the Arrow matmul when it trained the large codebook. The two
+    paths agree to floating-point tolerance (pinned at the switch
+    boundary in tests/test_skew_and_ann.py); consumers are
+    recall-floored, not hash-matched, by contract."""
+    if cent_rows is None:
+        return ivfpq_residuals(emb, cents_arr)
+    return ivf_residuals_arrow(emb, cent_rows)
 
 
 def ivfpq_encode(resid: DataFrame, books: DataFrame) -> DataFrame:
@@ -1253,14 +1399,14 @@ def write_ivfpq_index(emb: DataFrame, cents_arr: DataFrame, books: DataFrame, pa
 )
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cents_arr = ivf_codebook(emb)
+    cents_arr, cent_rows = ivf_codebook_state(emb)
     # Residuals staged once (r9): both consumers — PQ codebook training
     # (sampled collect) and the full encode pass — otherwise re-run the
     # corpus-sized argmin-assignment + centroid-subtract pipeline.
     # Measured 3.7-4.0 s → 3.0-3.2 s at sf0.1, results identical. At
     # index-build scale this is the materialized residual table
     # IndexIVFPQ training reads anyway.
-    resid = checkpoint_frame(ivfpq_residuals(emb, cents_arr))
+    resid = checkpoint_frame(ivf_residuals_auto(emb, cents_arr, cent_rows))
     books = pq_codebook(resid)
     enc = ivfpq_encode(resid, books)
     return ivfpq_query(emb, cents_arr, books, enc)
@@ -1351,15 +1497,28 @@ def ivfpq_train(emb: DataFrame, path: str) -> None:
     100 TB the codebooks train on the hash-sample once, the corpus
     encodes once, and every query batch afterwards pays only the probe
     cost (`ann_ivfpq_apply`), never the two k-means trainings.
+
+    Codebook size comes from ivf_cells() (SPARK_GRAFT_IVF_CELLS, else
+    the N_CELLS fixture default); above ARROW_CELLS_THRESHOLD the
+    training auto-selects the Arrow assignment path, which is what
+    makes DEPLOY.md §2's √N sizing executable — registered training at
+    the measured-optimal 1414 cells completes in minutes instead of
+    the HOF fold's hours (r13 verdict item 2).
     """
-    cents_arr = ivf_codebook(emb)
-    resid = checkpoint_frame(ivfpq_residuals(emb, cents_arr))
+    cents_arr, cent_rows = ivf_codebook_state(emb)
+    resid = checkpoint_frame(ivf_residuals_auto(emb, cents_arr, cent_rows))
     books = pq_codebook(resid)
     cents_arr.write.mode("overwrite").parquet(f"{path}/cents.parquet")
     books.write.mode("overwrite").parquet(f"{path}/books.parquet")
+    enc = ivfpq_encode(resid, books)
+    if cent_rows is not None:
+        # Large-codebook path: one shuffle keyed on cell so each task
+        # writes whole cell directories — without it every one of the
+        # ~32 write tasks sprays a file into every one of the √N cell
+        # dirs (32×1414 tiny files at the measured-optimal size).
+        enc = enc.repartition(emb.sparkSession.sparkContext.defaultParallelism, "cell")
     (
-        ivfpq_encode(resid, books)
-        .write.mode("overwrite")
+        enc.write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
         .partitionBy("cell")
         .parquet(f"{path}/index")
@@ -1373,8 +1532,12 @@ def _ivfpq_index_path(sf_dir: str) -> str:
     overridable via SPARK_GRAFT_INDEX_DIR (local paths only). Path
     collisions and in-place corpus regeneration both map to distinct
     keys — the two silent-wrong-answer routes
-    tests/test_ann_lifecycle.py guards."""
-    return artifact_path("ivfpq", sf_dir, "embeddings")
+    tests/test_ann_lifecycle.py guards. The effective cell count rides
+    in the kind prefix: a deployment that resizes
+    SPARK_GRAFT_IVF_CELLS must retrain, never be served an index built
+    at a different geometry (its probe side would slice N_PROBE of the
+    WRONG codebook)."""
+    return artifact_path(f"ivfpq_c{ivf_cells()}", sf_dir, "embeddings")
 
 
 @register(
@@ -1405,8 +1568,8 @@ def q_ann_ivfpq_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ann_ivfpq_topk composition) instead of raising FileNotFoundError
     # out of corpus_fingerprint.
     if not os.path.exists(os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")):
-        cents_arr = ivf_codebook(emb)
-        resid = checkpoint_frame(ivfpq_residuals(emb, cents_arr))
+        cents_arr, cent_rows = ivf_codebook_state(emb)
+        resid = checkpoint_frame(ivf_residuals_auto(emb, cents_arr, cent_rows))
         books = pq_codebook(resid)
         return ivfpq_query(emb, cents_arr, books, ivfpq_encode(resid, books))
     path = ensure_published(_ivfpq_index_path(sf_dir), lambda p: ivfpq_train(emb, p))

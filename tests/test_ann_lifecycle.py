@@ -53,10 +53,16 @@ def test_apply_matches_selfcontained_and_caches(spark, sf_dir, tmp_path, monkeyp
     before = _mtimes(path)
     assert before  # cents + books + index files actually persisted
 
-    # Second call: pure cache hit — same answer, zero files rewritten.
+    # Second call: pure cache hit — same answer, zero DATA files
+    # rewritten. The _TRAINED marker's mtime advances by design (r14:
+    # warm hits refresh it so reap_stale's age means "since last use").
     second = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_apply"](spark, sf_dir).collect()}
     assert second == first
-    assert _mtimes(path) == before
+    after = _mtimes(path)
+    assert {k: v for k, v in after.items() if k != "_TRAINED"} == {
+        k: v for k, v in before.items() if k != "_TRAINED"
+    }
+    assert after["_TRAINED"] >= before["_TRAINED"]
 
     # Crashed build (marker missing, data dirs present) must retrain:
     # the marker is written LAST, so its absence is the only signal a
@@ -178,3 +184,17 @@ def test_apply_probe_prunes_index_partitions(spark, sf_dir, tmp_path, monkeypatc
     assert any("dynamicpruning" in line for line in idx_scans), (
         "index scan is not dynamic-partition-pruned:\n" + "\n".join(idx_scans)
     )
+
+
+def test_index_cache_is_keyed_by_cell_count(sf_dir, monkeypatch):
+    # r14: SPARK_GRAFT_IVF_CELLS resizes the coarse quantizer. The
+    # cache key must fold the effective cell count in — otherwise a
+    # resized deployment is served an index built at the OLD geometry,
+    # whose probe side would slice N_PROBE of the wrong codebook.
+    from nt_etl_order_book_spark.functions.similarity import _ivfpq_index_path
+
+    monkeypatch.delenv("SPARK_GRAFT_IVF_CELLS", raising=False)
+    default_key = _ivfpq_index_path(sf_dir)
+    assert "ivfpq_c16_" in os.path.basename(default_key)
+    monkeypatch.setenv("SPARK_GRAFT_IVF_CELLS", "1414")
+    assert _ivfpq_index_path(sf_dir) != default_key

@@ -924,3 +924,57 @@ def test_ivf_residuals_arrow_matches_hof_path(spark, sf_dir):
         assert a_cell == cell, f"vec {vid}: cell {a_cell} != HOF {cell}"
         assert abs(a_enorm - enorm) < 1e-9
         assert max(abs(x - y) for x, y in zip(a_resid, resid)) < 1e-9
+
+
+def test_ivf_cells_env_and_threshold_dispatch(monkeypatch):
+    # r13 verdict item 2: SPARK_GRAFT_IVF_CELLS makes DEPLOY.md §2's
+    # sqrt(N) sizing executable; invalid values fail loudly, never fall
+    # back to a silently-wrong geometry.
+    import pytest
+
+    from nt_etl_order_book_spark.functions import similarity as sim
+
+    monkeypatch.delenv("SPARK_GRAFT_IVF_CELLS", raising=False)
+    assert sim.ivf_cells() == sim.N_CELLS
+    monkeypatch.setenv("SPARK_GRAFT_IVF_CELLS", "1414")
+    assert sim.ivf_cells() == 1414
+    for bad in ("0", "-3", "sqrtN", "14.14"):
+        monkeypatch.setenv("SPARK_GRAFT_IVF_CELLS", bad)
+        with pytest.raises(ValueError):
+            sim.ivf_cells()
+
+
+def test_ivf_codebook_state_switch_boundary_parity(spark, sf_dir):
+    # The dispatch itself, pinned AT the boundary (r13 verdict item 2):
+    # at ARROW_CELLS_THRESHOLD the JVM HOF path trains (no driver rows,
+    # plan stays whole-stage codegen); one past it the Arrow k-means
+    # trains — and on that SAME large codebook the two assignment forms
+    # (HOF fold vs numpy matmul) agree cell-for-cell to float tolerance,
+    # so flipping the switch can never change which index a deployment
+    # serves beyond last-ulp ties.
+    from nt_etl_order_book_spark.functions import similarity as sim
+    from nt_etl_order_book_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, rows_at = sim.ivf_codebook_state(emb, sim.ARROW_CELLS_THRESHOLD)
+    assert rows_at is None, "threshold itself must stay on the JVM path"
+
+    n = sim.ARROW_CELLS_THRESHOLD + 1
+    ca, rows = sim.ivf_codebook_state(emb, n)
+    assert rows is not None and len(rows) == n
+    assert [c for c, _v in rows] == list(range(n))
+
+    hof = {
+        r["vec_id"]: (r["cell"], r["enorm"], list(r["embedding"]))
+        for r in sim.ivfpq_residuals(emb, ca).collect()
+    }
+    arrow = {
+        r["vec_id"]: (r["cell"], r["enorm"], list(r["embedding"]))
+        for r in sim.ivf_residuals_arrow(emb, rows).collect()
+    }
+    assert hof.keys() == arrow.keys()
+    for vid, (cell, enorm, resid) in hof.items():
+        a_cell, a_enorm, a_resid = arrow[vid]
+        assert a_cell == cell, f"vec {vid}: cell {a_cell} != HOF {cell}"
+        assert abs(a_enorm - enorm) < 1e-9
+        assert max(abs(x - y) for x, y in zip(a_resid, resid)) < 1e-9

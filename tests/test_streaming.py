@@ -376,20 +376,47 @@ def test_streaming_metrics_listener(spark, msg_dir, tmp_path):
     from nt_etl_order_book_spark.streaming.metrics import BookPipelineListener
 
     listener = BookPipelineListener()
+    # Same replay drives the state-pressure alarm both ways (r13
+    # verdict item 3): a 0-row bound must fire on the dedup operator's
+    # state, a generous bound must stay silent.
+    tight = BookPipelineListener(state_bound_rows=0)
+    loose = BookPipelineListener(state_bound_rows=10_000_000, state_bound_bytes=1 << 40)
     spark.streams.addListener(listener)
+    spark.streams.addListener(tight)
+    spark.streams.addListener(loose)
     try:
         msgs = read_json_stream(spark, msg_dir)
         q = deltas_query(msgs, str(tmp_path / "m_out"), str(tmp_path / "m_cp"))
         q.awaitTermination(60)
         # give the async listener bus a moment to drain
         deadline = time.time() + 15
-        while time.time() < deadline and listener.collector.total_rows() == 0:
+        while time.time() < deadline and (
+            listener.collector.total_rows() == 0 or not tight.collector.alarms
+        ):
             time.sleep(0.2)
         assert listener.collector.total_rows() >= 4  # all 4 fixture messages observed
         # the dedup operator holds state: at least one batch reports state rows
         assert any((b.state_rows or 0) > 0 for b in listener.collector.batches)
+        # peak_state is the horizon-sizing metric: it must equal the max
+        # over the recorded batches, and be visible per query name too.
+        peak_rows, peak_bytes = listener.collector.peak_state()
+        assert peak_rows == max(b.state_rows or 0 for b in listener.collector.batches)
+        assert peak_rows > 0 and peak_bytes > 0
+        [qname] = {b.query_name for b in listener.collector.batches}
+        assert listener.collector.peak_state(qname) == (peak_rows, peak_bytes)
+        assert listener.collector.peak_state("no_such_query") == (0, 0)
+        # Alarm contract: tight bound fires with the observed numbers,
+        # an unarmed/generous listener never alarms.
+        assert tight.collector.alarms, "0-row bound must alarm on dedup state"
+        alarm = tight.collector.alarms[0]
+        assert alarm.query_name == qname and alarm.state_rows > 0
+        assert alarm.bound_rows == 0
+        assert listener.collector.alarms == []  # bounds not armed
+        assert loose.collector.alarms == []  # bounds armed but generous
     finally:
         spark.streams.removeListener(listener)
+        spark.streams.removeListener(tight)
+        spark.streams.removeListener(loose)
 
 
 def test_stateful_seq_gap_stream(spark, tmp_path):

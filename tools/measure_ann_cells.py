@@ -11,10 +11,12 @@ fraction as the corpus grows. This tool builds the SAME on-disk IVF-PQ
 index layout over the same 2M-vector corpus at several (n_cells,
 n_probe) settings and records, per setting:
 
-  - one-time train+persist wall (large-codebook path:
-    ivf_residuals_arrow numpy assignment -- the HOF argmin fold is
-    O(C*D) interpreted per row, hours at 1414 cells; the Arrow matmul
-    is the production form, see the function's docstring),
+  - one-time train+persist wall through the REGISTERED path
+    (ivfpq_train with SPARK_GRAFT_IVF_CELLS=n_cells; above
+    ARROW_CELLS_THRESHOLD ivf_codebook_state auto-selects the Arrow
+    numpy assignment -- the HOF argmin fold is O(C*D) interpreted per
+    row, hours at 1414 cells; the Arrow matmul is the production form,
+    see ivf_residuals_arrow's docstring),
   - steady-state probe wall, best-of-3 full-evaluation consumes,
   - EPSILON-recall@TOP_K against exact brute-force cosine ground truth
     (numpy-partial top-k, computed once per corpus): a returned id
@@ -57,98 +59,29 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 import nt_etl_order_book_spark.functions.similarity as sim
-from nt_etl_order_book_spark.session import checkpoint_frame, get_spark, tune_session
+from nt_etl_order_book_spark.session import get_spark, tune_session
 from nt_etl_order_book_spark.tables import load_table
 
 WORK = "/tmp/ann_cells_probe"
 
 
-def train_codebook(spark, emb, n_cells: int) -> list:
-    """Spherical k-means at large C: seeds = first n_cells vec_ids
-    (distinct base vectors under copy-major ids), KMEANS_ITERS Lloyd
-    passes over the 1/TRAIN_MOD hash sample. Assignment + per-cell
-    partial sums run Arrow-batched (numpy) per partition -- the same
-    map-side-partial shape kmeans_refine uses, with the argmin at
-    matmul throughput; the centroid update (C*D doubles) finishes at
-    the driver, exactly the KB-MB "query-side state" the 1-row
-    codebook frame represents. Empty cells keep their old centroid
-    (kmeans_refine's collect_list drops them -- harmless at 16 cells,
-    but at sqrt(N) cells a dropped cell would shrink the codebook)."""
-    seed_rows = (
-        emb.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect()
-    )
-    cents = np.array(
-        [r["embedding"] for r in sorted(seed_rows, key=lambda r: r["vec_id"])],
-        dtype=np.float64,
-    )
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    train = emb.filter(
-        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(sim.TRAIN_MOD)) == 0
-    ).select("embedding")
-    for _ in range(sim.KMEANS_ITERS):
-        c_bc = cents  # closure snapshot for this pass
-
-        def partials(batches):
-            for pdf in batches:
-                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                idx = np.argmax(x @ c_bc.T, axis=1)
-                cells, inv = np.unique(idx, return_inverse=True)
-                sums = np.zeros((len(cells), x.shape[1]))
-                np.add.at(sums, inv, x)
-                cnts = np.bincount(inv)
-                yield pd.DataFrame(
-                    {"cell": cells, "cnt": cnts, "s": list(sums)}
-                )
-
-        agg = (
-            train.mapInPandas(partials, "cell long, cnt long, s array<double>")
-            .select("cell", "cnt", F.posexplode("s").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("cnt").alias("cnt"), F.sum("x").alias("sx"))
-            .collect()
-        )
-        sums = np.zeros_like(cents)
-        cnts = np.zeros(len(cents))
-        for r in agg:
-            sums[r["cell"], r["pos"]] = r["sx"]
-            cnts[r["cell"]] = r["cnt"]  # same per-cell total on every pos row
-        nonempty = cnts > 0
-        new = cents.copy()
-        new[nonempty] = sums[nonempty] / cnts[nonempty, None]
-        norms = np.linalg.norm(new, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        cents = new / norms
-    return [(int(i), [float(v) for v in row]) for i, row in enumerate(cents)]
-
-
-def cents_frame(spark, cent_rows):
-    """The 1-row broadcastable codebook frame ivfpq_query expects,
-    rebuilt from driver-side rows (same schema ivf_codebook emits)."""
-    return (
-        spark.createDataFrame(cent_rows, "cell long, cvec array<double>")
-        .agg(F.collect_list(F.struct("cell", "cvec")).alias("cents"))
-    )
-
-
 def build_index(spark, emb, n_cells: int, path: str) -> float:
+    """Train+persist through the REGISTERED path: ivfpq_train with
+    SPARK_GRAFT_IVF_CELLS set — ivf_codebook_state auto-selects the
+    Arrow assignment above ARROW_CELLS_THRESHOLD (r14: the probe now
+    measures exactly what a deployment following DEPLOY.md §2 runs,
+    not a tool-private fork of it; the former tool-local k-means moved
+    into the package as sim.ivf_codebook_rows)."""
     t0 = time.time()
-    cent_rows = train_codebook(spark, emb, n_cells)
-    ca = cents_frame(spark, cent_rows)
-    resid = checkpoint_frame(sim.ivf_residuals_arrow(emb, cent_rows))
-    books = sim.pq_codebook(resid)
-    ca.write.mode("overwrite").parquet(f"{path}/cents.parquet")
-    books.write.mode("overwrite").parquet(f"{path}/books.parquet")
-    (
-        sim.ivfpq_encode(resid, books)
-        # One shuffle keyed on cell so each task writes whole cell
-        # directories: without it every task sprays a file into every
-        # one of the n_cells dirs (32 x 1414 tiny files).
-        .repartition(32, "cell")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("cell")
-        .parquet(f"{path}/index")
-    )
+    old = os.environ.get("SPARK_GRAFT_IVF_CELLS")
+    os.environ["SPARK_GRAFT_IVF_CELLS"] = str(n_cells)
+    try:
+        sim.ivfpq_train(emb, path)
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_IVF_CELLS", None)
+        else:
+            os.environ["SPARK_GRAFT_IVF_CELLS"] = old
     return round(time.time() - t0, 1)
 
 
