@@ -304,6 +304,15 @@ def main() -> None:
     # on the same protocol (runs_per_query in the JSON records it).
     n_runs = 3
     tier3_errors: list[str] = []
+    # Cold/steady split (r13 verdict item 4): run 1 of each query pays
+    # whatever plan-compile/codegen cost the sf0.001 warm-up didn't
+    # absorb (the sf0.1 plan differs — AQE stats, partition counts), so
+    # the JSON records first_run vs best_of_rest per query. The
+    # headline series stays min(all runs) — unchanged protocol, the
+    # split is additive context that lets the ambient discriminator
+    # (and the reader) separate ~2 s compile tails from execution.
+    first_run: dict[str, float] = {}
+    best_of_rest: dict[str, float] = {}
 
     def timed(names: list[str], strict: bool = True) -> dict[str, float]:
         # Best-of-N per query: the r6 recording was ambient-noise
@@ -335,6 +344,8 @@ def main() -> None:
                 print(f"# {name}: ERROR (skipped from tier3)", file=sys.stderr)
                 continue
             out[name] = min(runs)
+            first_run[name] = runs[0]
+            best_of_rest[name] = min(runs[1:]) if len(runs) > 1 else runs[0]
             print(f"# {name}: {n} rows in {out[name]}s (runs: {runs})", file=sys.stderr)
             # Release the dropped frames' localCheckpoint RDD blocks:
             # they're freed by the ContextCleaner only after the driver
@@ -377,6 +388,16 @@ def main() -> None:
         "load_avg_start": [round(v, 2) for v in load_start],
         "load_avg_end": [round(v, 2) for v in load_end],
         "runs_per_query": n_runs,
+        # Cold/steady split across every timed query (all tiers): the
+        # first timed run vs the best of the remaining runs, plus the
+        # summed headline-tier gap — the compile/first-touch tail the
+        # headline total otherwise silently carries when run 1 happens
+        # to be the minimum.
+        "first_run": first_run,
+        "best_of_rest": best_of_rest,
+        "headline_cold_minus_warm_sec": round(
+            sum(max(0.0, first_run[q] - best_of_rest[q]) for q in timings), 3
+        ),
     }
     # Self-labeling ambient discriminator (r12 verdict item 2): median
     # per-query ratio vs the cleanest recorded value for each query —

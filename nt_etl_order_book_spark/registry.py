@@ -81,66 +81,17 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # CORRECTNESS_r{N}.json has N >= this value, the window below has been
 # consumed and the rotation gate reports "rotation pending" instead of
 # failing; run `python tools/rotate_sweep.py`, paste, and bump this.
-# r13 window (slots 1-50); history through r12
-_SWEEP_ROTATED_FOR_ROUND = 13
+# r14 window (slots 1-50); history through r13
+_SWEEP_ROTATED_FOR_ROUND = 14
 
 _SWEEP_CHANGED: tuple[str, ...] = (
     "ann_ivfpq_apply",
-    "bpe_encode",
+    "ann_ivfpq_topk",
 )
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    "bpe_encode",  # changed
+    "ann_ivfpq_topk",  # changed
     "ann_ivfpq_apply",  # changed
-    "text_stats",  # last r8
-    "tfidf_topterms",  # last r8
-    "source_vocab_overlap",  # last r8
-    "ngram_coverage_curve",  # last r8
-    "lexical_complexity",  # last r8
-    "typo_pairs",  # last r8
-    "bm25_search",  # last r8
-    "udaf_grouped",  # last r8
-    "agg_groupby_sum",  # last r9
-    "agg_grouping_sets",  # last r9
-    "book_reconstruct",  # last r9
-    "composite_regional_revenue",  # last r9
-    "join_inner_hash",  # last r9
-    "join_asof",  # last r9
-    "join_interval",  # last r9
-    "set_union_all",  # last r9
-    "dedup_exact",  # last r9
-    "scan_parquet",  # last r9
-    "win_rank_topk_depth",  # last r9
-    "win_running_sum",  # last r9
-    "win_ntile",  # last r9
-    "best_bid_ask",  # last r9
-    "dedup_exact_docs",  # last r9
-    "minhash_dedup",  # last r9
-    "simhash_dedup",  # last r9
-    "ngram_jaccard",  # last r9
-    "decontaminate_ngram",  # last r9
-    "stratified_sample",  # last r9
-    "dedup_components",  # last r9
-    "multimodal_meta",  # last r9
-    "multimodal_features",  # last r9
-    "seq_pack",  # last r9
-    "domain_mix",  # last r9
-    "fn_string",  # last r9
-    "fn_date",  # last r9
-    "fn_math",  # last r9
-    "fn_array",  # last r9
-    "fn_map_json",  # last r9
-    "fn_map_ops",  # last r9
-    "fn_bitwise",  # last r9
-    "fn_null_safe_eq",  # last r9
-    "fn_conditional",  # last r9
-    "cosine_topk",  # last r9
-    "ann_lsh_topk",  # last r9
-    "ann_ivf_topk",  # last r9
-    "embed_norm_stats",  # last r9
-    "embed_cosine_dedup",  # last r9
-    "tokenize_tf",  # last r9
-    # ---- slot 51+: next-round queue ----
     "lang_id",  # last r9
     "quality_score",  # last r9
     "token_count",  # last r9
@@ -189,6 +140,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_resize",  # last r10
     "multimodal_frame_sample",  # last r10
     "embed_quantize_stats",  # last r10
+    # ---- slot 51+: next-round queue ----
     "redact_pii",  # last r10
     "unigram_logprob",  # last r10
     "corpus_filter_funnel",  # last r10
@@ -237,13 +189,60 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "embed_centroid_stats",  # last r11
     "ann_pq_topk",  # last r11
     "semdedup",  # last r11
-    "ann_ivfpq_topk",  # last r11
     "ann_filtered_topk",  # last r11
     "pmi_collocations",  # last r11
     "zipf_fit",  # last r11
     "approx_quantile_audit",  # last r11
     "ccnet_buckets",  # last r11
     "lang_id_confusion",  # last r11
+    "equi_depth_histogram_approx",  # last r12
+    "referential_integrity_audit",  # last r12
+    "uniqueness_audit",  # last r12
+    "split_leakage_audit",  # last r12
+    "label_balance",  # last r12
+    "winsorize_stats",  # last r12
+    "winsorize_stats_approx",  # last r12
+    "table_diff",  # last r12
+    "table_diff_summary",  # last r12
+    "composite_returned_items",  # last r12
+    "composite_promo_revenue",  # last r12
+    "composite_top_supplier",  # last r12
+    "composite_small_qty_revenue",  # last r12
+    "composite_nation_trade",  # last r12
+    "composite_brand_disjunction",  # last r12
+    "composite_idle_customers",  # last r12
+    "markov_transitions",  # last r12
+    "attribution_last_touch",  # last r12
+    "scd2_intervals",  # last r12
+    "interarrival_stats_approx",  # last r12
+    "twap",  # last r12
+    "gini_concentration",  # last r12
+    "rolling_features",  # last r12
+    "overnight_gap",  # last r12
+    "seq_gap_check",  # last r12
+    "win_lag_lead",  # last r12
+    "win_moving_avg",  # last r12
+    "win_range_frame",  # last r12
+    "win_first_last",  # last r12
+    "session_islands",  # last r12
+    "win_cume_dist",  # last r12
+    "paragraph_dedup",  # last r12
+    "sample_split",  # last r12
+    "bloom_filter_dedup",  # last r12
+    "cross_source_dup",  # last r12
+    "minhash_eval",  # last r12
+    "pagerank_docs",  # last r12
+    "triangle_count",  # last r12
+    "graph_reachability",  # last r12
+    "dup_cluster_stats",  # last r12
+    "rag_chunk",  # last r12
+    "pairwise_cosine_histogram",  # last r12
+    "knn_label_eval",  # last r12
+    "embedding_drift",  # last r12
+    "topk_ngrams",  # last r12
+    "repetition_stats",  # last r12
+    "repetition_battery",  # last r12
+    "license_tag",  # last r12
 )
 
 
