@@ -546,6 +546,11 @@ def write_ivf_index(emb: DataFrame, cents_arr: DataFrame, path: str) -> None:
     (Delta/Iceberg), not raw parquet."""
     (
         ivf_assign(emb, cents_arr)
+        # Keyed on cell so each task writes whole cell directories —
+        # the narrow assignment keeps the scan partitioning, so an
+        # unkeyed partitionBy write sprays tasks×cells tiny files (see
+        # ivfpq_train: measured 3× probe-wall cost at 2M vectors).
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism, "cell")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
         .partitionBy("cell")
@@ -1374,6 +1379,11 @@ def write_ivfpq_index(emb: DataFrame, cents_arr: DataFrame, books: DataFrame, pa
     query-side state, not scan data."""
     (
         ivfpq_encode(ivfpq_residuals(emb, cents_arr), books)
+        # Keyed on cell so each task writes whole cell directories —
+        # see ivfpq_train: the unkeyed write sprays tasks×cells tiny
+        # files, which tripled the probe wall at 2M vectors (per-file
+        # open/footer overhead on every probed cell).
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism, "cell")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
         .partitionBy("cell")
@@ -1510,13 +1520,16 @@ def ivfpq_train(emb: DataFrame, path: str) -> None:
     books = pq_codebook(resid)
     cents_arr.write.mode("overwrite").parquet(f"{path}/cents.parquet")
     books.write.mode("overwrite").parquet(f"{path}/books.parquet")
-    enc = ivfpq_encode(resid, books)
-    if cent_rows is not None:
-        # Large-codebook path: one shuffle keyed on cell so each task
-        # writes whole cell directories — without it every one of the
-        # ~32 write tasks sprays a file into every one of the √N cell
-        # dirs (32×1414 tiny files at the measured-optimal size).
-        enc = enc.repartition(emb.sparkSession.sparkContext.defaultParallelism, "cell")
+    # One shuffle keyed on cell so each task writes whole cell
+    # directories. Unconditional (r14): writing partitionBy("cell")
+    # from vec_id-partitioned data sprays tasks×cells tiny files at
+    # EVERY codebook size — measured at 2M vectors/16 cells, the
+    # 512-file spray tripled the steady-state probe wall (19.9 s vs
+    # 5.8 s against the cell-keyed 16-file layout) purely on per-file
+    # open/footer overhead.
+    enc = ivfpq_encode(resid, books).repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "cell"
+    )
     (
         enc.write.mode("overwrite")
         .option("partitionOverwriteMode", "static")

@@ -216,6 +216,15 @@ def main() -> int:
             )
         finally:
             sim.N_PROBE = old_probe
+        # Release the dropped frames' localCheckpoint RDD blocks between
+        # configs (same hygiene as bench.py): without it the 4th config
+        # of a four-point session measured probe runs INCREASING
+        # 7.1→13.0 s — driver-held lineage/blocks from three prior
+        # builds squeezing the session, not the config under test.
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
         rec_row = {
             "n_cells": n_cells,
             "n_probe": n_probe,
