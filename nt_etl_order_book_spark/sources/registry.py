@@ -55,7 +55,16 @@ def write_partitioned(df: DataFrame, path: str, *, ts_col: str = "timestamp",
                       fmt: str = "parquet") -> None:
     """Append sink partitioned by event date (derived from the epoch-ms
     column): the layout that makes time-ranged analytics prune at the
-    directory level at 100 TB. Also accepts orc/csv/json formats."""
+    directory level at 100 TB. Also accepts orc/csv/json formats.
+
+    Deliberately NOT repartitioned on event_date (contrast the IVF
+    index writers and the rollup materializers, r14): an ingest append
+    batch spans 1–2 dates, so the "spray" is tasks×2 files — while
+    keying would funnel the whole batch through 1–2 write tasks and
+    serialize ingest throughput. The file-count/parallelism trade
+    flips when partitions-per-write is large (index/rollup builds) vs
+    small (append batches); compaction of append sinks is a downstream
+    maintenance job in any deployment."""
     from pyspark.sql import functions as F
 
     (

@@ -198,3 +198,22 @@ def test_index_cache_is_keyed_by_cell_count(sf_dir, monkeypatch):
     assert "ivfpq_c16_" in os.path.basename(default_key)
     monkeypatch.setenv("SPARK_GRAFT_IVF_CELLS", "1414")
     assert _ivfpq_index_path(sf_dir) != default_key
+
+
+def test_index_cell_dirs_hold_one_file_each(spark, sf_dir, tmp_path, monkeypatch):
+    # Layout pin (r14): ivfpq_train keys the index write on cell, so a
+    # cell directory is written by exactly one task → one data file.
+    # The unkeyed write sprayed tasks×cells tiny files and tripled the
+    # 2M-vector probe wall on per-file open/footer overhead (PERF.md
+    # r14) — this pins the fix at fixture scale.
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    from nt_etl_order_book_spark.functions.similarity import _ivfpq_index_path
+
+    qs = registry.queries()
+    qs["ann_ivfpq_apply"](spark, sf_dir).collect()  # trains into tmp idx
+    index = os.path.join(_ivfpq_index_path(sf_dir), "index")
+    cell_dirs = [d for d in os.listdir(index) if d.startswith("cell=")]
+    assert cell_dirs, "no cell directories written"
+    for d in cell_dirs:
+        parts = [f for f in os.listdir(os.path.join(index, d)) if f.endswith(".parquet")]
+        assert len(parts) == 1, f"{d}: {len(parts)} files (spray regression)"

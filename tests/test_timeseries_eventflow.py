@@ -513,6 +513,18 @@ def test_materialized_rollup_lifecycle(spark, sf_dir, tmp_path):
     plan = formatted_plan(scoped)
     assert "PartitionFilters" in plan and "day_key" in plan
 
+    # Layout pin (r14): the writers key the shuffle on day_key, so each
+    # day directory holds exactly ONE data file — an unkeyed
+    # partitionBy write sprays tasks×days files (the defect class
+    # measured at 3× probe-wall cost on the IVF index writers).
+    import os
+
+    for entry in os.listdir(path):
+        if not entry.startswith("day_key="):
+            continue
+        parts = [f for f in os.listdir(os.path.join(path, entry)) if f.endswith(".parquet")]
+        assert len(parts) == 1, f"{entry}: {len(parts)} files (spray regression)"
+
 
 def test_prefix_dedup_truncation_variants(spark):
     from nt_etl_order_book_spark.functions import dedup as dedupmod
