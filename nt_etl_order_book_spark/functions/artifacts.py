@@ -222,12 +222,21 @@ def ensure_published(final: str, build) -> str:
                         _touch_marker(final)
                         return final
                     except OSError:
-                        # Another builder filled the slot while the
-                        # winner's tree sat in our graveyard: the slot
-                        # now holds an equivalent artifact (or the loop
-                        # re-checks next pass). Drop our copy.
-                        shutil.rmtree(grave, ignore_errors=True)
+                        # Another party filled the slot while the
+                        # winner's tree sat in our graveyard. Only drop
+                        # the grave if the slot now holds a PUBLISHED
+                        # (equivalent, deterministic) artifact. If the
+                        # occupant is UNMARKED (a third party parked
+                        # another crashed leftover), deleting the grave
+                        # here could destroy the only published copy
+                        # and leave the exhaust-fallback rename to die
+                        # on ENOTEMPTY (r14 ADVICE) — instead leave the
+                        # grave parked and loop: our own scratch is an
+                        # equivalent state still eligible to publish,
+                        # and an abandoned published grave ages out via
+                        # reap_stale's marker-mtime horizon.
                         if is_published(final):
+                            shutil.rmtree(grave, ignore_errors=True)
                             _touch_marker(final)
                             return final
                         continue
@@ -284,6 +293,26 @@ def reap_stale(
             continue  # vanished mid-scan (concurrent reaper/builder)
         if stamp < cutoff:
             if not dry_run:
+                # Re-stat the marker IMMEDIATELY before the delete (r14
+                # ADVICE): between the scan above and this point, a
+                # warm-path hit may have refreshed the marker mtime
+                # (_touch_marker) — deleting on the scan-time stamp
+                # would reap an artifact a reader just resolved. The
+                # re-stat shrinks the race window from scan→delete to
+                # stat→delete; the residual window is covered by the
+                # reader-side contract: apply paths that hit
+                # FileNotFoundError mid-read retry through
+                # ensure_published, which rebuilds.
+                try:
+                    fresh = (
+                        os.stat(marker).st_mtime
+                        if os.path.exists(marker)
+                        else os.stat(path).st_mtime
+                    )
+                except OSError:
+                    continue  # vanished since the scan — nothing to reap
+                if fresh >= cutoff:
+                    continue  # touched since the scan — still in use
                 shutil.rmtree(path, ignore_errors=True)
             reaped.append(path)
     return reaped

@@ -410,6 +410,27 @@ def ivf_cells() -> int:
     return val
 
 
+def ivf_probe() -> int:
+    """Cells probed per query: ``SPARK_GRAFT_IVF_PROBE`` if set, else
+    the N_PROBE fixture default. The matching knob to
+    SPARK_GRAFT_IVF_CELLS (r14 ADVICE): a deployment resizing to √N
+    cells tunes probe count WITH the cell count — probed mass is
+    probe/cells, and recall at a fixed probe=11 would otherwise depend
+    entirely on how well the corpus clusters. Same validation pattern
+    as ivf_cells; values above the cell count are harmless (F.slice
+    past the array end returns the whole array — full scan)."""
+    raw = os.environ.get("SPARK_GRAFT_IVF_PROBE")
+    if raw is None:
+        return N_PROBE
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(f"SPARK_GRAFT_IVF_PROBE={raw!r} is not an integer") from None
+    if val < 1:
+        raise ValueError(f"SPARK_GRAFT_IVF_PROBE must be >= 1, got {val}")
+    return val
+
+
 def cents_frame(spark: SparkSession, cent_rows: list) -> DataFrame:
     """The 1-row broadcastable codebook frame (ivf_codebook's schema)
     rebuilt from driver-side [(cell, cvec), ...] rows — the bridge from
@@ -452,6 +473,19 @@ def ivf_codebook_rows(emb: DataFrame, n_cells: int) -> list:
     seed_rows = emb.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect()
     if not seed_rows:
         raise ValueError(f"no seed vectors with vec_id < {n_cells}")
+    if len(seed_rows) != n_cells:
+        # A shortfall (SPARK_GRAFT_IVF_CELLS larger than the corpus, or
+        # a sparse vec_id space below n_cells) would silently train a
+        # SMALLER codebook while the artifact cache key still claims
+        # ivfpq_c{n_cells} — self-consistent results under a mislabeled
+        # geometry (r14 ADVICE). Fail loudly, mirroring the empty-seed
+        # check: the caller sizes cells to the corpus, not vice versa.
+        raise ValueError(
+            f"ivf_codebook_rows: {len(seed_rows)} seed vectors with "
+            f"vec_id < {n_cells}, need exactly {n_cells} — is "
+            "SPARK_GRAFT_IVF_CELLS larger than the corpus (or the "
+            "vec_id space sparse below n_cells)?"
+        )
     cents = np.array(
         [r["embedding"] for r in sorted(seed_rows, key=lambda r: r["vec_id"])],
         dtype=np.float64,
@@ -602,7 +636,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qvec",
         "qnorm",
         F.explode(
-            F.transform(F.slice(by_sim, 1, N_PROBE), lambda s: s["cell"])
+            F.transform(F.slice(by_sim, 1, ivf_probe()), lambda s: s["cell"])
         ).alias("cell"),
     )
     scored = (
@@ -1456,7 +1490,7 @@ def ivfpq_query(
         .select(
             "qid",
             "qnorm",
-            F.explode(F.slice(by_sim, 1, N_PROBE)).alias("probe"),
+            F.explode(F.slice(by_sim, 1, ivf_probe())).alias("probe"),
             _query_lut(F.col("qvec"), F.col("books")).alias("lut"),
         )
         .select(
@@ -1538,6 +1572,51 @@ def ivfpq_train(emb: DataFrame, path: str) -> None:
     )
 
 
+# Session-scoped serving-frame cache (r14 verdict item 3): the
+# registered apply path re-ran `spark.read.parquet` on every call —
+# re-listing the cell-partitioned index tree (one directory per cell:
+# 1414 dirs at the measured-optimal √N geometry) and re-deriving the
+# partition schema, which put the warm registered call at 4.0-4.8 s
+# against the probe tool's 1.12 s holding frames across calls on the
+# SAME index. Keyed per SparkSession (weakly — frames die with their
+# session) and per (path, marker identity): the artifact path already
+# folds corpus fingerprint + cell count into its digest, and the
+# marker's (st_dev, st_ino) changes whenever the artifact is REBUILT
+# in place (crashed-build recovery recreates _TRAINED; the cached
+# frames' file listing would point at replaced part files). Bounded to
+# the most recent few corpora per session.
+_SERVE_CACHE_MAX = 4
+_SERVE_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
+def _serving_frames(spark: SparkSession, path: str):
+    """(cents, books, enc) DataFrames for a published IVF-PQ index at
+    ``path``, cached per session — see _SERVE_CACHE. The marker stat
+    doubles as the existence check: a path reaped between
+    ensure_published and here surfaces as FileNotFoundError, and the
+    caller's contract (artifacts.reap_stale docstring) is to retry
+    through ensure_published."""
+    global _SERVE_CACHE
+    if _SERVE_CACHE is None:
+        import weakref
+
+        _SERVE_CACHE = weakref.WeakKeyDictionary()
+    st = os.stat(os.path.join(path, "_TRAINED"))
+    token = (path, st.st_dev, st.st_ino)
+    per_session = _SERVE_CACHE.setdefault(spark, {})
+    hit = per_session.get(token)
+    if hit is None:
+        hit = (
+            spark.read.parquet(f"{path}/cents.parquet"),
+            spark.read.parquet(f"{path}/books.parquet"),
+            spark.read.parquet(f"{path}/index"),
+        )
+        while len(per_session) >= _SERVE_CACHE_MAX:
+            per_session.pop(next(iter(per_session)))
+        per_session[token] = hit
+    return hit
+
+
 def _ivfpq_index_path(sf_dir: str) -> str:
     """Deterministic per-corpus index location: real path PLUS a
     content fingerprint of the embeddings parquet folded into the key
@@ -1586,9 +1665,13 @@ def q_ann_ivfpq_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         books = pq_codebook(resid)
         return ivfpq_query(emb, cents_arr, books, ivfpq_encode(resid, books))
     path = ensure_published(_ivfpq_index_path(sf_dir), lambda p: ivfpq_train(emb, p))
-    cents_arr = spark.read.parquet(f"{path}/cents.parquet")
-    books = spark.read.parquet(f"{path}/books.parquet")
-    enc = spark.read.parquet(f"{path}/index")
+    try:
+        cents_arr, books, enc = _serving_frames(spark, path)
+    except FileNotFoundError:
+        # Reaped in the ensure_published→stat window (reap_stale's
+        # documented residual race): rebuild once and read fresh.
+        path = ensure_published(_ivfpq_index_path(sf_dir), lambda p: ivfpq_train(emb, p))
+        cents_arr, books, enc = _serving_frames(spark, path)
     return ivfpq_query(emb, cents_arr, books, enc)
 
 

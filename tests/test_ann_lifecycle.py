@@ -217,3 +217,36 @@ def test_index_cell_dirs_hold_one_file_each(spark, sf_dir, tmp_path, monkeypatch
     for d in cell_dirs:
         parts = [f for f in os.listdir(os.path.join(index, d)) if f.endswith(".parquet")]
         assert len(parts) == 1, f"{d}: {len(parts)} files (spray regression)"
+
+
+def test_apply_serving_cache_hits_and_invalidates_on_rebuild(spark, sf_dir, tmp_path, monkeypatch):
+    # r14 verdict item 3: the registered serving path re-ran
+    # spark.read.parquet per call (re-listing one directory per cell —
+    # 1414 at the measured-optimal geometry), putting the warm call at
+    # 4.0-4.8 s vs the probe tool's 1.12 s holding frames. The frames
+    # are now cached per (session, path, marker identity). Pins: (1) a
+    # repeat call returns the SAME frame objects, (2) warm marker
+    # touches do NOT invalidate (mtime advances, inode doesn't), (3) an
+    # in-place REBUILD (marker recreated → new inode) does invalidate —
+    # the cached file listing would point at replaced part files —
+    # and the post-rebuild answer still matches the self-contained run.
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    from nt_etl_order_book_spark.functions import similarity as sim
+    from nt_etl_order_book_spark.functions.artifacts import _touch_marker
+
+    qs = registry.queries()
+    first = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_apply"](spark, sf_dir).collect()}
+    path = sim._ivfpq_index_path(sf_dir)
+
+    f1 = sim._serving_frames(spark, path)
+    assert sim._serving_frames(spark, path) is f1, "repeat call must be a cache hit"
+    _touch_marker(path)  # warm-path lease refresh...
+    assert sim._serving_frames(spark, path) is f1, "marker touch must not invalidate"
+
+    # Crashed-marker rebuild: ensure_published replaces the whole tree
+    # (new part files, new marker inode) — the cache must drop f1, not
+    # serve a listing of deleted files.
+    os.remove(os.path.join(path, "_TRAINED"))
+    second = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_apply"](spark, sf_dir).collect()}
+    assert second == first
+    assert sim._serving_frames(spark, path) is not f1, "rebuild must invalidate the cache"

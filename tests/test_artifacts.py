@@ -276,3 +276,85 @@ def test_artifact_root_refuses_foreign_owned_dir(tmp_path, monkeypatch):
     monkeypatch.setattr(os, "stat", foreign_stat)
     with pytest.raises(PermissionError, match="foreign-owned"):
         artifact_root()
+
+
+def test_reap_restats_marker_immediately_before_delete(tmp_path, monkeypatch):
+    # r14 ADVICE: reap_stale computed the marker age at SCAN time, so a
+    # warm hit refreshing the marker between the scan and the rmtree
+    # still lost the artifact. The delete path now re-stats the marker
+    # immediately before rmtree and skips entries that went fresh.
+    import nt_etl_order_book_spark.functions.artifacts as art
+
+    root = str(tmp_path / "cache")
+    final = os.path.join(root, "ivfpq_racy_dddd3333")
+    os.makedirs(root)
+    ensure_published(final, lambda p: _build(p, "v1"))
+    marker = os.path.join(final, "_TRAINED")
+    old = 1_000_000.0
+    os.utime(marker, (old, old))  # stale at scan time...
+
+    real_stat = os.stat
+    seen = {"n": 0}
+
+    def racing_stat(path, *a, **kw):
+        st = real_stat(path, *a, **kw)
+        if os.fspath(path) == marker:
+            seen["n"] += 1
+            if seen["n"] >= 2:
+                # ...but a warm-path hit touches it in the scan→delete
+                # window: the SECOND stat (the pre-delete re-stat) must
+                # see the refreshed mtime and veto the rmtree.
+                os.utime(marker)
+                return real_stat(marker)
+        return st
+
+    monkeypatch.setattr(art.os, "stat", racing_stat)
+    assert art.reap_stale(72.0, root=root) == []
+    assert os.path.isdir(final), "artifact reaped despite a fresh marker"
+    assert seen["n"] >= 2, "delete path did not re-stat the marker"
+
+
+def test_grave_restore_conflict_keeps_the_published_copy(tmp_path, monkeypatch):
+    # r14 ADVICE: in the grave-recovery conflict branch (our aside-rename
+    # captured a just-published winner, but renaming it BACK fails
+    # because a third party parked another unmarked leftover in the
+    # slot), the old code rmtree'd the grave — destroying the only
+    # published copy while the slot held junk. Now the published grave
+    # is left parked (reap_stale ages it out by marker mtime) and the
+    # loop continues until our own equivalent scratch publishes.
+    import shutil
+
+    import nt_etl_order_book_spark.functions.artifacts as art
+
+    final = str(tmp_path / "artifact")
+    _build(final, "crashed")  # unmarked leftover → scratch rename fails
+    real_rename = os.rename
+    state = {"aside": 0}
+
+    def racing_rename(src, dst, *a, **kw):
+        if ".grave." in dst and state["aside"] == 0:
+            # First aside-rename: move the tree, then simulate that it
+            # was actually a WINNER's published artifact (the TOCTOU
+            # window) and that a third party immediately reparks more
+            # unmarked junk in the slot.
+            state["aside"] += 1
+            real_rename(src, dst, *a, **kw)
+            with open(os.path.join(dst, "_TRAINED"), "w") as fh:
+                fh.write("ok\n")
+            state["grave"] = dst
+            _build(final, "third-party-junk")  # unmarked, non-empty
+            return None
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    got = ensure_published(final, lambda p: _build(p, "ours"))
+    assert got == final and is_published(final)
+    # Our equivalent deterministic build occupies the slot...
+    assert open(os.path.join(final, "data.txt")).read() == "ours"
+    # ...and the published copy in the graveyard was PARKED, not
+    # destroyed (reap_stale owns its eventual cleanup by marker age).
+    grave = state["grave"]
+    assert os.path.isdir(grave) and is_published(grave), (
+        "published grave copy was destroyed while the slot held unmarked junk"
+    )
+    shutil.rmtree(grave, ignore_errors=True)

@@ -978,3 +978,44 @@ def test_ivf_codebook_state_switch_boundary_parity(spark, sf_dir):
         assert a_cell == cell, f"vec {vid}: cell {a_cell} != HOF {cell}"
         assert abs(a_enorm - enorm) < 1e-9
         assert max(abs(x - y) for x, y in zip(a_resid, resid)) < 1e-9
+
+
+def test_ivf_probe_env_knob_full_probe_is_exact(spark, sf_dir, monkeypatch):
+    # r14 ADVICE: SPARK_GRAFT_IVF_CELLS resizes the codebook but probe
+    # count was a fixed module constant — a deployment at sqrt(N) cells
+    # had no matching knob for probed mass (= probe/cells, the only
+    # recall lever on an isotropic corpus). SPARK_GRAFT_IVF_PROBE is
+    # that knob: same loud validation as ivf_cells, and at probe ==
+    # N_CELLS the IVF answer must EQUAL brute force (probing every cell
+    # leaves nothing approximate — the strongest functional pin the
+    # geometry admits).
+    import pytest
+
+    from nt_etl_order_book_spark.functions import similarity as sim
+
+    monkeypatch.delenv("SPARK_GRAFT_IVF_PROBE", raising=False)
+    assert sim.ivf_probe() == sim.N_PROBE
+    for bad in ("0", "-2", "eleven", "1.5"):
+        monkeypatch.setenv("SPARK_GRAFT_IVF_PROBE", bad)
+        with pytest.raises(ValueError):
+            sim.ivf_probe()
+    monkeypatch.setenv("SPARK_GRAFT_IVF_PROBE", str(sim.N_CELLS))
+    assert sim.ivf_probe() == sim.N_CELLS
+    got = {(r.qid, r.vec_id, r.cos_sim) for r in sim.q_ann_ivf_topk(spark, sf_dir).collect()}
+    exact = {(r.qid, r.vec_id, r.cos_sim) for r in sim.q_cosine_topk(spark, sf_dir).collect()}
+    assert got == exact
+
+
+def test_codebook_seed_shortfall_fails_loudly(spark, sf_dir):
+    # r14 ADVICE: cells > corpus used to train a silently-smaller
+    # codebook while the artifact cache key still claimed ivfpq_c{n} —
+    # a mislabeled geometry. Must raise, mirroring the empty-seed check.
+    import pytest
+
+    from nt_etl_order_book_spark.functions import similarity as sim
+    from nt_etl_order_book_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = int(emb.count())
+    with pytest.raises(ValueError, match="need exactly"):
+        sim.ivf_codebook_rows(emb, n + 7)
