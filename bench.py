@@ -186,10 +186,16 @@ def stream_best_recorded(repo: str | None = None) -> float | None:
     return best
 
 
-def stream_throughput(spark, n_msgs: int = 20000) -> float:
+def stream_throughput(spark, n_msgs: int = 20000, dedup_within: str | None = None) -> float:
     """Replay n_msgs delta messages through the streaming flatten+sink
     pipeline (availableNow) and return messages/second — the BASELINE.md
-    streaming parity metric (reference ceiling ≈1,000 msg/s)."""
+    streaming parity metric (reference ceiling ≈1,000 msg/s).
+
+    ``dedup_within`` passes through to deltas_query: the recorded
+    headline figure keeps the r1 protocol (no dedup operator — the
+    cross-round msg/s series must stay comparable); the state-HWM stage
+    (stream_state_hwm) arms it to make the watermarked dedup state
+    measurable."""
     import json as _json
     import shutil
     import tempfile
@@ -225,13 +231,97 @@ def stream_throughput(spark, n_msgs: int = 20000) -> float:
             fh.write("\n".join(lines))
     t0 = time.time()
     msgs = read_json_stream(spark, msg_dir)
-    q = deltas_query(msgs, os.path.join(root, "out"), os.path.join(root, "cp"), dedup_within=None)
+    q = deltas_query(
+        msgs, os.path.join(root, "out"), os.path.join(root, "cp"), dedup_within=dedup_within
+    )
     q.awaitTermination(300)
     wrote = spark.read.parquet(os.path.join(root, "out")).count()
     elapsed = time.time() - t0
     shutil.rmtree(root, ignore_errors=True)
     assert wrote == 4 * per_file, f"stream sink wrote {wrote}, expected {4 * per_file}"
     return round(wrote / elapsed, 1)
+
+
+def stream_state_hwm(spark, n_msgs: int = 20000) -> dict:
+    """The streaming STATE dimension of the recording (r14 verdict item
+    4): replay the same message volume with the watermarked dedup
+    operator armed and report MetricsCollector.peak_state() — the
+    rows/bytes high-water mark a deployment sizes its horizon bound
+    against (DEPLOY.md §4: bound = rate × horizon × safety). Runs as a
+    separate stage so the headline msg/s series keeps its r1 no-dedup
+    protocol; ~1 s at bench volume. The listener bus is async —
+    bounded-wait for the progress events before reading the peak."""
+    from nt_etl_order_book_spark.streaming.metrics import (
+        BookPipelineListener,
+        MetricsCollector,
+    )
+
+    collector = MetricsCollector()
+    listener = BookPipelineListener(collector)
+    spark.streams.addListener(listener)
+    try:
+        rate = stream_throughput(spark, n_msgs=n_msgs, dedup_within="10 minutes")
+        deadline = time.time() + 15
+        while time.time() < deadline and not any(
+            (b.state_rows or 0) > 0 for b in collector.batches
+        ):
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    rows, byts = collector.peak_state()
+    return {
+        "stream_state_peak_rows": rows,
+        "stream_state_peak_bytes": byts,
+        "stream_dedup_msgs_per_sec": rate,
+    }
+
+
+# Fields that ride ONLY on the "# detail:" stdout line, never the final
+# record line. BENCH_r14's lesson: the driver keeps a bounded tail of
+# stdout (~2000 chars) and parses the final line — adding the ~41-entry
+# first_run/best_of_rest dicts to that line pushed its HEAD (where
+# metric/value live) out of the capture, so the driver's own record of
+# the round had parsed:null. Everything the cross-round readers consume
+# (queries/tier2/tier3 for ambient + rotation history, the stream and
+# state figures, the ambient self-label) stays on the final line;
+# per-run splits and load-average brackets are context, not record.
+DETAIL_ONLY_KEYS = (
+    "first_run",
+    "best_of_rest",
+    "load_avg_start",
+    "load_avg_end",
+    "stream_load_avg_start",
+    "stream_load_avg_end",
+)
+# Hard ceiling for the final record line, with margin under the
+# driver's ~2000-char tail capture (tier3 names vary per round; the
+# pytest pins a worst-case construction under this bound).
+RECORD_LINE_MAX = 1800
+
+
+def compact_record(out: dict) -> dict:
+    """The final-line record: `out` minus DETAIL_ONLY_KEYS."""
+    return {k: v for k, v in out.items() if k not in DETAIL_ONLY_KEYS}
+
+
+def record_line(out: dict) -> str:
+    """The final stdout line, GUARANTEED under RECORD_LINE_MAX: the
+    compact record, degrading (in order) by moving tier3's per-query
+    dict and then tier2's to the detail line if a pathological draw
+    (long rotation names + large values) would overflow. The fixed
+    headline series, stream + state figures, and ambient self-labels
+    are never dropped — an unparseable or truncated record (the r14
+    failure) is strictly worse than a record missing one rotating
+    tier's detail (still on stderr + the detail line)."""
+    rec = compact_record(out)
+    line = json.dumps(rec)
+    for tier in ("tier3", "tier2"):
+        if len(line) <= RECORD_LINE_MAX:
+            break
+        rec[tier] = {}
+        rec[f"{tier}_dropped_for_size"] = True
+        line = json.dumps(rec)
+    return line
 
 
 def main() -> None:
@@ -368,6 +458,7 @@ def main() -> None:
     stream_load_start = os.getloadavg()
     msgs_per_sec = stream_throughput(spark)
     stream_load_end = os.getloadavg()
+    state_hwm = stream_state_hwm(spark)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_wall",
@@ -376,6 +467,12 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "stream_msgs_per_sec": msgs_per_sec,
+        # Streaming state HWM (r14 verdict item 4): the rows/bytes the
+        # watermarked dedup operator held at the bench's rate×volume —
+        # every recording now carries the state dimension next to the
+        # throughput one (r13 probe: state = rate × horizon, flat
+        # across three decades of volume).
+        **state_hwm,
         "stream_load_avg_start": [round(v, 2) for v in stream_load_start],
         "stream_load_avg_end": [round(v, 2) for v in stream_load_end],
         "tier2": tier2,
@@ -415,10 +512,23 @@ def main() -> None:
     print(
         f"# ambient: median ratio {out['ambient_ratio_median']} "
         f"(suspect={out['ambient_suspect']}), stream {msgs_per_sec} "
-        f"vs best recorded {best_stream}",
+        f"vs best recorded {best_stream}, dedup state HWM "
+        f"{state_hwm['stream_state_peak_rows']} rows",
         file=sys.stderr,
     )
-    print(json.dumps(out))
+    # Two stdout lines (r14 verdict item 1): the FULL record first as a
+    # prefixed detail line (greppable in any log, unambiguous — never
+    # the line a parser grabs), then the compact record as the FINAL
+    # line, sized with margin under the driver's tail capture.
+    print("# detail: " + json.dumps(out))
+    record = record_line(out)
+    if "_dropped_for_size" in record:
+        print(
+            f"# final record exceeded {RECORD_LINE_MAX} chars; rotating-tier "
+            "detail moved to the detail line",
+            file=sys.stderr,
+        )
+    print(record)
 
 
 if __name__ == "__main__":

@@ -81,66 +81,19 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # CORRECTNESS_r{N}.json has N >= this value, the window below has been
 # consumed and the rotation gate reports "rotation pending" instead of
 # failing; run `python tools/rotate_sweep.py`, paste, and bump this.
-# r14 window (slots 1-50); history through r13
-_SWEEP_ROTATED_FOR_ROUND = 14
+# r15 window (slots 1-50); history through r14
+_SWEEP_ROTATED_FOR_ROUND = 15
 
 _SWEEP_CHANGED: tuple[str, ...] = (
     "ann_ivfpq_apply",
     "ann_ivfpq_topk",
+    "ann_ivf_topk",
 )
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
+    "ann_ivf_topk",  # changed
     "ann_ivfpq_topk",  # changed
     "ann_ivfpq_apply",  # changed
-    "lang_id",  # last r9
-    "quality_score",  # last r9
-    "token_count",  # last r9
-    "doc_fingerprint",  # last r9
-    "doc_length_histogram",  # last r9
-    "winnow_fingerprint",  # last r9
-    "winnow_dedup",  # last r9
-    "shared_run_audit",  # last r9
-    "agg_multi",  # last r10
-    "agg_distinct",  # last r10
-    "agg_approx_distinct",  # last r10
-    "agg_stats",  # last r10
-    "agg_median",  # last r10
-    "agg_string_concat",  # last r10
-    "agg_weighted_avg",  # last r10
-    "agg_cube",  # last r10
-    "agg_having",  # last r10
-    "agg_grouping_id",  # last r10
-    "composite_shipping_priority",  # last r10
-    "pivot_event_types",  # last r10
-    "subquery_scalar",  # last r10
-    "subquery_correlated",  # last r10
-    "json_roundtrip",  # last r10
-    "join_broadcast",  # last r10
-    "join_left_right_outer",  # last r10
-    "join_full_outer",  # last r10
-    "join_semi",  # last r10
-    "join_anti",  # last r10
-    "join_theta_range",  # last r10
-    "sort_limit",  # last r10
-    "sort_nulls",  # last r10
-    "set_union_distinct",  # last r10
-    "set_intersect",  # last r10
-    "set_except",  # last r10
-    "agg_salted_skew",  # last r10
-    "filter_msg_type",  # last r10
-    "project_rename",  # last r10
-    "cast_schema",  # last r10
-    "json_encode_decode",  # last r10
-    "explode_ladder",  # last r10
-    "unpivot_sides",  # last r10
-    "add_event_ts_ms",  # last r10
-    "notnull_guard",  # last r10
-    "contamination_span",  # last r10
-    "dedup_survivorship",  # last r10
-    "multimodal_resize",  # last r10
-    "multimodal_frame_sample",  # last r10
-    "embed_quantize_stats",  # last r10
-    # ---- slot 51+: next-round queue ----
     "redact_pii",  # last r10
     "unigram_logprob",  # last r10
     "corpus_filter_funnel",  # last r10
@@ -188,6 +141,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "heavy_hitters",  # last r11
     "embed_centroid_stats",  # last r11
     "ann_pq_topk",  # last r11
+    # ---- slot 51+: next-round queue ----
     "semdedup",  # last r11
     "ann_filtered_topk",  # last r11
     "pmi_collocations",  # last r11
@@ -243,6 +197,54 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "repetition_stats",  # last r12
     "repetition_battery",  # last r12
     "license_tag",  # last r12
+    "agg_groupby_sum",  # last r13
+    "agg_grouping_sets",  # last r13
+    "book_reconstruct",  # last r13
+    "composite_regional_revenue",  # last r13
+    "join_inner_hash",  # last r13
+    "join_asof",  # last r13
+    "join_interval",  # last r13
+    "set_union_all",  # last r13
+    "dedup_exact",  # last r13
+    "scan_parquet",  # last r13
+    "win_rank_topk_depth",  # last r13
+    "win_running_sum",  # last r13
+    "win_ntile",  # last r13
+    "best_bid_ask",  # last r13
+    "bpe_encode",  # last r13
+    "dedup_exact_docs",  # last r13
+    "minhash_dedup",  # last r13
+    "simhash_dedup",  # last r13
+    "ngram_jaccard",  # last r13
+    "decontaminate_ngram",  # last r13
+    "stratified_sample",  # last r13
+    "dedup_components",  # last r13
+    "multimodal_meta",  # last r13
+    "multimodal_features",  # last r13
+    "seq_pack",  # last r13
+    "domain_mix",  # last r13
+    "fn_string",  # last r13
+    "fn_date",  # last r13
+    "fn_math",  # last r13
+    "fn_array",  # last r13
+    "fn_map_json",  # last r13
+    "fn_map_ops",  # last r13
+    "fn_bitwise",  # last r13
+    "fn_null_safe_eq",  # last r13
+    "fn_conditional",  # last r13
+    "cosine_topk",  # last r13
+    "ann_lsh_topk",  # last r13
+    "embed_norm_stats",  # last r13
+    "embed_cosine_dedup",  # last r13
+    "text_stats",  # last r13
+    "tokenize_tf",  # last r13
+    "tfidf_topterms",  # last r13
+    "source_vocab_overlap",  # last r13
+    "ngram_coverage_curve",  # last r13
+    "lexical_complexity",  # last r13
+    "typo_pairs",  # last r13
+    "bm25_search",  # last r13
+    "udaf_grouped",  # last r13
 )
 
 
