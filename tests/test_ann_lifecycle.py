@@ -250,3 +250,37 @@ def test_apply_serving_cache_hits_and_invalidates_on_rebuild(spark, sf_dir, tmp_
     second = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_apply"](spark, sf_dir).collect()}
     assert second == first
     assert sim._serving_frames(spark, path) is not f1, "rebuild must invalidate the cache"
+
+
+def test_apply_retries_when_index_reaped_in_flight(spark, sf_dir, tmp_path, monkeypatch):
+    # The reap_stale residual race, reader side (r15): reap_stale's
+    # contract says an apply path that hits FileNotFoundError between
+    # resolving the path and reading frames retries through
+    # ensure_published. Force the race deterministically: first
+    # _serving_frames call reaps the whole artifact dir then raises the
+    # same error the stat would; the query must rebuild and answer
+    # correctly, not propagate the error.
+    import shutil
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    from nt_etl_order_book_spark.functions import similarity as sim
+
+    qs = registry.queries()
+    want = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_topk"](spark, sf_dir).collect()}
+
+    real_frames = sim._serving_frames
+    state = {"raced": False}
+
+    def racing_frames(s, path):
+        if not state["raced"]:
+            state["raced"] = True
+            shutil.rmtree(path, ignore_errors=True)  # the reaper wins
+            raise FileNotFoundError(path)
+        return real_frames(s, path)
+
+    monkeypatch.setattr(sim, "_serving_frames", racing_frames)
+    got = {(r.qid, r.vec_id) for r in qs["ann_ivfpq_apply"](spark, sf_dir).collect()}
+    assert state["raced"], "race branch was not exercised"
+    assert got == want
+    path = sim._ivfpq_index_path(sf_dir)
+    assert os.path.exists(os.path.join(path, "_TRAINED")), "index not rebuilt"

@@ -73,6 +73,9 @@ def test_final_record_line_parses_and_fits_tail_capture():
     for key in ("metric", "value", "unit", "queries", "sf", "stream_msgs_per_sec"):
         assert key in back, f"compact record lost required field {key!r}"
     assert back["queries"] == out["queries"], "headline series is never dropped"
+    # With compact separators even this draw fits WITHOUT the degrade
+    # path — tier3 rotation history survives every realistic round.
+    assert back.get("tier3") == out["tier3"]
     # ...and the r15 state dimension rides on the record line.
     assert back["stream_state_peak_rows"] == out["stream_state_peak_rows"]
     assert back["stream_state_peak_bytes"] == out["stream_state_peak_bytes"]
@@ -122,3 +125,17 @@ def test_stream_state_hwm_measures_dedup_state(spark):
     assert got["stream_state_peak_rows"] > 0
     assert got["stream_state_peak_bytes"] > 0
     assert got["stream_dedup_msgs_per_sec"] > 0
+
+
+def test_record_line_degrade_path_still_guards():
+    # The degrade path should be unreachable on realistic records, but
+    # it remains the hard guarantee: blow the record up (a hypothetical
+    # future field) and the line must still parse under the bound with
+    # the headline intact and the drop self-declared.
+    out = _worst_case_out()
+    out["tier3"] = {f"hypothetical_very_long_query_name_{i:03d}": 88888.888 for i in range(40)}
+    line = bench.record_line(out)
+    assert len(line) <= bench.RECORD_LINE_MAX
+    back = json.loads(line)
+    assert back["tier3"] == {} and back["tier3_dropped_for_size"] is True
+    assert back["queries"] == out["queries"]
