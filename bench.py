@@ -524,7 +524,9 @@ def main() -> None:
     # line, sized with margin under the driver's tail capture.
     print("# detail: " + json.dumps(out))
     record = record_line(out)
-    if "_dropped_for_size" in record:
+    # Key check, not substring-of-the-serialized-line: a future query
+    # name containing "_dropped_for_size" must not fake the warning.
+    if any(k.endswith("_dropped_for_size") for k in json.loads(record)):
         print(
             f"# final record exceeded {RECORD_LINE_MAX} chars; rotating-tier "
             "detail moved to the detail line",

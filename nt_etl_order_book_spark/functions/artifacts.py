@@ -191,7 +191,16 @@ def ensure_published(final: str, build) -> str:
     try:
         build(scratch)
         with open(os.path.join(scratch, _MARKER), "w") as fh:
-            fh.write("ok\n")
+            # A unique build id, not a constant: readers that cache
+            # loaded state use the marker CONTENT as the build-identity
+            # token (similarity._serving_frames). Inode numbers alone
+            # are reusable — a reap-then-rebuild can hand the new
+            # marker the freed inode and a content-free token would
+            # serve stale cached file listings (r15 review). utime
+            # touches (warm-hit lease refresh) change mtime but never
+            # content, so the token is stable across warm hits and
+            # distinct across rebuilds.
+            fh.write(uuid.uuid4().hex + "\n")
         for attempt in range(8):
             try:
                 os.rename(scratch, final)
@@ -292,27 +301,28 @@ def reap_stale(
         except OSError:
             continue  # vanished mid-scan (concurrent reaper/builder)
         if stamp < cutoff:
+            # Re-stat the marker IMMEDIATELY before acting (r14
+            # ADVICE): between the scan above and this point, a
+            # warm-path hit may have refreshed the marker mtime
+            # (_touch_marker) — deleting on the scan-time stamp would
+            # reap an artifact a reader just resolved. The re-stat
+            # shrinks the race window from scan→delete to stat→delete;
+            # the residual window is covered by the reader-side
+            # contract: apply paths that hit a missing-path error
+            # mid-read retry through ensure_published, which rebuilds.
+            # Runs in BOTH modes so the dry-run listing and the real
+            # reap apply identical logic (the one-scan contract).
+            try:
+                fresh = (
+                    os.stat(marker).st_mtime
+                    if os.path.exists(marker)
+                    else os.stat(path).st_mtime
+                )
+            except OSError:
+                continue  # vanished since the scan — nothing to reap
+            if fresh >= cutoff:
+                continue  # touched since the scan — still in use
             if not dry_run:
-                # Re-stat the marker IMMEDIATELY before the delete (r14
-                # ADVICE): between the scan above and this point, a
-                # warm-path hit may have refreshed the marker mtime
-                # (_touch_marker) — deleting on the scan-time stamp
-                # would reap an artifact a reader just resolved. The
-                # re-stat shrinks the race window from scan→delete to
-                # stat→delete; the residual window is covered by the
-                # reader-side contract: apply paths that hit
-                # FileNotFoundError mid-read retry through
-                # ensure_published, which rebuilds.
-                try:
-                    fresh = (
-                        os.stat(marker).st_mtime
-                        if os.path.exists(marker)
-                        else os.stat(path).st_mtime
-                    )
-                except OSError:
-                    continue  # vanished since the scan — nothing to reap
-                if fresh >= cutoff:
-                    continue  # touched since the scan — still in use
                 shutil.rmtree(path, ignore_errors=True)
             reaped.append(path)
     return reaped

@@ -1578,42 +1578,57 @@ def ivfpq_train(emb: DataFrame, path: str) -> None:
 # 1414 dirs at the measured-optimal √N geometry) and re-deriving the
 # partition schema, which put the warm registered call at 4.0-4.8 s
 # against the probe tool's 1.12 s holding frames across calls on the
-# SAME index. Keyed per SparkSession (weakly — frames die with their
-# session) and per (path, marker identity): the artifact path already
-# folds corpus fingerprint + cell count into its digest, and the
-# marker's (st_dev, st_ino) changes whenever the artifact is REBUILT
-# in place (crashed-build recovery recreates _TRAINED; the cached
-# frames' file listing would point at replaced part files). Bounded to
-# the most recent few corpora per session.
+# SAME index. A plain bounded LRU keyed by (session identity, path,
+# marker identity), NOT a WeakKeyDictionary on the session: a cached
+# DataFrame strongly references its SparkSession, so weak keying would
+# never collect anything (value → key cycle, r15 review) while
+# PRETENDING to be leak-free. The global bound is the real guarantee:
+# at most _SERVE_CACHE_MAX entries process-wide, LRU-evicted, so
+# stopped sessions' frames linger at worst until eviction. Marker
+# identity = the _TRAINED file's CONTENT (a per-build uuid written by
+# ensure_published) + (st_dev, st_ino): content changes on every
+# in-place rebuild (crashed-build recovery recreates the marker; the
+# cached frames' file listing would point at replaced part files) and
+# survives warm-hit utime touches; the inode pair alone is reusable
+# after a reap (r15 review).
 _SERVE_CACHE_MAX = 4
-_SERVE_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+_SERVE_CACHE: dict = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """A stable, non-referencing identity for the session: DataFrames
+    are session-bound, so frames cached under one session must never
+    be served to another (same JVM, different SparkSession). The JVM
+    sessionUUID is unique per session; fall back to id() if the
+    private accessor moves."""
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:
+        return f"id:{id(spark)}"
 
 
 def _serving_frames(spark: SparkSession, path: str):
     """(cents, books, enc) DataFrames for a published IVF-PQ index at
-    ``path``, cached per session — see _SERVE_CACHE. The marker stat
-    doubles as the existence check: a path reaped between
-    ensure_published and here surfaces as FileNotFoundError, and the
-    caller's contract (artifacts.reap_stale docstring) is to retry
-    through ensure_published."""
-    global _SERVE_CACHE
-    if _SERVE_CACHE is None:
-        import weakref
-
-        _SERVE_CACHE = weakref.WeakKeyDictionary()
-    st = os.stat(os.path.join(path, "_TRAINED"))
-    token = (path, st.st_dev, st.st_ino)
-    per_session = _SERVE_CACHE.setdefault(spark, {})
-    hit = per_session.get(token)
+    ``path``, cached — see _SERVE_CACHE. The marker read doubles as
+    the existence check: a path reaped between ensure_published and
+    here surfaces as FileNotFoundError, and the caller's contract
+    (artifacts.reap_stale docstring) is to retry through
+    ensure_published."""
+    marker = os.path.join(path, "_TRAINED")
+    st = os.stat(marker)
+    with open(marker) as fh:
+        build_id = fh.read(64)
+    token = (_session_key(spark), path, build_id, st.st_dev, st.st_ino)
+    hit = _SERVE_CACHE.pop(token, None)  # pop+reinsert = LRU bump
     if hit is None:
         hit = (
             spark.read.parquet(f"{path}/cents.parquet"),
             spark.read.parquet(f"{path}/books.parquet"),
             spark.read.parquet(f"{path}/index"),
         )
-        while len(per_session) >= _SERVE_CACHE_MAX:
-            per_session.pop(next(iter(per_session)))
-        per_session[token] = hit
+        while len(_SERVE_CACHE) >= _SERVE_CACHE_MAX:
+            _SERVE_CACHE.pop(next(iter(_SERVE_CACHE)))
+    _SERVE_CACHE[token] = hit
     return hit
 
 
@@ -1664,12 +1679,18 @@ def q_ann_ivfpq_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         resid = checkpoint_frame(ivf_residuals_auto(emb, cents_arr, cent_rows))
         books = pq_codebook(resid)
         return ivfpq_query(emb, cents_arr, books, ivfpq_encode(resid, books))
+    from pyspark.errors import AnalysisException
+
     path = ensure_published(_ivfpq_index_path(sf_dir), lambda p: ivfpq_train(emb, p))
     try:
         cents_arr, books, enc = _serving_frames(spark, path)
-    except FileNotFoundError:
-        # Reaped in the ensure_published→stat window (reap_stale's
-        # documented residual race): rebuild once and read fresh.
+    except (FileNotFoundError, AnalysisException):
+        # Reaped in the ensure_published→read window (reap_stale's
+        # documented residual race): the marker stat raises
+        # FileNotFoundError, but the same race landing one step later
+        # surfaces from spark.read.parquet as AnalysisException
+        # (PATH_NOT_FOUND) — both mean "rebuild once and read fresh"
+        # (r15 review).
         path = ensure_published(_ivfpq_index_path(sf_dir), lambda p: ivfpq_train(emb, p))
         cents_arr, books, enc = _serving_frames(spark, path)
     return ivfpq_query(emb, cents_arr, books, enc)

@@ -284,3 +284,37 @@ def test_apply_retries_when_index_reaped_in_flight(spark, sf_dir, tmp_path, monk
     assert got == want
     path = sim._ivfpq_index_path(sf_dir)
     assert os.path.exists(os.path.join(path, "_TRAINED")), "index not rebuilt"
+
+
+def test_serving_cache_globally_bounded_and_session_scoped(spark, tmp_path):
+    # r15 review: the first cut keyed a WeakKeyDictionary by session,
+    # but cached DataFrames strongly reference their session (value →
+    # key cycle), so nothing was ever collected. The cache is now a
+    # plain global LRU whose BOUND is the guarantee; pins: (1) the
+    # cache never exceeds _SERVE_CACHE_MAX process-wide, (2) repeat
+    # resolution is an identity hit, (3) a sibling session (shared
+    # context, own session state) is never served another session's
+    # frames — DataFrames are session-bound.
+    import os as _os
+
+    from nt_etl_order_book_spark.functions import similarity as sim
+
+    sim._SERVE_CACHE.clear()
+    df = spark.range(1)
+    paths = []
+    for i in range(sim._SERVE_CACHE_MAX + 2):
+        p = str(tmp_path / f"idx{i}")
+        df.write.parquet(f"{p}/cents.parquet")
+        df.write.parquet(f"{p}/books.parquet")
+        df.write.parquet(f"{p}/index")
+        with open(_os.path.join(p, "_TRAINED"), "w") as fh:
+            fh.write(f"build{i}\n")
+        paths.append(p)
+        sim._serving_frames(spark, p)
+        assert len(sim._SERVE_CACHE) <= sim._SERVE_CACHE_MAX
+    f_last = sim._serving_frames(spark, paths[-1])
+    assert sim._serving_frames(spark, paths[-1]) is f_last
+    sib = spark.newSession()
+    assert sim._session_key(sib) != sim._session_key(spark)
+    assert sim._serving_frames(sib, paths[-1]) is not f_last
+    sim._SERVE_CACHE.clear()

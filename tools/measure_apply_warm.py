@@ -53,7 +53,15 @@ def consume(df) -> int:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    # Positional args exclude flag VALUES (gen_scale_corpus's pattern):
+    # without this, `--index-root /tmp/idx` with no corpus arg would
+    # treat /tmp/idx as the corpus path (r15 review).
+    value_flags = {"--cells", "--warm", "--index-root"}
+    args = [
+        a
+        for i, a in enumerate(sys.argv[1:], 1)
+        if not a.startswith("-") and sys.argv[i - 1] not in value_flags
+    ]
     corpus = args[0] if args else "/tmp/emb1000x"
     cells = "1414"
     warm = 3
