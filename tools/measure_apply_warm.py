@@ -108,11 +108,12 @@ def main() -> int:
         )
 
     path = sim._ivfpq_index_path(corpus)
-    cached = (
-        _sc is not None and spark in _sc and len(_sc[spark]) > 0
-        if (_sc := sim._SERVE_CACHE) is not None
-        else False
-    )
+    # Token layout: (session_key, path, build_id, dev, ino) — flat
+    # global LRU since the r15 review rework (the old WeakKeyDictionary
+    # shape made this check read false while the cache demonstrably
+    # served 1.17 s warm calls).
+    skey = sim._session_key(spark)
+    cached = any(tok[0] == skey and tok[1] == path for tok in sim._SERVE_CACHE)
     out = {
         "corpus": corpus,
         "n_cells": int(cells),
