@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from nt_etl_order_book_spark.functions.artifacts import artifact_path, ensure_published
 from nt_etl_order_book_spark.registry import register
-from nt_etl_order_book_spark.session import checkpoint_frame
+from nt_etl_order_book_spark.session import checkpoint_frame, spread
 from nt_etl_order_book_spark.tables import load_table
 
 TOP_K = 5
@@ -610,7 +610,14 @@ def write_ivf_index(emb: DataFrame, cents_arr: DataFrame, path: str) -> None:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents_arr = ivf_codebook(emb)
-    assigned = ivf_assign(emb, cents_arr)
+    # spread ONLY the assignment input: the argmin fold and the
+    # per-candidate dot products downstream of the cell join are the
+    # query's CPU, and on the single-row-group fixture they otherwise
+    # run as ONE task (measured: an 0.8 s single-task stage inside the
+    # 2.0 s wall, r15 optimization round). The training/query branches
+    # stay on the raw scan so the exchange isn't duplicated under every
+    # consumer of `emb`.
+    assigned = ivf_assign(spread(emb, "vec_id"), cents_arr)
     # Each query probes its N_PROBE nearest refined cells. Probe selection
     # is a HOF over the SAME broadcast codebook array the assignment uses:
     # sort (−dot, cell) ascending ≡ (dot desc, cell asc) and slice the

@@ -1360,13 +1360,21 @@ def winnow_hashes(docs: DataFrame) -> DataFrame:
     on 2000-token documents (caught by the skewed-corpus gate in
     tests/test_skew_and_ann.py). Same defense as
     dedup.minhash_signature_col's token-hash stage."""
+    from nt_etl_order_book_spark.session import spread
+
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     m = F.lit(WINNOW_HASH_MOD)
+    # spread BEFORE the md5/gram pipeline (r15 optimization round): on
+    # the single-row-group fixture the scan is one task, so the per-doc
+    # hashing otherwise runs on one core (no-op at scale where the scan
+    # splits). The trailing repartition below stays — it is the
+    # CollapseProject barrier for `hs` consumers, not load balancing.
+    base = spread(docs.select("doc_id", "text"), "doc_id")
     # Two transform passes: md5 per token FIRST, then the Horner fold
     # over the staged hex strings — see _hex8_of_hex for why embedding
     # the md5 in the fold would 8× the hashing work.
     th = F.transform(F.transform(toks, F.md5), _hex8_of_hex)
-    staged = docs.select("doc_id", th.alias("_th"))
+    staged = base.select("doc_id", th.alias("_th"))
 
     def gram_at(arr, i):
         # Partial-gram parity with the oracle's clipped slice: a doc

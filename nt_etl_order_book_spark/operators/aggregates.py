@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.session import checkpoint_frame
 from nt_etl_order_book_spark.tables import load_table
 
 # Exact accumulator for doubles: 24 integer digits of headroom at the
@@ -81,10 +82,29 @@ def q_agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q1-style multi-aggregate in one pass (ladder stats per market analog).",
 )
 def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from nt_etl_order_book_spark.session import spread
+
+    # spread by a high-cardinality NON-group key (r15 optimization
+    # round): the decimal partial aggregation otherwise runs in the
+    # single-row-group scan's one task (measured 0.92 → 0.65 s at
+    # sf0.1). Spreading by l_orderkey (not the group key) keeps the
+    # map-side-combine shape — 32 partials × 6 groups into a KB-scale
+    # final exchange; no-op at scale where the scan itself splits.
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+            "l_orderkey",
+        ).filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
+        "l_orderkey",
+    )
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
@@ -469,6 +489,47 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ranked_value_counts(df: DataFrame, col: str) -> DataFrame:
+    """(v, c, _pid) distinct-value counts of ``col``, range-partitioned
+    by value and MATERIALIZED (checkpoint_frame) — the fork point every
+    exact-percentile/histogram consumer shares.
+
+    The checkpoint does double duty (r15 optimization round):
+
+    - Consumers reuse ONE scan+aggregation. A forked DataFrame is
+      re-planned under each consumer, and ReuseExchange could not
+      stitch the branches back together because column pruning made
+      their exchanges differ — the before-plan of equi_depth_histogram
+      carried the whole scan → distinct-count → range-partition subtree
+      TWICE (plans/r15/equi_depth_histogram_before.txt, scans (2) and
+      (11)) plus a third raw-fact scan for the histogram tail.
+    - ``spark_partition_id()`` is frozen at materialization, so every
+      consumer sees the same pid assignment (the win_ntile lesson).
+    """
+    from nt_etl_order_book_spark.session import spread
+
+    # spread: the distinct-value partial aggregation otherwise runs in
+    # the scan's task count — ONE task on the single-row-group fixture
+    # (no-op at scale, where the scan itself splits; the narrow
+    # projection keeps the exchange to the one column being counted).
+    counts = (
+        spread(df.select(F.col(col).alias("v")), "v")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # No explicit partition count: REPARTITION_BY_COL is AQE-coalescible,
+    # so the range partitioning sizes itself to the data — one partition
+    # on the KB–MB fixture (the old constant 32 pinned the checkpointed
+    # RDD at 32 partitions and every downstream stage paid 32-task
+    # dispatch on tiny data: 14 jobs, measured r15), advisory-sized
+    # partitions at scale. The per-pid offset lift is partition-count
+    # agnostic by construction.
+    parts = counts.repartitionByRange(F.asc("v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    return checkpoint_frame(parts, eager=False)
+
+
 def exact_percentile_boundaries(df: DataFrame, col: str, fracs: list[float]) -> DataFrame:
     """Exact interpolated percentiles (Spark/ANSI percentile_cont
     semantics) as a 1-row frame with columns q1..qk — WITHOUT the
@@ -488,10 +549,14 @@ def exact_percentile_boundaries(df: DataFrame, col: str, fracs: list[float]) -> 
     formula. Every stage is bounded: the widest single-task state is
     one range partition's distinct values.
     """
-    counts = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
-    parts = counts.repartitionByRange(32, F.asc("v")).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    return boundaries_from_counts(df.sparkSession, ranked_value_counts(df, col), fracs)
+
+
+def boundaries_from_counts(
+    spark: SparkSession, parts: DataFrame, fracs: list[float]
+) -> DataFrame:
+    """Interpolated-percentile tail of exact_percentile_boundaries over
+    an already-materialized ranked_value_counts frame."""
     wloc = Window.partitionBy("_pid").orderBy("v")
     local = parts.withColumn("_lc", F.sum("c").over(wloc))  # incl. current row
     pcnt = local.groupBy("_pid").agg(F.sum("c").alias("_cnt"))
@@ -512,7 +577,7 @@ def exact_percentile_boundaries(df: DataFrame, col: str, fracs: list[float]) -> 
         "v", "c", (F.col("_off") + F.col("_lc")).alias("cum"), "_n"
     )
     fr = F.broadcast(
-        df.sparkSession.createDataFrame(
+        spark.createDataFrame(
             [(i + 1, float(f)) for i, f in enumerate(fracs)], "fi int, f double"
         )
     )
@@ -681,8 +746,34 @@ def grouped_exact_percentile_boundaries(
 )
 def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    q = exact_percentile_boundaries(li, "l_extendedprice", [0.25, 0.50, 0.75])
-    return _quartile_histogram(li, q)
+    # ONE scan of the fact for the whole query (r15 optimization round):
+    # boundaries AND histogram both derive from the materialized
+    # distinct-value counts — before, the counts subtree was physically
+    # duplicated under the boundary fork and the histogram tail
+    # re-scanned the raw fact a third time (2.66 s → ~1.1 s at sf0.1;
+    # at scale this halves the query's I/O). Bucket counts/envelopes
+    # over (v, c) rows are row-for-row equivalent to the raw-row form:
+    # Σc per bucket == COUNT(*), min/max over the distinct values ==
+    # min/max over the rows (values are compared identically in both
+    # engines; the *_approx twin keeps the raw-scan tail since its
+    # whole point is one pass with NO distinct-value state).
+    parts = ranked_value_counts(li, "l_extendedprice")
+    q = boundaries_from_counts(spark, parts, [0.25, 0.50, 0.75])
+    v = F.col("v")
+    bucket = (
+        (v > F.col("q1")).cast("int")
+        + (v > F.col("q2")).cast("int")
+        + (v > F.col("q3")).cast("int")
+    )
+    return (
+        parts.crossJoin(F.broadcast(q))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum("c").alias("n"),
+            F.min(v).alias("lo"),
+            F.max(v).alias("hi"),
+        )
+    )
 
 
 def _quartile_histogram(li: DataFrame, q: DataFrame) -> DataFrame:

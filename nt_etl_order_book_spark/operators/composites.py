@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from nt_etl_order_book_spark.operators.aggregates import DEC, dsum, sql_dsum
 from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.session import spread
 from nt_etl_order_book_spark.tables import load_table
 
 
@@ -76,21 +77,39 @@ def q_composite_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     doc="TPC-H Q5 shape: 5-way star join (two broadcast dims), revenue roll-up per (region, nation).",
 )
 def q_composite_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pre-aggregate the fact BY ORDER before any join (r15 optimization
+    # round, guide §2.3 "aggregate before you shuffle"): one row per
+    # orderkey with its exact decimal revenue. Orders.o_orderkey is the
+    # primary key, so COUNT(DISTINCT o_orderkey) per (region, nation)
+    # == COUNT(*) of pre-aggregated order rows that join — the Expand
+    # (2× rows through the distinct aggregate, single-task at fixture
+    # split counts) disappears, the join input shrinks |lineitem| →
+    # |orders|, and revenue stays bit-exact because DECIMAL(30,6)
+    # accumulation is associative (sum of per-order sums == flat sum;
+    # oracle hash re-verified at sf0.001/0.01). Measured 1.63 → 0.85 s
+    # at sf0.1. `spread`: the pre-aggregation otherwise runs in the
+    # single-row-group scan's ONE task (no-op at scale).
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "l_orderkey",
+    )
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    lo = li.groupBy("l_orderkey").agg(F.sum(revenue.cast(DEC)).alias("_rev"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        lo.join(orders, lo.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            dsum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_rev").cast("double").alias("revenue"),
         )
     )
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from nt_etl_order_book_spark.operators.aggregates import DEC
 from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.session import spread
 from nt_etl_order_book_spark.tables import load_table
 
 # Rank-chunk width for the ghost-row ROWS-frame decomposition
@@ -45,7 +46,18 @@ MOVING_AVG_CHUNK = 4096
     doc="Top-k price levels per (ticker, side): depth-of-book ranking.",
 )
 def q_win_rank_topk_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread by the WINDOW key (r15 optimization round): the window's
+    # required distribution is then already satisfied, so the plan keeps
+    # ONE exchange — but the sort + WindowGroupLimit run across the
+    # cluster instead of inside the single-row-group scan's one task
+    # (measured 1.16 → 0.46 s at sf0.1; no-op at scale where the scan
+    # splits feed the partial WindowGroupLimit in parallel already).
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        ),
+        "l_orderkey",
+    )
     w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_quantity"), F.asc("l_linenumber"))
     return (
         li.select(

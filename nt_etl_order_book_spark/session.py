@@ -104,6 +104,27 @@ def checkpoint_frame(df: DataFrame, *, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Exchange narrow rows across the workers before CPU-bound per-row
+    work when the scan's own split count can't feed every core.
+
+    Single-file/single-row-group inputs (the sandbox fixtures) scan as
+    ONE task, so a narrow CPU pipeline on top (HOF folds, dot products,
+    heavy aggregation) runs on one core of the whole box — the same
+    single-split starvation minhash_signature_col repartitions away
+    (guide §2.5 "input skew": one unsplittable input). Conditional, not
+    unconditional: when the source already yields at least
+    defaultParallelism splits (any real deployment — maxPartitionBytes
+    splits large inputs into many tasks), this is a NO-OP and adds no
+    exchange, so the at-scale plan shape is unchanged. Callers should
+    project to the needed columns first so the conditional exchange
+    stays narrow."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism, *cols)
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable configs to an externally provided session.
 
