@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from nt_etl_order_book_spark.functions.dedup import _sql_paragraphs, paragraphs
 from nt_etl_order_book_spark.registry import register
+from nt_etl_order_book_spark.session import checkpoint_frame
 from nt_etl_order_book_spark.tables import load_table
 
 DAMP = 0.85
@@ -149,7 +150,14 @@ def _sql_pagerank_iters(k: int) -> str:
 )
 def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    edges = paragraph_edges(docs, directed=True)
+    # Materialize the edge list before the deg/iteration forks (r15
+    # optimization round — the graph_reachability lesson applied to its
+    # sibling): every consumer (degree pass, per-iteration contribution
+    # join, final rank join) otherwise re-plans the whole paragraph
+    # digest + DF-cap + pair-generation subtree — the before-plan
+    # carried TWELVE parquet scans of documents
+    # (plans/r15/pagerank_docs_before.txt); with the cut it carries one.
+    edges = checkpoint_frame(paragraph_edges(docs, directed=True), eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("src", "node")
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     # edges annotated with source degree once; every iteration reuses it
@@ -249,8 +257,18 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    und = paragraph_edges(docs, directed=False).select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
+    # Materialize the undirected edge list (r15 optimization round):
+    # it feeds the degree pass (twice), the orientation join and the
+    # edge-count tail — without the cut each fork re-plans the whole
+    # edge-construction subtree (18 document scans in the before-plan,
+    # plans/r15 audit). Same for `oriented` below: it is consumed as
+    # e1, e2 AND the closing semi-join (3 more re-plans of the
+    # orientation join).
+    und = checkpoint_frame(
+        paragraph_edges(docs, directed=False).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        ),
+        eager=False,
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -263,13 +281,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = (
+    oriented = checkpoint_frame(
         und.join(du, "u")
         .join(dv, "v")
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
-        )
+        ),
+        eager=False,
     )
     e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))

@@ -861,7 +861,17 @@ def q_market_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(CORR_TOP_N)
         .select("user_id")
     )
-    r = daily.join(F.broadcast(top), "user_id")
+    # Materialize the top-N daily-return frame before the a/b self-join
+    # fork (r15 optimization round): Catalyst re-plans a forked
+    # DataFrame under each consumer, so the scan → keyed → daily →
+    # top-join subtree ran once per branch — the before-plan carried
+    # EIGHT parquet scans of events (plans/r15/
+    # market_correlation_before.txt); with the cut it carries two
+    # (daily + top). The frame is CORR_TOP_N markets × days — KB-scale,
+    # the bounded "query-side state" a checkpoint is for.
+    from nt_etl_order_book_spark.session import checkpoint_frame
+
+    r = checkpoint_frame(daily.join(F.broadcast(top), "user_id"), eager=False)
     a = r.select(F.col("user_id").alias("u1"), "day", F.col("ret").alias("x"))
     b = r.select(F.col("user_id").alias("u2"), "day", F.col("ret").alias("y"))
 
