@@ -754,6 +754,14 @@ def q_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
     )
     cos = dot(F.col("va"), F.col("vb")) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+    # r15 optimization round, examined and left as the plain label join:
+    # salting it via operators/skew.salted_join (b side replicated 16×)
+    # was measured WORSE at sf0.1 (1.76 → 2.06 s interleaved) — the
+    # replication exchange outweighs the extra parallelism while blocks
+    # stay under MAX_BLOCK. A deployment whose label blocks approach the
+    # cap (quadratic pair mass per reducer) should switch to
+    # salted_join(a, b, "label"); it is row-identical by the pinned
+    # skew-join contract.
     return (
         a.join(b, "label")
         .filter(F.col("a") < F.col("b"))
@@ -1824,7 +1832,18 @@ def q_pairwise_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = emb.filter(F.col("vec_id") % HIST_SAMPLE_MOD == 0).select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    a = s.select(F.col("vec_id").alias("aid"), F.col("embedding").alias("av"), F.col("nrm").alias("an"))
+    # spread ONLY the a branch (r15 optimization round): the
+    # |sample|²/2 dot products run downstream of it, single-task on the
+    # single-row-group fixture; the broadcast b branch stays on the raw
+    # scan so the exchange is not duplicated (no-op at scale).
+    a = spread(
+        s.select(
+            F.col("vec_id").alias("aid"),
+            F.col("embedding").alias("av"),
+            F.col("nrm").alias("an"),
+        ),
+        "aid",
+    )
     b = s.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"), F.col("nrm").alias("bn"))
     cos = F.round(
         dot(F.col("av"), F.col("bv")) / F.nullif(F.col("an") * F.col("bn"), F.lit(0.0)), 6
@@ -1931,7 +1950,12 @@ def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qvec"),
         F.col("nrm").alias("qn"),
     )
-    e = base.filter(F.col("vec_id") % KNN_QUERY_MOD != 0)
+    # spread ONLY the corpus side (r15 optimization round): the
+    # |corpus|×|queries| dot products run downstream of this branch,
+    # and on the single-row-group fixture the scan is one task. The
+    # query branch stays on the raw scan so the exchange is not
+    # duplicated under both consumers of `base` (no-op at scale).
+    e = spread(base.filter(F.col("vec_id") % KNN_QUERY_MOD != 0), "vec_id")
     cos = F.round(
         dot(F.col("qvec"), F.col("embedding")) / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
         6,

@@ -1780,6 +1780,15 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+    # per_doc feeds the percentile-cut pass AND the final bucket join —
+    # checkpoint the (doc_id, lang, n_tokens, avg_nll) frame (r15
+    # optimization round) so the tokenize→explode→tf join pipeline is
+    # not re-planned under each consumer (6 document scans → 3 in the
+    # physical plan; the frame is doc-grain and narrow, the
+    # "materialized artifact" shape of the staged text pipelines).
+    from nt_etl_order_book_spark.session import checkpoint_frame
+
+    per_doc = checkpoint_frame(per_doc, eager=False)
     cuts = per_doc.groupBy("lang").agg(
         F.percentile(F.col("avg_nll"), F.lit(1.0 / 3)).alias("t1"),
         F.percentile(F.col("avg_nll"), F.lit(2.0 / 3)).alias("t2"),

@@ -170,7 +170,17 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from nt_etl_order_book_spark.session import spread
+
+    # spread by a non-group key (r15 optimization round): parallel
+    # decimal partials on the single-row-group fixture, map-side
+    # combine preserved, no-op at scale (the agg_multi pattern).
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice", "l_orderkey"
+        ),
+        "l_orderkey",
+    )
     sums = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         dsum("l_quantity").alias("s1"),
@@ -243,7 +253,17 @@ def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ROLLUP subtotals by (flag, status), (flag), and grand total.",
 )
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from nt_etl_order_book_spark.session import spread
+
+    # spread by a non-group key (r15): the Expand (one copy of every
+    # row per rollup level) + decimal partials otherwise run in the
+    # scan's one task; no-op at scale (the agg_multi pattern).
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"
+        ),
+        "l_orderkey",
+    )
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("l_quantity").alias("sum_qty"),
@@ -263,7 +283,16 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Weighted average (the VWAP shape: Σprice·size / Σsize) with exact decimal accumulation on both sums.",
 )
 def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from nt_etl_order_book_spark.session import spread
+
+    # spread by a non-group key (r15): parallel decimal partials on the
+    # fixture, no-op at scale (the agg_multi pattern).
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice", "l_orderkey"
+        ),
+        "l_orderkey",
+    )
     notional = F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC)).cast("double")
     volume = F.sum(F.col("l_quantity").cast(DEC)).cast("double")
     return li.groupBy("l_returnflag").agg(
@@ -284,7 +313,16 @@ def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="CUBE: subtotals for every grouping-key combination incl. cross terms.",
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from nt_etl_order_book_spark.session import spread
+
+    # spread by a non-group key (r15): the 4-way CUBE Expand + decimal
+    # partials otherwise run in the scan's one task (agg_multi pattern).
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_extendedprice", "l_orderkey"
+        ),
+        "l_orderkey",
+    )
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("l_extendedprice").alias("sum_price"),
@@ -403,7 +441,16 @@ def book_reconstruct(snapshots: DataFrame, deltas: DataFrame, key: str) -> DataF
     ),
 )
 def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from nt_etl_order_book_spark.session import spread
+
+    # spread by a non-group key (r15): grouping-sets Expand + decimal
+    # partials parallel on the fixture, no-op at scale.
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"
+        ),
+        "l_orderkey",
+    )
     return li.groupingSets(
         [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
     ).agg(

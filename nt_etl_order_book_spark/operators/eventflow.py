@@ -163,19 +163,32 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped_exact_percentile_boundaries,
     )
 
+    from nt_etl_order_book_spark.session import checkpoint_frame
+
     ev = load_table(spark, sf_dir, "events")
     # both medians via the sort-based grouped exact percentile (see
     # aggregates.grouped_exact_percentile_boundaries), not the builtin
-    # whose per-group counts-map merges in one reducer
-    med = grouped_exact_percentile_boundaries(
-        ev, ["event_type"], "value", [0.5]
-    ).select("event_type", F.col("q1").alias("med"))
+    # whose per-group counts-map merges in one reducer.
+    # Both stats frames are |event_type| rows — checkpoint them (r15
+    # optimization round) so each consumer reads the materialized rows
+    # instead of re-planning the whole grouped-percentile subtree (med
+    # feeds the deviation pass AND the z-score join; the before-plan
+    # carried 8 event scans, the documented shape is 3).
+    med = checkpoint_frame(
+        grouped_exact_percentile_boundaries(ev, ["event_type"], "value", [0.5]).select(
+            "event_type", F.col("q1").alias("med")
+        ),
+        eager=False,
+    )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = grouped_exact_percentile_boundaries(
-        dev, ["event_type"], "adev", [0.5]
-    ).select("event_type", F.col("q1").alias("mad"))
+    mad = checkpoint_frame(
+        grouped_exact_percentile_boundaries(dev, ["event_type"], "adev", [0.5]).select(
+            "event_type", F.col("q1").alias("mad")
+        ),
+        eager=False,
+    )
     z = (
         ev.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")

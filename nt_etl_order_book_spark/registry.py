@@ -81,19 +81,58 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # CORRECTNESS_r{N}.json has N >= this value, the window below has been
 # consumed and the rotation gate reports "rotation pending" instead of
 # failing; run `python tools/rotate_sweep.py`, paste, and bump this.
-# r15 window (slots 1-50); history through r14
+# r15 window (slots 1-50, refreshed mid-round by the optimization pass:
+# the 13 plan-changed queries lead); history through r14.
 _SWEEP_ROTATED_FOR_ROUND = 15
 
 _SWEEP_CHANGED: tuple[str, ...] = (
-    "ann_ivfpq_apply",
-    "ann_ivfpq_topk",
     "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_apply",
+    "equi_depth_histogram",
+    "composite_regional_revenue",
+    "agg_multi",
+    "win_rank_topk_depth",
+    "shared_run_audit",
+    "winnow_fingerprint",
+    "winnow_dedup",
+    "pagerank_docs",
+    "triangle_count",
+    "market_correlation",
+    "anomaly_zscore",
+    "ccnet_buckets",
+    "knn_label_eval",
+    "pairwise_cosine_histogram",
+    "agg_stats",
+    "agg_grouping_sets",
+    "agg_cube",
+    "agg_grouping_id",
+    "agg_weighted_avg",
 )
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
+    "equi_depth_histogram",  # changed
+    "market_correlation",  # changed
+    "anomaly_zscore",  # changed
+    "ccnet_buckets",  # changed
+    "pagerank_docs",  # changed
+    "triangle_count",  # changed
+    "pairwise_cosine_histogram",  # changed
+    "knn_label_eval",  # changed
     "ann_ivf_topk",  # changed
+    "composite_regional_revenue",  # changed
+    "win_rank_topk_depth",  # changed
+    "agg_grouping_sets",  # changed
     "ann_ivfpq_topk",  # changed
     "ann_ivfpq_apply",  # changed
+    "agg_multi",  # changed
+    "winnow_fingerprint",  # changed
+    "winnow_dedup",  # changed
+    "shared_run_audit",  # changed
+    "agg_stats",  # changed
+    "agg_weighted_avg",  # changed
+    "agg_cube",  # changed
+    "agg_grouping_id",  # changed
     "redact_pii",  # last r10
     "unigram_logprob",  # last r10
     "corpus_filter_funnel",  # last r10
@@ -104,13 +143,11 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "udf_scalar_pandas",  # last r10
     "udtf_explode_custom",  # last r10
     "table_profile",  # last r11
-    "equi_depth_histogram",  # last r11
     "moments_profile",  # last r11
     "composite_large_orders",  # last r11
     "share_of_total",  # last r11
     "funnel_conversion",  # last r11
     "retention_cohorts",  # last r11
-    "anomaly_zscore",  # last r11
     "event_heatmap",  # last r11
     "benford_audit",  # last r11
     "realized_volatility",  # last r11
@@ -119,12 +156,12 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "hypertable_rollup",  # last r11
     "roll_spread",  # last r11
     "order_flow_imbalance",  # last r11
-    "market_correlation",  # last r11
     "hhi_concentration",  # last r11
     "cusum_drift",  # last r11
     "dollar_bars",  # last r11
     "amihud_illiquidity",  # last r11
     "kyle_lambda",  # last r11
+    # ---- slot 51+: next-round queue ----
     "vpin",  # last r11
     "ohlc_volatility",  # last r11
     "autocorr_returns",  # last r11
@@ -141,13 +178,11 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "heavy_hitters",  # last r11
     "embed_centroid_stats",  # last r11
     "ann_pq_topk",  # last r11
-    # ---- slot 51+: next-round queue ----
     "semdedup",  # last r11
     "ann_filtered_topk",  # last r11
     "pmi_collocations",  # last r11
     "zipf_fit",  # last r11
     "approx_quantile_audit",  # last r11
-    "ccnet_buckets",  # last r11
     "lang_id_confusion",  # last r11
     "equi_depth_histogram_approx",  # last r12
     "referential_integrity_audit",  # last r12
@@ -185,29 +220,22 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "bloom_filter_dedup",  # last r12
     "cross_source_dup",  # last r12
     "minhash_eval",  # last r12
-    "pagerank_docs",  # last r12
-    "triangle_count",  # last r12
     "graph_reachability",  # last r12
     "dup_cluster_stats",  # last r12
     "rag_chunk",  # last r12
-    "pairwise_cosine_histogram",  # last r12
-    "knn_label_eval",  # last r12
     "embedding_drift",  # last r12
     "topk_ngrams",  # last r12
     "repetition_stats",  # last r12
     "repetition_battery",  # last r12
     "license_tag",  # last r12
     "agg_groupby_sum",  # last r13
-    "agg_grouping_sets",  # last r13
     "book_reconstruct",  # last r13
-    "composite_regional_revenue",  # last r13
     "join_inner_hash",  # last r13
     "join_asof",  # last r13
     "join_interval",  # last r13
     "set_union_all",  # last r13
     "dedup_exact",  # last r13
     "scan_parquet",  # last r13
-    "win_rank_topk_depth",  # last r13
     "win_running_sum",  # last r13
     "win_ntile",  # last r13
     "best_bid_ask",  # last r13
