@@ -77,7 +77,15 @@ LOW_ENTROPY_NATS = 2.0
     ),
 )
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    from nt_etl_order_book_spark.session import spread
+
+    # spread (r15 optimization round): the per-doc split+sort+fold over
+    # every character is the whole query cost and runs in the scan's one
+    # task on the single-row-group fixture (no-op at scale, where the
+    # scan splits feed it at scan parallelism).
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0), "doc_id"
+    )
     # Per-step re-casts keep the accumulator at (38,18): Spark types
     # decimal + decimal as (38,17) otherwise. The run==0 guard covers
     # the fold's first step (no run open yet); null-safe <=> covers the

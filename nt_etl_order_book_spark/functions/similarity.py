@@ -225,7 +225,13 @@ def rp_signatures(vec: Column) -> Column:
     ),
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread (r15 optimization round): the signature projection is
+    # N_TABLES×N_PLANES plane dots per row — the query's dominant CPU —
+    # and runs in the scan's one task on the single-row-group fixture.
+    # The query branch's copy of the exchange carries only the
+    # vec_id < N_QUERIES rows (the filter pushes below the
+    # repartition), so the fork costs nothing; no-op at scale.
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     corpus = emb.select("vec_id", "embedding", rp_signatures(F.col("embedding")).alias("sigs"))
     banded = corpus.select(
         "vec_id", "embedding", F.posexplode("sigs").alias("table", "sig")
@@ -1465,7 +1471,12 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Measured 3.7-4.0 s → 3.0-3.2 s at sf0.1, results identical. At
     # index-build scale this is the materialized residual table
     # IndexIVFPQ training reads anyway.
-    resid = checkpoint_frame(ivf_residuals_auto(emb, cents_arr, cent_rows))
+    # spread (r15 optimization round): the argmin+subtract pipeline and
+    # everything downstream of the checkpoint (encode, ADC scoring)
+    # otherwise run in the single-row-group scan's one task; the
+    # checkpointed RDD keeps the spread partitioning, so the encode and
+    # query stages inherit the parallelism (no-op at scale).
+    resid = checkpoint_frame(ivf_residuals_auto(spread(emb, "vec_id"), cents_arr, cent_rows))
     books = pq_codebook(resid)
     enc = ivfpq_encode(resid, books)
     return ivfpq_query(emb, cents_arr, books, enc)
