@@ -108,6 +108,8 @@ _SWEEP_CHANGED: tuple[str, ...] = (
     "agg_cube",
     "agg_grouping_id",
     "agg_weighted_avg",
+    "char_entropy",
+    "ann_lsh_topk",
 )
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
@@ -115,6 +117,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "market_correlation",  # changed
     "anomaly_zscore",  # changed
     "ccnet_buckets",  # changed
+    "char_entropy",  # changed
     "pagerank_docs",  # changed
     "triangle_count",  # changed
     "pairwise_cosine_histogram",  # changed
@@ -123,6 +126,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "composite_regional_revenue",  # changed
     "win_rank_topk_depth",  # changed
     "agg_grouping_sets",  # changed
+    "ann_lsh_topk",  # changed
     "ann_ivfpq_topk",  # changed
     "ann_ivfpq_apply",  # changed
     "agg_multi",  # changed
@@ -159,9 +163,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "hhi_concentration",  # last r11
     "cusum_drift",  # last r11
     "dollar_bars",  # last r11
+    # ---- slot 51+: next-round queue ----
     "amihud_illiquidity",  # last r11
     "kyle_lambda",  # last r11
-    # ---- slot 51+: next-round queue ----
     "vpin",  # last r11
     "ohlc_volatility",  # last r11
     "autocorr_returns",  # last r11
@@ -173,7 +177,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "ngram_novelty",  # last r11
     "delta_dedup",  # last r11
     "prefix_dedup",  # last r11
-    "char_entropy",  # last r11
     "compression_ratio",  # last r11
     "heavy_hitters",  # last r11
     "embed_centroid_stats",  # last r11
@@ -261,7 +264,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "fn_null_safe_eq",  # last r13
     "fn_conditional",  # last r13
     "cosine_topk",  # last r13
-    "ann_lsh_topk",  # last r13
     "embed_norm_stats",  # last r13
     "embed_cosine_dedup",  # last r13
     "text_stats",  # last r13

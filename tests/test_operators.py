@@ -1364,3 +1364,20 @@ def test_range_parts_clamps_untuned_sessions(spark):
         assert _range_parts(df) == 8
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_spread_conditional_repartition(spark):
+    # r15 optimization round: session.spread parallelizes CPU-bound
+    # narrow pipelines over under-split inputs and must be a strict
+    # no-op (same object, no exchange) once the source already yields
+    # enough partitions — the property that keeps every spread call
+    # invisible in at-scale plans.
+    from nt_etl_order_book_spark.session import spread
+
+    df = spark.range(1000).coalesce(1).selectExpr("id", "id * 2 AS v")
+    out = spread(df, "id")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # rows identical (hash repartition moves rows, never changes them)
+    assert sorted(r.v for r in out.collect()) == sorted(r.v for r in df.collect())
+    wide = df.repartition(spark.sparkContext.defaultParallelism, "id")
+    assert spread(wide, "id") is wide
