@@ -979,40 +979,45 @@ def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame
     labels = sym.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("label"))
     labels = checkpoint_frame(labels, eager=True)
     for _ in range(max_rounds):
-        nbr = (
-            sym.join(labels.withColumnRenamed("x", "y2"), F.col("y") == F.col("y2"))
-            .groupBy("x")
-            .agg(F.min("label").alias("nbr_min"))
-        )
+        # Neighbor-label and pointer-chase messages land in ONE (x,
+        # label) stream aggregated by a single min (r15 optimization
+        # round, guide §2.4 "share one exchange"): the earlier form
+        # aggregated them separately and attached each through its own
+        # x-keyed left join, then ran a THIRD x-keyed join just to test
+        # convergence — three extra exchanges per round. Values are
+        # identical: least(prev, coalesce(min(nbr ∪ chase), prev)) ==
+        # least(prev, coalesce(nbr_min, prev), coalesce(chase_min,
+        # prev)).
+        nbr_msgs = sym.join(
+            labels.withColumnRenamed("x", "y2"), F.col("y") == F.col("y2")
+        ).select("x", "label")
         # pointer doubling: x's label jumps to its label's label —
         # label ids are node ids, so they exist as keys in `labels`
-        chase = (
-            labels.join(
-                labels.select(F.col("x").alias("lx"), F.col("label").alias("chase_min")),
-                F.col("label") == F.col("lx"),
-            )
-            .select("x", "chase_min")
+        chase_msgs = labels.join(
+            labels.select(F.col("x").alias("lx"), F.col("label").alias("lbl2")),
+            F.col("label") == F.col("lx"),
+        ).select("x", F.col("lbl2").alias("label"))
+        mins = (
+            nbr_msgs.unionByName(chase_msgs)
+            .groupBy("x")
+            .agg(F.min("label").alias("cand"))
         )
         new_labels = (
-            labels.join(nbr, "x", "left")
-            .join(chase, "x", "left")
+            labels.select("x", F.col("label").alias("prev"))
+            .join(mins, "x", "left")
             .select(
                 "x",
-                F.least(
-                    "label",
-                    F.coalesce("nbr_min", "label"),
-                    F.coalesce("chase_min", "label"),
-                ).alias("label"),
+                F.least("prev", F.coalesce("cand", "prev")).alias("label"),
+                "prev",
             )
         )
         new_labels = checkpoint_frame(new_labels, eager=True)
-        converged = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "x")
-            .filter(F.col("new_label") != F.col("label"))
-            .isEmpty()
-        )
-        labels = new_labels
+        # Convergence reads the prev label carried on the frame the
+        # checkpoint action just materialized — a narrow filter over
+        # the checkpointed blocks instead of the per-round shuffle join
+        # against the previous labels frame.
+        converged = new_labels.filter(F.col("label") != F.col("prev")).isEmpty()
+        labels = new_labels.select("x", "label")
         if converged:
             return labels
     # Pointer doubling converges in O(log diameter): 25 rounds cover any

@@ -110,9 +110,13 @@ _SWEEP_CHANGED: tuple[str, ...] = (
     "agg_weighted_avg",
     "char_entropy",
     "ann_lsh_topk",
+    "dedup_components",
+    "dedup_survivorship",
 )
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
+    "dedup_components",  # changed
+    "dedup_survivorship",  # changed
     "equi_depth_histogram",  # changed
     "market_correlation",  # changed
     "anomaly_zscore",  # changed
@@ -161,9 +165,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "roll_spread",  # last r11
     "order_flow_imbalance",  # last r11
     "hhi_concentration",  # last r11
+    # ---- slot 51+: next-round queue ----
     "cusum_drift",  # last r11
     "dollar_bars",  # last r11
-    # ---- slot 51+: next-round queue ----
     "amihud_illiquidity",  # last r11
     "kyle_lambda",  # last r11
     "vpin",  # last r11
@@ -249,7 +253,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "ngram_jaccard",  # last r13
     "decontaminate_ngram",  # last r13
     "stratified_sample",  # last r13
-    "dedup_components",  # last r13
     "multimodal_meta",  # last r13
     "multimodal_features",  # last r13
     "seq_pack",  # last r13

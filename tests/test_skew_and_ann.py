@@ -300,7 +300,13 @@ def test_connected_components_long_chain(spark):
     chain = [(i, i + 1) for i in range(59)]          # 0-1-2-...-59
     extra = [(100, 101), (200, 300)]                  # two separate components
     pairs = spark.createDataFrame(chain + extra, "a long, b long")
-    got = {r.x: r.label for r in connected_components(pairs).collect()}
+    out = connected_components(pairs)
+    # r15 optimization round: each round carries the previous label on
+    # the checkpointed frame so convergence is a narrow filter instead
+    # of a shuffle join — the carrier column must never leak into the
+    # returned schema.
+    assert out.columns == ["x", "label"]
+    got = {r.x: r.label for r in out.collect()}
     assert all(got[i] == 0 for i in range(60))
     assert got[100] == got[101] == 100
     assert got[200] == got[300] == 200
