@@ -751,7 +751,19 @@ def q_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.join(F.broadcast(big), "label", "left_anti")
     # Norms once per row, BEFORE the self-join (not per pair).
     e = emb.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
-    a = e.select(
+    # Explicit label-keyed repartition of the PROBE side only (r15
+    # optimization round): the planner broadcasts the b side at fixture
+    # size, so the quadratic per-label probe otherwise runs in the
+    # single-row-group scan's one task (measured: a ~1.6 s near-single-
+    # task pair stage). An explicit REPARTITION_BY_COL is exempt from
+    # AQE byte-based coalescing (the exchange carries KBs; the join
+    # OUTPUT is what explodes) and at cluster scale — where b exceeds
+    # the broadcast threshold and the join becomes shuffle-based — it
+    # is exactly the distribution the join needs, so no extra exchange
+    # appears. The b branch stays unpartitioned: repartitioning a
+    # build-side that feeds a broadcast would move the corpus for
+    # nothing.
+    a = e.repartition(spark.sparkContext.defaultParallelism, "label").select(
         F.col("vec_id").alias("a"), "label",
         F.col("embedding").alias("va"), F.col("nrm").alias("na"),
     )
@@ -1139,7 +1151,11 @@ def _exact_rerank(emb: DataFrame, cands: DataFrame) -> DataFrame:
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_codebook(emb)
-    enc = pq_encode(emb, books)
+    # spread (r15 optimization round): the PQ_M×PQ_K argmin encode runs
+    # BEFORE its shuffle barrier, i.e. in the single-row-group scan's
+    # one task (measured: a 0.9 s single-task stage); the codebook
+    # training branch stays on the raw scan. No-op at scale.
+    enc = pq_encode(spread(emb, "vec_id"), books)
     # N_QUERIES rows × PQ_M×PQ_K doubles: broadcasts.
     q = emb.filter(F.col("vec_id") < N_QUERIES).crossJoin(F.broadcast(books)).select(
         F.col("vec_id").alias("qid"),
@@ -1210,7 +1226,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents_arr = ivf_codebook(emb)
-    scored = emb.crossJoin(F.broadcast(cents_arr)).select(
+    # spread (r15 optimization round): the corpus-sized HOF argmin below
+    # otherwise runs in the single-row-group scan's one task (measured:
+    # a 0.5-0.6 s single-task checkpoint-materialization stage); the
+    # codebook training branch stays on the raw scan. No-op at scale.
+    scored = spread(emb, "vec_id").crossJoin(F.broadcast(cents_arr)).select(
         "vec_id",
         "embedding",
         norm(F.col("embedding")).alias("enorm"),
@@ -1243,7 +1263,19 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bsz") > MAX_BLOCK)
         .select("cell")
     )
-    pairable = assigned.join(F.broadcast(big), "cell", "left_anti")
+    # Explicit cell-keyed repartition before the pair self-join (r15
+    # optimization round, guide §2.5): the join's shuffle carries KBs
+    # (|corpus| rows of metadata), so AQE's byte-based coalescing
+    # squeezes it to 1-2 tasks — but the join OUTPUT is quadratic per
+    # cell (measured: a 2.2 s near-single-task pair-scoring stage at
+    # sf0.1). An explicit REPARTITION_BY_COL is exempt from AQE
+    # coalescing and is the exact distribution the join needs, so no
+    # extra exchange appears; per-cell work still lands in one task
+    # (the MAX_BLOCK cap bounds it), but distinct cells now score in
+    # parallel. defaultParallelism scales with the cluster.
+    pairable = assigned.join(F.broadcast(big), "cell", "left_anti").repartition(
+        spark.sparkContext.defaultParallelism, "cell"
+    )
     a = pairable.select(
         "cell",
         F.col("vec_id").alias("a"),

@@ -82,7 +82,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # consumed and the rotation gate reports "rotation pending" instead of
 # failing; run `python tools/rotate_sweep.py`, paste, and bump this.
 # r15 window (slots 1-50, refreshed mid-round by the optimization pass:
-# the 13 plan-changed queries lead); history through r14.
+# the plan-changed queries in _SWEEP_CHANGED lead); history through r14.
 _SWEEP_ROTATED_FOR_ROUND = 15
 
 _SWEEP_CHANGED: tuple[str, ...] = (
@@ -112,11 +112,17 @@ _SWEEP_CHANGED: tuple[str, ...] = (
     "ann_lsh_topk",
     "dedup_components",
     "dedup_survivorship",
+    "semdedup",
+    "ann_pq_topk",
+    "embed_cosine_dedup",
 )
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
     "dedup_components",  # changed
     "dedup_survivorship",  # changed
+    "semdedup",  # changed
+    "ann_pq_topk",  # changed
+    "embed_cosine_dedup",  # changed
     "equi_depth_histogram",  # changed
     "market_correlation",  # changed
     "anomaly_zscore",  # changed
@@ -162,10 +168,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "max_drawdown",  # last r11
     "interarrival_stats",  # last r11
     "hypertable_rollup",  # last r11
+    # ---- slot 51+: next-round queue ----
     "roll_spread",  # last r11
     "order_flow_imbalance",  # last r11
     "hhi_concentration",  # last r11
-    # ---- slot 51+: next-round queue ----
     "cusum_drift",  # last r11
     "dollar_bars",  # last r11
     "amihud_illiquidity",  # last r11
@@ -184,8 +190,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "compression_ratio",  # last r11
     "heavy_hitters",  # last r11
     "embed_centroid_stats",  # last r11
-    "ann_pq_topk",  # last r11
-    "semdedup",  # last r11
     "ann_filtered_topk",  # last r11
     "pmi_collocations",  # last r11
     "zipf_fit",  # last r11
@@ -268,7 +272,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "fn_conditional",  # last r13
     "cosine_topk",  # last r13
     "embed_norm_stats",  # last r13
-    "embed_cosine_dedup",  # last r13
     "text_stats",  # last r13
     "tokenize_tf",  # last r13
     "tfidf_topterms",  # last r13
