@@ -108,7 +108,25 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pass 2: exact recount of candidates only. The candidate set is
     # small by construction -> broadcast; the threshold count is a
     # 1-row broadcast the comparison folds in.
-    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    #
+    # The grand total is a SUM OF ARRAY SIZES per doc, not a count of
+    # the exploded stream (r15 optimization round): counting exploded
+    # rows re-ran the full split+explode pipeline a third time (the
+    # forked `toks` re-plans per consumer; executed plan showed 0
+    # ReusedExchange). sum(size(filtered_tokens)) is provably the same
+    # number — explode emits exactly size(arr) rows per doc, empty
+    # arrays emit 0 and contribute 0, a null array emits 0 rows and is
+    # skipped by SUM — and costs one array-length read per doc with no
+    # explode. coalesce covers the empty-corpus edge (SUM→NULL vs
+    # COUNT→0; both yield an empty result either way).
+    total = docs.agg(
+        F.coalesce(
+            F.sum(F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n")
+    )
     counted = (
         toks.join(F.broadcast(cands), "token", "left_semi")
         .groupBy("token")

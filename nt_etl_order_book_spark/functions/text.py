@@ -804,10 +804,25 @@ BIGRAM_LAMBDA = 0.75
 
 def _bigram_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """(big, cb, ch, c2, n2): the per-position bigram stream and every
-    count table the bigram-LM family derives from it — the token stream
-    explodes and shuffles ONCE (cb's exchange, reused at runtime by the
-    marginal/total branches); ch/c2/n2 are distinct-bigram sized.
-    Shared by bigram_logprob and pmi_collocations."""
+    count table the bigram-LM family derives from it; ch/c2/n2 are
+    distinct-bigram sized. Shared by bigram_logprob and
+    pmi_collocations.
+
+    ``cb`` is checkpointed ONCE (r15 optimization round): Catalyst
+    re-plans a forked DataFrame per consumer, so the tokenize + zip +
+    explode + groupBy(w1,w2) subtree ran under EVERY downstream frame —
+    measured 10 parquet scans / 10 Generate(explode) nodes in
+    bigram_logprob's physical plan (cb's join branch, ch, c2, n2, and
+    the probe side each re-deriving it; ReusedExchange never fired
+    because the consumers' prunings differ). One localCheckpoint of the
+    distinct-bigram frame (the SMALLEST shared grain — vocabulary-pair
+    bounded, never position-grain) makes ch/c2/n2 narrow re-aggregations
+    of materialized rows: 10 scans → 2, and at corpus scale one
+    explode+aggregate of the token stream instead of four. Same
+    fork-materialization lesson as pagerank_docs/triangle_count (this
+    round) and graph_reachability (r12)."""
+    from nt_etl_order_book_spark.session import checkpoint_frame
+
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     pairs = F.zip_with(
         F.slice(toks, 1, F.size(toks) - 1),
@@ -819,7 +834,7 @@ def _bigram_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, Da
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    cb = checkpoint_frame(big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big")))
     ch = cb.groupBy("w1").agg(F.sum("c_big").cast("bigint").alias("c_hist"))
     c2 = cb.groupBy("w2").agg(F.sum("c_big").cast("bigint").alias("c_next"))
     n2 = cb.agg(F.sum("c_big").cast("bigint").alias("n_bigrams_total"))
@@ -1188,12 +1203,20 @@ def q_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = docs.select("doc_id", "n_chars", toks.alias("_toks"))
 
     def gram_counts(n: int) -> DataFrame:
+        from nt_etl_order_book_spark.session import spread
+
         grams = F.transform(
             F.sequence(F.lit(0), F.size("_toks") - n),
             lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
         )
+        # spread (r15 optimization round, guide §2.5): the gram-build +
+        # md5 explode pipeline below runs map-side BEFORE the
+        # groupBy(doc_id, h, gl) exchange — a single task on the
+        # single-row-group fixture. Per-branch (the two gram widths
+        # filter differently, so the shared `staged` fork could not
+        # carry one exchange for both); no-op at scale.
         return (
-            staged.filter(F.size("_toks") >= n)
+            spread(staged.filter(F.size("_toks") >= n), "doc_id")
             .select("doc_id", F.explode(grams).alias("gram"))
             .select("doc_id", F.md5("gram").alias("h"), F.length("gram").alias("gl"))
             .groupBy("doc_id", "h", "gl")
@@ -2312,11 +2335,22 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks_arr = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     toks = docs.select("doc_id", F.explode(toks_arr).alias("token"))
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Checkpoint the two aggregates of the exploded token stream (r15
+    # optimization round): `doclen` feeds stats AND the scoring join,
+    # `tf` feeds df AND the scoring join — Catalyst re-plans the full
+    # explode+aggregate subtree per consumer and runtime exchange reuse
+    # never fired here (executed plan: 0 ReusedExchange, 4 corpus
+    # explodes). Both frames are small grains (doc-grain / doc×3 query
+    # tokens); the token stream now explodes twice (the two different
+    # aggregates), not four times. Same fork-materialization lesson as
+    # the bigram family above.
+    from nt_etl_order_book_spark.session import checkpoint_frame
+
+    doclen = checkpoint_frame(toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")))
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").cast("bigint").alias("total_len")
     )
-    tf = (
+    tf = checkpoint_frame(
         toks.filter(F.col("token").isin(*BM25_QUERY))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -115,28 +115,38 @@ _SWEEP_CHANGED: tuple[str, ...] = (
     "semdedup",
     "ann_pq_topk",
     "embed_cosine_dedup",
+    "bigram_logprob",
+    "pmi_collocations",
+    "repetition_battery",
+    "bm25_search",
+    "heavy_hitters",
 )
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    "dedup_components",  # changed
-    "dedup_survivorship",  # changed
+    "bigram_logprob",  # changed
     "semdedup",  # changed
     "ann_pq_topk",  # changed
-    "embed_cosine_dedup",  # changed
     "equi_depth_histogram",  # changed
     "market_correlation",  # changed
     "anomaly_zscore",  # changed
     "ccnet_buckets",  # changed
     "char_entropy",  # changed
+    "heavy_hitters",  # changed
+    "pmi_collocations",  # changed
     "pagerank_docs",  # changed
     "triangle_count",  # changed
     "pairwise_cosine_histogram",  # changed
     "knn_label_eval",  # changed
+    "repetition_battery",  # changed
+    "dedup_components",  # changed
+    "embed_cosine_dedup",  # changed
     "ann_ivf_topk",  # changed
     "composite_regional_revenue",  # changed
     "win_rank_topk_depth",  # changed
     "agg_grouping_sets",  # changed
     "ann_lsh_topk",  # changed
+    "bm25_search",  # changed
+    "dedup_survivorship",  # changed
     "ann_ivfpq_topk",  # changed
     "ann_ivfpq_apply",  # changed
     "agg_multi",  # changed
@@ -152,7 +162,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "corpus_filter_funnel",  # last r10
     "domain_kl_divergence",  # last r10
     "subword_token_count",  # last r10
-    "bigram_logprob",  # last r10
     "length_profile_by_source",  # last r10
     "udf_scalar_pandas",  # last r10
     "udtf_explode_custom",  # last r10
@@ -164,11 +173,11 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "retention_cohorts",  # last r11
     "event_heatmap",  # last r11
     "benford_audit",  # last r11
+    # ---- slot 51+: next-round queue ----
     "realized_volatility",  # last r11
     "max_drawdown",  # last r11
     "interarrival_stats",  # last r11
     "hypertable_rollup",  # last r11
-    # ---- slot 51+: next-round queue ----
     "roll_spread",  # last r11
     "order_flow_imbalance",  # last r11
     "hhi_concentration",  # last r11
@@ -188,10 +197,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "delta_dedup",  # last r11
     "prefix_dedup",  # last r11
     "compression_ratio",  # last r11
-    "heavy_hitters",  # last r11
     "embed_centroid_stats",  # last r11
     "ann_filtered_topk",  # last r11
-    "pmi_collocations",  # last r11
     "zipf_fit",  # last r11
     "approx_quantile_audit",  # last r11
     "lang_id_confusion",  # last r11
@@ -237,7 +244,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "embedding_drift",  # last r12
     "topk_ngrams",  # last r12
     "repetition_stats",  # last r12
-    "repetition_battery",  # last r12
     "license_tag",  # last r12
     "agg_groupby_sum",  # last r13
     "book_reconstruct",  # last r13
@@ -279,7 +285,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "ngram_coverage_curve",  # last r13
     "lexical_complexity",  # last r13
     "typo_pairs",  # last r13
-    "bm25_search",  # last r13
     "udaf_grouped",  # last r13
 )
 

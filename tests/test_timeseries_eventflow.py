@@ -323,6 +323,37 @@ def test_heavy_hitters_sketch_equals_exact_on_skewed_corpus(spark):
     assert out == {"hot1": 500, "hot2": 300, "edge": 14}
 
 
+def test_heavy_hitters_total_counts_degenerate_docs(spark):
+    # r15 optimization: the grand total is sum(size(token_array)) over
+    # docs instead of a third full explode pass. Pin the equivalence on
+    # the degenerate shapes where the two differ most easily: empty
+    # text (split -> [""] -> filtered -> size 0), whitespace-only text,
+    # and multi-space runs (split emits "" entries the filter drops).
+    # The threshold uses the total, so a miscount flips membership.
+    from nt_etl_order_book_spark.functions import sketches as skmod
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hot hot hot hot"),   # 4 tokens
+            (1, ""),                  # 0 tokens
+            (2, "   "),               # 0 tokens (whitespace only)
+            (3, "hot  hot"),          # 2 tokens (double space)
+            (4, "cold"),              # 1 token
+        ],
+        "doc_id long, text string",
+    ).repartition(2)
+    orig = skmod.load_table
+    try:
+        skmod.load_table = lambda _s, _d, _n: docs
+        out = {r.token: r.cnt for r in registry.all_specs()["heavy_hitters"].fn(spark, "_").collect()}
+    finally:
+        skmod.load_table = orig
+    # total must be 7 (not 9 from unfiltered splits, not 5 from
+    # dropping doc 3's second token): threshold = ceil(7/200) -> 1, so
+    # BOTH tokens qualify with exact counts.
+    assert out == {"hot": 6, "cold": 1}
+
+
 def test_event_heatmap_tail_bucket_caps(spark):
     rows = [
         (1, T(2024, 1, 1, 7, 30), 1, "view", 25.0),    # hour 7, bucket 0
