@@ -259,10 +259,19 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_merges_cached(spark, docs, sf_dir)
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    # Cache the (source, word) frequency table (r15 optimization
+    # round): it feeds the encode path AND the long-word counts, and
+    # Catalyst re-planned the full explode+aggregate under both
+    # (executed plan: 0 ReusedExchange, two token-stream explodes).
+    # .cache() (the simhash_dedup pattern) materializes it inside the
+    # single action — the first consumer fills it, the second reads it —
+    # with no extra serial job, halving the corpus passes; vocab-grain,
+    # so the cached footprint is small at any corpus size.
     words = (
         docs.select("source", F.explode(toks).alias("word"))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .cache()
     )
     short = words.filter(F.length("word") <= BPE_MAX_WORD_CHARS).withColumn(
         "syms", F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))

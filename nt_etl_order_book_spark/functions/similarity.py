@@ -2081,9 +2081,16 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 2).alias("half"),
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val"),
     ).select("label", "half", (F.col("dim0") + 1).alias("dim"), "val")
+    # Cache the per-(label, half, dim) means (r15 optimization round):
+    # the a/b halves fork this frame and Catalyst re-planned the
+    # posexplode+aggregate subtree under each (executed plan: 0
+    # ReusedExchange, two corpus explodes). .cache() (the simhash_dedup
+    # pattern) materializes it inside the single action with no extra
+    # serial job; the frame is |labels|×2×|dims| rows — KB-scale at any
+    # corpus size.
     means = exploded.groupBy("label", "half", "dim").agg(
         (F.sum(F.col("val").cast("decimal(38,18)")).cast("double") / F.count(F.lit(1))).alias("m")
-    )
+    ).cache()
     a = means.filter(F.col("half") == 0).select("label", "dim", F.col("m").alias("ma"))
     b = means.filter(F.col("half") == 1).select("label", "dim", F.col("m").alias("mb"))
 

@@ -473,7 +473,19 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # Checkpoint the (doc, token) term-frequency aggregate (r15
+    # optimization round): `tf` feeds the document-frequency aggregate
+    # AND the scoring join, and Catalyst re-planned the full
+    # explode+aggregate subtree under both (executed plan: 0
+    # ReusedExchange, two full token-stream explodes). One
+    # materialization halves the corpus passes; dfreq becomes a narrow
+    # re-aggregation of materialized rows. Same lesson as the bigram
+    # family.
+    from nt_etl_order_book_spark.session import checkpoint_frame
+
+    tf = checkpoint_frame(
+        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -120,6 +120,9 @@ _SWEEP_CHANGED: tuple[str, ...] = (
     "repetition_battery",
     "bm25_search",
     "heavy_hitters",
+    "tfidf_topterms",
+    "bpe_encode",
+    "embedding_drift",
 )
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
@@ -138,6 +141,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "pairwise_cosine_histogram",  # changed
     "knn_label_eval",  # changed
     "repetition_battery",  # changed
+    "embedding_drift",  # changed
     "dedup_components",  # changed
     "embed_cosine_dedup",  # changed
     "ann_ivf_topk",  # changed
@@ -146,6 +150,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "agg_grouping_sets",  # changed
     "ann_lsh_topk",  # changed
     "bm25_search",  # changed
+    "tfidf_topterms",  # changed
+    "bpe_encode",  # changed
     "dedup_survivorship",  # changed
     "ann_ivfpq_topk",  # changed
     "ann_ivfpq_apply",  # changed
@@ -170,10 +176,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "composite_large_orders",  # last r11
     "share_of_total",  # last r11
     "funnel_conversion",  # last r11
+    # ---- slot 51+: next-round queue ----
     "retention_cohorts",  # last r11
     "event_heatmap",  # last r11
     "benford_audit",  # last r11
-    # ---- slot 51+: next-round queue ----
     "realized_volatility",  # last r11
     "max_drawdown",  # last r11
     "interarrival_stats",  # last r11
@@ -241,7 +247,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "graph_reachability",  # last r12
     "dup_cluster_stats",  # last r12
     "rag_chunk",  # last r12
-    "embedding_drift",  # last r12
     "topk_ngrams",  # last r12
     "repetition_stats",  # last r12
     "license_tag",  # last r12
@@ -256,7 +261,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "win_running_sum",  # last r13
     "win_ntile",  # last r13
     "best_bid_ask",  # last r13
-    "bpe_encode",  # last r13
     "dedup_exact_docs",  # last r13
     "minhash_dedup",  # last r13
     "simhash_dedup",  # last r13
@@ -280,7 +284,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "embed_norm_stats",  # last r13
     "text_stats",  # last r13
     "tokenize_tf",  # last r13
-    "tfidf_topterms",  # last r13
     "source_vocab_overlap",  # last r13
     "ngram_coverage_curve",  # last r13
     "lexical_complexity",  # last r13
