@@ -123,6 +123,7 @@ _SWEEP_CHANGED: tuple[str, ...] = (
     "tfidf_topterms",
     "bpe_encode",
     "embedding_drift",
+    "share_of_total",
 )
 
 _SWEEP_PRIORITY: tuple[str, ...] = (
@@ -136,6 +137,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "char_entropy",  # changed
     "heavy_hitters",  # changed
     "pmi_collocations",  # changed
+    "share_of_total",  # changed
     "pagerank_docs",  # changed
     "triangle_count",  # changed
     "pairwise_cosine_histogram",  # changed
@@ -174,7 +176,6 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "table_profile",  # last r11
     "moments_profile",  # last r11
     "composite_large_orders",  # last r11
-    "share_of_total",  # last r11
     "funnel_conversion",  # last r11
     # ---- slot 51+: next-round queue ----
     "retention_cohorts",  # last r11
