@@ -195,12 +195,20 @@ def stream_throughput(spark, n_msgs: int = 20000, dedup_within: str | None = Non
     headline figure keeps the r1 protocol (no dedup operator — the
     cross-round msg/s series must stay comparable); the state-HWM stage
     (stream_state_hwm) arms it to make the watermarked dedup state
-    measurable."""
+    measurable. The dedup run sizes its stateful stage from the
+    expected state (= n_msgs here: the replay fits inside the horizon)
+    via stateful_shuffle_partitions — the DEPLOY.md §4 bound every
+    deployment already computes (r16: 32 one-size stores at a 20k-row
+    state were the dominant dedup-path cost)."""
     import json as _json
     import shutil
     import tempfile
 
-    from nt_etl_order_book_spark.streaming.pipeline import deltas_query, read_json_stream
+    from nt_etl_order_book_spark.streaming.pipeline import (
+        deltas_query,
+        read_json_stream,
+        stateful_shuffle_partitions,
+    )
 
     root = tempfile.mkdtemp(prefix="bench_stream_")
     msg_dir = os.path.join(root, "msgs")
@@ -232,7 +240,13 @@ def stream_throughput(spark, n_msgs: int = 20000, dedup_within: str | None = Non
     t0 = time.time()
     msgs = read_json_stream(spark, msg_dir)
     q = deltas_query(
-        msgs, os.path.join(root, "out"), os.path.join(root, "cp"), dedup_within=dedup_within
+        msgs,
+        os.path.join(root, "out"),
+        os.path.join(root, "cp"),
+        dedup_within=dedup_within,
+        state_partitions=(
+            stateful_shuffle_partitions(spark, n_msgs) if dedup_within else None
+        ),
     )
     q.awaitTermination(300)
     wrote = spark.read.parquet(os.path.join(root, "out")).count()

@@ -22,6 +22,8 @@ by market_ticker for parallel consumption.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -34,6 +36,43 @@ from nt_etl_order_book_spark.sources.orderbook import (
 
 
 BUFFER_TOPICS = ("orderbook-snapshots", "orderbook-deltas")
+
+# Rows of dedup state per state-store instance below which adding more
+# stores costs more than it parallelizes (HDFS-backed provider: each
+# store pays a fixed per-batch open/commit — checkpoint delta file +
+# fsync — measured ~40 ms/store/batch on this box; r16 A/B: at a
+# 20k-row state, 4 and 8 partitions tie at ~2x the throughput of 32).
+# The sizing rule below GROWS the partition count linearly with the
+# expected state and saturates at defaultParallelism, so a production
+# state (millions of rows) gets every core exactly as before — this
+# only trims the store count when the state is too small to feed them.
+STATE_ROWS_PER_PARTITION = 2500
+
+
+def stateful_shuffle_partitions(spark: SparkSession, expected_state_rows: int) -> int:
+    """Shuffle-partition count for a stateful stage, derived from the
+    DEPLOY.md §4 state bound (rate x horizon) the deployment already
+    sizes its alarms with: one state-store instance per
+    STATE_ROWS_PER_PARTITION expected rows, floored at 1, capped at
+    defaultParallelism (the CPU-parallelism ceiling — at real state
+    sizes this returns defaultParallelism, i.e. the session default).
+
+    Stateful operators pin ``spark.sql.shuffle.partitions`` into the
+    checkpoint at first batch, so this must be decided at query start —
+    there is no AQE coalescing for state stores (Spark disables AQE in
+    stateful workloads). ``SPARK_GRAFT_STREAM_STATE_PARTITIONS``
+    overrides for deployments that size the store count directly.
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env is not None:
+        val = int(env)
+        if val < 1:
+            raise ValueError(
+                f"SPARK_GRAFT_STREAM_STATE_PARTITIONS must be >= 1, got {val}"
+            )
+        return val
+    dp = spark.sparkContext.defaultParallelism
+    return max(1, min(dp, -(-int(expected_state_rows) // STATE_ROWS_PER_PARTITION)))
 
 
 def buffer_reader_options(
@@ -122,6 +161,7 @@ def deltas_query(
     available_now: bool = True,
     dedup_within: str | None = "10 minutes",
     stamp_ingest_ts: bool = False,
+    state_partitions: int | None = None,
 ) -> StreamingQuery:
     """Delta pipeline with replay dedup on redis_stream_id.
 
@@ -130,9 +170,22 @@ def deltas_query(
     (consumer.py:145,161); dropDuplicatesWithinWatermark does that here.
     ``stamp_ingest_ts``: as in snapshots_query — wall-clock stamp for
     rows whose source bypassed the durable buffer.
+
+    ``state_partitions`` (dedup runs only) right-sizes the stateful
+    stage: stateful operators take their shuffle-partition count — one
+    state-store instance each — from ``spark.sql.shuffle.partitions``
+    at query start (pinned into the checkpoint; AQE is disabled in
+    stateful workloads, so nothing coalesces tiny state stores the way
+    batch shuffles coalesce). Callers size it from the expected state
+    (stateful_shuffle_partitions, the DEPLOY.md §4 bound); None leaves
+    the session default untouched. The conf is set only around
+    ``start()`` — the stream captures its conf into a cloned session at
+    start, so the session value is restored before this returns
+    (verified stable across repeated runs in the r16 probe).
     """
     flat = flatten_deltas(msgs, stamp_ingest_ts=stamp_ingest_ts)
-    if dedup_within and "redis_stream_id" in flat.columns:
+    dedup_armed = bool(dedup_within) and "redis_stream_id" in flat.columns
+    if dedup_armed:
         # NULL ids (sources without a buffer id) must bypass the dedup:
         # dropDuplicates* treats NULLs as equal and would keep exactly one
         # row of the entire stream. Split, dedup the keyed part, re-union.
@@ -153,7 +206,36 @@ def deltas_query(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    spark = msgs.sparkSession
+    pinned: dict[str, tuple[str, str]] = {}  # key -> (query value, session value)
+    if dedup_armed and state_partitions is not None:
+        if state_partitions < 1:
+            raise ValueError(f"state_partitions must be >= 1, got {state_partitions}")
+        pinned["spark.sql.shuffle.partitions"] = (
+            str(state_partitions),
+            spark.conf.get("spark.sql.shuffle.partitions"),
+        )
+    if dedup_armed and available_now:
+        # An availableNow run is a drain-and-stop: after the last data
+        # batch the engine schedules one no-data batch purely to advance
+        # the watermark and evict state that the stop then discards.
+        # dropDuplicatesWithinWatermark emits rows immediately (never
+        # holds output for the watermark), so the sink's rows are
+        # IDENTICAL without that batch — skipping it removes a full
+        # per-store commit round (r16 A/B: ~1.4x at bench volume).
+        # Continuous (non-availableNow) runs keep no-data batches: there
+        # they are what evicts state across idle gaps.
+        pinned["spark.sql.streaming.noDataMicroBatches.enabled"] = (
+            "false",
+            spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true"),
+        )
+    for key, (qval, _) in pinned.items():
+        spark.conf.set(key, qval)
+    try:
+        return writer.start()
+    finally:
+        for key, (_, sval) in pinned.items():
+            spark.conf.set(key, sval)
 
 
 def enrich_with_market_dim(deltas: DataFrame, dim: DataFrame) -> DataFrame:
