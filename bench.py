@@ -73,6 +73,16 @@ TIER2 = [
 # compare against that query's own last recording).
 TIER3_CAP = 15
 
+# Declared train-once/apply-many queries (artifacts.py lifecycle): their
+# bench rows measure the APPLY path against a persisted artifact BY
+# DESIGN (first touch per corpus trains and publishes; later calls read
+# it back — DEPLOY.md §2). They are deliberately kept out of the fixed
+# HEADLINE/TIER2 series, and when tier3 rotation selects one, the
+# record self-labels it under "tier3_warm_path" so a warm timing is
+# never read as — or cited as — a training-path optimization
+# (r15 VERDICT item 8).
+WARM_PATH_QUERIES = ("bpe_encode", "ann_ivfpq_apply")
+
 
 def tier3_names(qs: dict, cap: int = TIER3_CAP, repo: str | None = None) -> list[str]:
     import re
@@ -148,11 +158,24 @@ def ambient_stats(timings: dict[str, float], repo: str | None = None) -> dict:
                     best[q] = min(best.get(q, float("inf")), float(v))
     ratios = [timings[q] / best[q] for q in timings if q in best]
     if not ratios:
-        return {"ambient_ratio_median": None, "ambient_suspect": False, "ambient_ref_queries": 0}
+        return {
+            "ambient_ratio_median": None,
+            "ambient_suspect": False,
+            "ambient_band": None,
+            "ambient_ref_queries": 0,
+        }
     med = statistics.median(ratios)
+    # Band label (r15 VERDICT item 6): the binary suspect flag let a
+    # 1.3-1.5 window (r15's driver run read 1.421) pass as clean while
+    # inflating tier2 ~25% — "warm" names that middle band so readers
+    # don't misread a hot-box recording as regression. Thresholds per
+    # the calibration above: clean recordings read ~1.1-1.3 vs
+    # best-ever, the documented ambient windows ~2.3.
+    band = "clean" if med <= 1.3 else ("warm" if med <= 1.5 else "suspect")
     return {
         "ambient_ratio_median": round(med, 3),
         "ambient_suspect": med > 1.5,
+        "ambient_band": band,
         "ambient_ref_queries": len(ratios),
         "ambient_ref_rounds": [min(rounds), max(rounds)] if rounds else [],
     }
@@ -302,6 +325,11 @@ def stream_state_hwm(spark, n_msgs: int = 20000) -> dict:
 DETAIL_ONLY_KEYS = (
     "first_run",
     "best_of_rest",
+    # The cold/steady summary scalar follows its per-query splits onto
+    # the detail line (r16: the record line gained ambient_band +
+    # tier3_warm_path and the worst-case draw crossed RECORD_LINE_MAX;
+    # no cross-round reader consumes this scalar from history).
+    "headline_cold_minus_warm_sec",
     "load_avg_start",
     "load_avg_end",
     "stream_load_avg_start",
@@ -495,6 +523,14 @@ def main() -> None:
         "tier2_total_sec": round(sum(tier2.values()), 3),
         "tier3": tier3,
         "tier3_errors": tier3_errors,
+        # Warm-path self-label (see WARM_PATH_QUERIES): these tier3 rows,
+        # if any, time the persisted-artifact APPLY path by design.
+        # Omitted when no warm-path query was drawn (record-line budget).
+        **(
+            {"tier3_warm_path": [n for n in tier3_sel if n in WARM_PATH_QUERIES]}
+            if any(n in WARM_PATH_QUERIES for n in tier3_sel)
+            else {}
+        ),
         # 1/5/15-min load averages bracketing the timed section, plus the
         # per-query repeat count they selected — the recording's ambient
         # context (PERF.md documents the box's ±50% band).
@@ -527,9 +563,9 @@ def main() -> None:
     # in its log.
     print(
         f"# ambient: median ratio {out['ambient_ratio_median']} "
-        f"(suspect={out['ambient_suspect']}), stream {msgs_per_sec} "
-        f"vs best recorded {best_stream}, dedup state HWM "
-        f"{state_hwm['stream_state_peak_rows']} rows",
+        f"(band={out['ambient_band']}, suspect={out['ambient_suspect']}), "
+        f"stream {msgs_per_sec} vs best recorded {best_stream}, dedup "
+        f"state HWM {state_hwm['stream_state_peak_rows']} rows",
         file=sys.stderr,
     )
     # Two stdout lines (r14 verdict item 1): the FULL record first as a

@@ -104,6 +104,43 @@ def checkpoint_frame(df: DataFrame, *, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def _scan_split_estimate(df: DataFrame) -> int | None:
+    """Estimated scan-task count for a (narrow pipeline over a) file
+    source, from file metadata alone — Spark's own split-packing
+    arithmetic (FilePartition.maxSplitBytes: each file charged
+    openCostInBytes, split size min(maxPartitionBytes,
+    max(openCost, total/defaultParallelism))) without converting the
+    plan to an RDD. None when the frame isn't file-backed (constructed
+    frames, RDD scans) or the files aren't locally statable — callers
+    fall back to the materialized-partition probe."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    from urllib.parse import urlparse
+
+    total = 0
+    for f in files:
+        p = urlparse(f).path or f
+        try:
+            total += os.stat(p).st_size
+        except OSError:
+            return None
+    spark = df.sparkSession
+    try:
+        utils = spark.sparkContext._jvm.org.apache.spark.util.Utils
+        max_pb = utils.byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        open_cost = utils.byteStringAsBytes(spark.conf.get("spark.sql.files.openCostInBytes"))
+    except Exception:
+        max_pb, open_cost = 128 * 1024 * 1024, 4 * 1024 * 1024
+    dp = spark.sparkContext.defaultParallelism
+    padded = total + open_cost * len(files)
+    max_split = max(1, min(max_pb, max(open_cost, padded // dp)))
+    return max(1, -(-padded // max_split))
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Exchange narrow rows across the workers before CPU-bound per-row
     work when the scan's own split count can't feed every core.
@@ -118,9 +155,24 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     splits large inputs into many tasks), this is a NO-OP and adds no
     exchange, so the at-scale plan shape is unchanged. Callers should
     project to the needed columns first so the conditional exchange
-    stays narrow."""
+    stays narrow.
+
+    The decision reads the scan's FILE METADATA (r16, VERDICT r15 item
+    5): ``df.rdd`` forced full analysis + physical planning of the
+    frame per call site just to count partitions, and the materialized
+    count also under-reports a many-small-files source that Spark would
+    happily run wide (files pack by maxPartitionBytes/openCost, so the
+    byte estimate is what the scan ACTUALLY keys on). Non-file frames
+    (constructed test frames, RDD-backed inputs) keep the
+    materialized-partition probe as the fallback. Failure mode either
+    way is perf-only: an over-estimate skips the repartition and the
+    pipeline runs at the scan's real width; an under-estimate adds one
+    narrow exchange that at-scale inputs never trigger."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+    est = _scan_split_estimate(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est >= sc.defaultParallelism:
         return df
     return df.repartition(sc.defaultParallelism, *cols)
 

@@ -45,6 +45,7 @@ def _worst_case_out() -> dict:
         "tier2_total_sec": 8888.888,
         "tier3": tier3,
         "tier3_errors": [],
+        "tier3_warm_path": list(bench.WARM_PATH_QUERIES),
         "load_avg_start": [88.88, 88.88, 88.88],
         "load_avg_end": [88.88, 88.88, 88.88],
         "runs_per_query": 3,
@@ -53,6 +54,7 @@ def _worst_case_out() -> dict:
         "headline_cold_minus_warm_sec": 888.888,
         "ambient_ratio_median": 8.888,
         "ambient_suspect": False,
+        "ambient_band": "suspect",
         "ambient_ref_queries": 41,
         "ambient_ref_rounds": [1, 88],
         "stream_best_recorded": 888888.8,
@@ -80,6 +82,13 @@ def test_final_record_line_parses_and_fits_tail_capture():
     assert back["stream_state_peak_rows"] == out["stream_state_peak_rows"]
     assert back["stream_state_peak_bytes"] == out["stream_state_peak_bytes"]
     assert back["ambient_ratio_median"] == out["ambient_ratio_median"]
+    # r16: the ambient band and the warm-path tier3 self-label ride on
+    # the final line too — both are how a reader interprets the record.
+    # (headline_cold_minus_warm_sec moved to the detail line to pay for
+    # them; its per-query splits were already detail-only.)
+    assert back["ambient_band"] == out["ambient_band"]
+    assert back["tier3_warm_path"] == out["tier3_warm_path"]
+    assert "headline_cold_minus_warm_sec" not in back
 
 
 def test_realistic_record_keeps_rotation_history_intact():

@@ -220,16 +220,24 @@ def test_bench_ambient_discriminator(tmp_path):
     clean = bench.ambient_stats({k: v * 1.1 for k, v in hist.items()}, repo=str(tmp_path))
     assert clean["ambient_suspect"] is False and abs(clean["ambient_ratio_median"] - 1.1) < 1e-6
     assert clean["ambient_ref_queries"] == 5 and clean["ambient_ref_rounds"] == [1, 2]
+    assert clean["ambient_band"] == "clean"
     # one REAL regression (qa 5x) leaves the median — and the flag — alone
     one_bad = dict(hist)
     one_bad["qa"] = 5.0
     assert bench.ambient_stats(one_bad, repo=str(tmp_path))["ambient_suspect"] is False
+    # WARM band (r15 VERDICT item 6): 1.3-1.5 is labeled, not silent —
+    # the r15 driver run at 1.421 inflated tier2 ~25% while reading as
+    # clean under the binary flag.
+    warm = bench.ambient_stats({k: v * 1.4 for k, v in hist.items()}, repo=str(tmp_path))
+    assert warm["ambient_suspect"] is False and warm["ambient_band"] == "warm"
     # uniform 1.8x shift: the ambient signature
     shifted = bench.ambient_stats({k: v * 1.8 for k, v in hist.items()}, repo=str(tmp_path))
     assert shifted["ambient_suspect"] is True and shifted["ambient_ratio_median"] > 1.5
+    assert shifted["ambient_band"] == "suspect"
     # no history → no claim, not a crash
     empty = bench.ambient_stats({"qz": 1.0}, repo=str(tmp_path))
     assert empty["ambient_suspect"] is False and empty["ambient_ratio_median"] is None
+    assert empty["ambient_band"] is None
     # stream reference: best-ever across flat and driver-enveloped records
     (tmp_path / "BENCH_r03.json").write_text(
         json.dumps({"parsed": {"queries": {}, "stream_msgs_per_sec": 9000.0}})
